@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Relational breadth beyond the reference's own SQL (SURVEY §2.7 notes
+  * the reference performs zero joins — these demonstrate the engine
+  * capabilities its warehouse, Redshift, provided for free).
+  *
+  * Join-strategy stance for 100 TB:
+  *   - dimension tables (`region` 5 rows, `nation` 25, `supplier`,
+  *     `customer` at 1/10 of orders) are explicitly `broadcast()` so the
+  *     fact side never shuffles for them;
+  *   - fact–fact joins (`orders ⋈ lineitem`, `customer ⋈ orders`) carry
+  *     an explicit `hint("merge")`: both sides grow linearly with sf, so
+  *     sort-merge with a key shuffle is the only plan that survives
+  *     100× — without the hint, Spark's compressed-parquet size estimate
+  *     put filtered lineitem under the 10 MB auto-broadcast threshold at
+  *     sf0.1 and built a 360k-row hashed relation on the driver (11 s,
+  *     and an OOM at cluster scale). At cluster scale the tables would
+  *     additionally be co-bucketed on `o_orderkey`/`l_orderkey` to
+  *     eliminate the shuffle entirely;
+  *   - aggregations sit above the join so partial aggregation still
+  *     shrinks the shuffle that feeds the final hash-agg.
+  */
+object RelationalQueries {
+
+  // ---- Broadcast star join: customer ⋈ nation ⋈ region, grouped ----
+  def joinDims(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("nation"), r("r_name").as("region"))
+      .agg(count("*").as("n_customers"), dsum(c("c_acctbal")).as("total_acctbal"))
+  }
+
+  // ---- Fact–fact join + aggregation: revenue per order priority ----
+  def joinFact(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderpriority").as("o_orderpriority"))
+      .agg(
+        dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"),
+        count("*").as("n_items"))
+  }
+
+  // ---- Semi join: customers having at least one order (EXISTS) ----
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o.hint("merge"), c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  // ---- Anti join: customers with no orders (NOT EXISTS) ----
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o.hint("merge"), c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  // ---- Left outer join + count (kept-nulls semantics) ----
+  def joinLeftCount(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o.hint("merge"), c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+  }
+
+  // ---- UNION ALL across heterogenous sources ----
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), lit("customer").as("src"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("key"), lit("supplier").as("src"))
+    c.unionAll(sup)
+  }
+
+  // ---- DISTINCT aggregation ----
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"))
+
+  // ---- Window function: top-2 orders per customer by total price ----
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  // ---- Window function: running total per customer over time ----
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("running_total"))
+  }
+
+  // ---- TPC-H Q1-style pricing summary (the classic wide aggregate) ----
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count("*").as("count_order"))
+
+  // ---- TPC-H Q3-style: top-10 unshipped orders by revenue ----
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate").as("o_orderdate"))
+      .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  // ---- TPC-H Q5-style: revenue by nation within one region ----
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(o.hint("merge"), c("c_custkey") === o("o_custkey"))
+      .join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(sup),
+        l("l_suppkey") === sup("s_suppkey") &&
+        sup("s_nationkey") === c("c_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_join_dims" -> (joinDims _),
+    "rel_join_fact" -> (joinFact _),
+    "rel_join_semi" -> (joinSemi _),
+    "rel_join_anti" -> (joinAnti _),
+    "rel_join_left_count" -> (joinLeftCount _),
+    "rel_union_all" -> (unionAll _),
+    "rel_distinct_agg" -> (distinctAgg _),
+    "rel_window_rank" -> (windowRank _),
+    "rel_window_running" -> (windowRunning _),
+    "rel_pricing_summary" -> (pricingSummary _),
+    "rel_shipping_priority" -> (shippingPriority _),
+    "rel_local_supplier_volume" -> (localSupplierVolume _),
+  )
+
+  private val rev = "l_extendedprice*(1.0-l_discount)"
+
+  val oracle: Map[String, String] = Map(
+    "rel_join_dims" ->
+      ("SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers, " +
+       s"${sqlSum("c.c_acctbal")} AS total_acctbal " +
+       "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1, 2"),
+    "rel_join_fact" ->
+      (s"SELECT o.o_orderpriority, ${sqlSum(rev)} AS revenue, COUNT(*) AS n_items " +
+       "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1"),
+    "rel_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "rel_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "rel_join_left_count" ->
+      ("SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c " +
+       "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY 1"),
+    "rel_union_all" ->
+      ("SELECT c_custkey AS key, 'customer' AS src FROM customer " +
+       "UNION ALL SELECT s_suppkey AS key, 'supplier' AS src FROM supplier"),
+    "rel_distinct_agg" ->
+      "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1",
+    "rel_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+       "SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+       "FROM orders) WHERE rn <= 2"),
+    "rel_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total " +
+       "FROM orders"),
+    "rel_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       s"${sqlSum("l_quantity")} AS sum_qty, " +
+       s"${sqlSum("l_extendedprice")} AS sum_base_price, " +
+       s"${sqlSum(rev)} AS sum_disc_price, " +
+       s"${sqlAvg("l_quantity")} AS avg_qty, " +
+       s"${sqlAvg("l_extendedprice")} AS avg_price, " +
+       "COUNT(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"),
+    "rel_shipping_priority" ->
+      ("SELECT o.o_orderkey, o.o_orderdate, " +
+       s"${sqlSum(rev)} AS revenue " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+       "WHERE c.c_mktsegment = 'BUILDING' " +
+       "AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00' " +
+       "AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00' " +
+       "GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "rel_local_supplier_volume" ->
+      (s"SELECT n.n_name, ${sqlSum(rev)} AS revenue " +
+       "FROM customer c " +
+       "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+       "JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey " +
+       "GROUP BY 1"),
+  )
+}
