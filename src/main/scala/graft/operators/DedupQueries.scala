@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T, TextOracle => O}
+
+/** Deduplication operators over `documents` (north-star extension:
+  * exact, normalized-exact, MinHash+LSH, SimHash, with an exact-Jaccard
+  * verify stage — the standard LLM-corpus dedup pipeline).
+  *
+  * 100 TB design:
+  *   - signatures (minhash/simhash/fingerprints) are narrow per-row maps;
+  *   - candidate generation NEVER compares all pairs — LSH banding turns
+  *     near-dup search into an equi-join on (band, key): shuffle both
+  *     sides by band key, pairs emerge only inside buckets. Bucket sizes
+  *     are bounded by signature entropy; a pathological hot bucket (e.g.
+  *     the empty-doc signature) would be handled by AQE skew-join or a
+  *     bucket-size cap before the self-join;
+  *   - the exact-Jaccard verify runs only on LSH candidates (linear in
+  *     candidate count, not quadratic in corpus);
+  *   - `groupBy` keys (md5, signature) are high-entropy → even shuffle.
+  *
+  * MinHash params: k=16 permutations banded 4×4 — collision probability
+  * ≈ 1-(1-j⁴)⁴, steep around Jaccard ≈ 0.7, matching the near-dup
+  * threshold the Jaccard verify then enforces exactly.
+  */
+object DedupQueries {
+
+  private val toks: Column = T.tokens(col("text"))
+  private val oToks: String = O.tokens("text")
+
+  val ShingleN = 3
+  val K = 16 // minhash permutations
+  val Bands = 4
+  val Rows = 4 // K = Bands * Rows
+
+  // ---- Exact dedup: byte-identical text ----
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count("*").as("n_docs"), min("doc_id").as("keep_id"))
+
+  // ---- Normalized exact dedup: same token SET (catches reorderings) ----
+  def exactNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("norm_hash"))
+      .agg(count("*").as("n_docs"), min("doc_id").as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** (doc_id, band, key) — one row per LSH band; the join key that makes
+    * near-dup search an equi-join instead of a cross product.
+    */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val hs = T.shingleHashes(T.shingles(toks, ShingleN))
+    val sig = Tables.documents(s, dir)
+      .filter(size(toks) >= ShingleN)
+      .select(col("doc_id"), T.minhashSignature(hs, K).as("sig"))
+    val bandKeys = (0 until Bands).map { m =>
+      concat_ws("-", (0 until Rows).map(r => element_at(col("sig"), m * Rows + r + 1)): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
+
+  // ---- MinHash+LSH candidate pairs ----
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = lshBands(s, dir)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- Exact n-gram Jaccard, verified only on LSH candidates ----
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .filter(size(toks) >= ShingleN)
+      .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
+    val cand = minhashPairs(s, dir)
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val uni = size(col("a.sh")) + size(col("b.sh")) - inter
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  // ---- SimHash signatures grouped (identical-signature clusters) ----
+  def simhashGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), T.simhash(toks, 16).as("simhash"))
+      .groupBy("simhash")
+      .agg(count("*").as("n_docs"), min("doc_id").as("keep_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_exact_norm" -> (exactNormalized _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_jaccard_pairs" -> (jaccardPairs _),
+    "dedup_simhash_groups" -> (simhashGroups _),
+  )
+
+  // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
+  // → exploded bands, mirroring lshBands exactly.
+  private val oBandCte: String = {
+    val bandKeys = (0 until Bands).map { m =>
+      (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t WHERE len(toks) >= $ShingleN),
+       |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
+       |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
+       |bands AS (SELECT doc_id, u.band - 1 AS band, ($bandKeys)[u.band] AS key
+       |          FROM sig, unnest(range(1, ${Bands + 1})) AS u(band))""".stripMargin.replace("\n", " ")
+  }
+
+  private val oPairs: String =
+    s"""$oBandCte SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1",
+    "dedup_exact_norm" ->
+      (s"SELECT md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS norm_hash, " +
+       "COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1 HAVING COUNT(*) > 1"),
+    "dedup_minhash_pairs" -> oPairs,
+    "dedup_jaccard_pairs" ->
+      (s"""WITH cand AS ($oPairs),
+          |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
+          |shs AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t2 WHERE len(toks) >= $ShingleN)
+          |SELECT doc_a, doc_b, jaccard FROM (
+          |  SELECT doc_a, doc_b,
+          |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          |  FROM cand JOIN shs a ON cand.doc_a = a.doc_id JOIN shs b ON cand.doc_b = b.doc_id)
+          |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")),
+    "dedup_simhash_groups" ->
+      (s"WITH t AS (SELECT doc_id, $oToks AS toks FROM documents) " +
+       s"SELECT ${O.simhash("toks", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
+       "FROM t GROUP BY 1"),
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T, TextOracle => O}
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension surface: language ID, quality scoring, token counting,
+  * fingerprinting — BASELINE.json "north_star").
+  *
+  * Scale stance: every per-document computation is a narrow codegen'd
+  * map (TextFunctions scaladoc); the only shuffles are the final
+  * aggregations (token_freq's groupBy token — the one genuinely wide op,
+  * with map-side partial aggregation shrinking the shuffle to the
+  * vocabulary size) and top-k, planned as TakeOrderedAndProject.
+  *
+  * Cross-engine float note: derived ratios are single divisions of exact
+  * integers and the quality score is a fixed-order polynomial — identical
+  * IEEE-754 results on both engines; no transcendentals.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val toks: Column = T.tokens(col("text"))
+  private val oToks: String = O.tokens("text")
+
+  // ---- Token / char counting ----
+  def stats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(col("text")).as("len_chars"),
+      (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+        .as("avg_token_len"))
+
+  // ---- Quality scoring: stopword/alpha ratios + fixed-order score ----
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val en = T.LangProfiles.head._2
+    val stopR = T.wordSetRatio(toks, en)
+    val alphaR = T.charClassRatio(col("text"), "[a-z ]")
+    val lenCap = least(lit(1.0), size(toks).cast("double") / 100.0)
+    docs(s, dir).select(
+      col("doc_id"),
+      round(stopR, 6).as("stopword_ratio"),
+      round(alphaR, 6).as("alpha_ratio"),
+      round(lit(0.5) * alphaR + lit(0.3) * stopR + lit(0.2) * lenCap, 6).as("quality"))
+  }
+
+  // ---- Heuristic language ID ----
+  def langid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), T.langId(toks).as("lang_pred"))
+
+  // ---- Positional document fingerprint ----
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), T.fingerprint(toks).as("fp"))
+
+  // ---- Corpus token frequency: explode → agg → top-k ----
+  def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprintQ _),
+    "text_token_freq" -> (tokenFreq _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      (s"SELECT doc_id, len($oToks) AS n_tokens, " +
+       s"len(list_distinct($oToks)) AS n_distinct_tokens, " +
+       s"length(text) AS len_chars, " +
+       s"list_sum(list_transform($oToks, t -> length(t)))::DOUBLE / len($oToks) AS avg_token_len " +
+       "FROM documents"),
+    "text_quality" -> {
+      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+      val alphaR = O.charClassRatio("text", "[a-z ]")
+      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+      s"SELECT doc_id, round($stopR, 6) AS stopword_ratio, round($alphaR, 6) AS alpha_ratio, " +
+      s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6) AS quality FROM documents"
+    },
+    "text_langid" ->
+      s"SELECT doc_id, ${O.langId(oToks)} AS lang_pred FROM documents",
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${O.fingerprint(oToks)} AS fp FROM documents",
+    "text_token_freq" ->
+      (s"SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents) " +
+       "GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100"),
+  )
+}
