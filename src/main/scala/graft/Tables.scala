@@ -17,6 +17,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a small single-file scan across all cores before heavy
+    * per-row compute (minhash/simhash/unrolled dots): one parquet file =
+    * one input split = one task, which serializes everything above it.
+    * The round-robin shuffle of a few thousand rows is microseconds; at
+    * cluster scale the source has thousands of splits and this repartition
+    * is unnecessary (and would be dropped in favor of AQE coalescing).
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -64,15 +64,23 @@ object TextFunctions {
   def minhashSignature(hashes: Column, k: Int, p: Long = MinhashPrime): Column =
     array((0 until k).map(j => minhash(hashes, 37L + 101L * j, 91L + 53L * j, p)): _*)
 
-  /** nBits-bit SimHash over the token multiset: bit j is set when more
-    * token hashes have bit j set than clear (sum of ±1 votes > 0).
+  /** Hashes of each token (the SimHash input) — compute this in its OWN
+    * projection so the per-bit votes below reuse one md5 pass per token
+    * instead of nBits passes (higher-order functions are interpreted, not
+    * codegen'd, and get no common-subexpression elimination — inlining
+    * the hash into each bit made SimHash 16× slower).
     */
-  def simhash(toks: Column, nBits: Int): Column = {
+  def tokenHashes(toks: Column): Column = transform(toks, t => tokenHash(t, 10))
+
+  /** nBits-bit SimHash over pre-hashed tokens: bit j is set when more
+    * hashes have bit j set than clear (sum of ±1 votes > 0).
+    */
+  def simhash(hashes: Column, nBits: Int): Column = {
     require(nBits <= 16, "keep the vote expression tree small")
     val bitCols = (0 until nBits).map { j =>
       val votes = aggregate(
-        toks, lit(0L),
-        (acc, t) => acc + when(shiftright(tokenHash(t, 10), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L) * (1L << j)).otherwise(0L)
     }
     bitCols.reduce(_ + _)

@@ -35,9 +35,13 @@ object TextOracle {
   def minhashSignature(hashes: String, k: Int, p: Long = TextFunctions.MinhashPrime): String =
     (0 until k).map(j => minhash(hashes, 37L + 101L * j, 91L + 53L * j, p)).mkString("[", ", ", "]")
 
-  def simhash(toks: String, nBits: Int): String =
+  def tokenHashes(toks: String): String =
+    s"list_transform($toks, t -> ${tokenHash("t", 10)})"
+
+  /** SimHash over pre-hashed tokens (mirror of TextFunctions.simhash). */
+  def simhash(hashes: String, nBits: Int): String =
     (0 until nBits).map { j =>
-      s"(CASE WHEN list_sum(list_transform($toks, t -> CASE WHEN (${tokenHash("t", 10)} >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   // list_sum over BIGINT widens to HUGEINT — cast back (values < 2^62).

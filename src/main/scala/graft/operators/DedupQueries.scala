@@ -51,22 +51,38 @@ object DedupQueries {
 
   /** (doc_id, band, key) — one row per LSH band; the join key that makes
     * near-dup search an equi-join instead of a cross product.
+    *
+    * Two plan-shape decisions that matter:
+    *   - staged projections: shingle hashes land in their own column so
+    *     the 16 permutations reuse ONE md5 pass per shingle. Catalyst's
+    *     CollapseProject leaves this alone (non-cheap expression
+    *     referenced 16×); inlining it made the signature 16× slower;
+    *   - docs too short to shingle get a per-doc sentinel band key
+    *     instead of a `size(tokens) >= n` FILTER: a filter predicate is
+    *     pushed below the repartition and re-tokenizes every row
+    *     serially in the single-file scan task, while the sentinel keeps
+    *     all heavy work in the parallel projection (and a unique key can
+    *     never pair).
     */
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
-    val hs = T.shingleHashes(T.shingles(toks, ShingleN))
-    val sig = Tables.documents(s, dir)
-      .filter(size(toks) >= ShingleN)
-      .select(col("doc_id"), T.minhashSignature(hs, K).as("sig"))
+    val sig = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), T.shingleHashes(T.shingles(toks, ShingleN)).as("hs"))
+      .select(col("doc_id"), T.minhashSignature(col("hs"), K).as("sig"))
     val bandKeys = (0 until Bands).map { m =>
-      concat_ws("-", (0 until Rows).map(r => element_at(col("sig"), m * Rows + r + 1)): _*)
+      when(isnull(element_at(col("sig"), 1)), concat(lit("solo-"), col("doc_id")))
+        .otherwise(concat_ws("-", (0 until Rows).map(r => element_at(col("sig"), m * Rows + r + 1)): _*))
     }
     sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
   }
 
   // ---- MinHash+LSH candidate pairs ----
+  // The self-join is hinted sort-merge so both sides produce IDENTICAL
+  // shuffle exchanges and ReuseExchange computes the signature pipeline
+  // once (a broadcast build side would have a different exchange and
+  // re-run the whole minhash stage for it).
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val b = lshBands(s, dir)
-    b.as("a").join(b.as("b"),
+    b.as("a").join(b.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -75,8 +91,9 @@ object DedupQueries {
 
   // ---- Exact n-gram Jaccard, verified only on LSH candidates ----
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .filter(size(toks) >= ShingleN)
+    // No short-doc filter: docs without shingles are never candidates
+    // (sentinel band keys in lshBands), so the join drops them.
+    val sh = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
     val cand = minhashPairs(s, dir)
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
@@ -91,8 +108,9 @@ object DedupQueries {
 
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), T.simhash(toks, 16).as("simhash"))
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), T.tokenHashes(toks).as("hs"))
+      .select(col("doc_id"), T.simhash(col("hs"), 16).as("simhash"))
       .groupBy("simhash")
       .agg(count("*").as("n_docs"), min("doc_id").as("keep_id"))
 
@@ -108,10 +126,11 @@ object DedupQueries {
   // → exploded bands, mirroring lshBands exactly.
   private val oBandCte: String = {
     val bandKeys = (0 until Bands).map { m =>
-      (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
+      val cw = (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
+      s"(CASE WHEN sig[1] IS NULL THEN 'solo-' || doc_id ELSE $cw END)"
     }.mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
-       |sh AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t WHERE len(toks) >= $ShingleN),
+       |sh AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t),
        |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
        |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
        |bands AS (SELECT doc_id, u.band - 1 AS band, ($bandKeys)[u.band] AS key
@@ -132,7 +151,7 @@ object DedupQueries {
     "dedup_jaccard_pairs" ->
       (s"""WITH cand AS ($oPairs),
           |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
-          |shs AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t2 WHERE len(toks) >= $ShingleN)
+          |shs AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t2)
           |SELECT doc_a, doc_b, jaccard FROM (
           |  SELECT doc_a, doc_b,
           |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -140,8 +159,9 @@ object DedupQueries {
           |  FROM cand JOIN shs a ON cand.doc_a = a.doc_id JOIN shs b ON cand.doc_b = b.doc_id)
           |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")),
     "dedup_simhash_groups" ->
-      (s"WITH t AS (SELECT doc_id, $oToks AS toks FROM documents) " +
-       s"SELECT ${O.simhash("toks", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
-       "FROM t GROUP BY 1"),
+      (s"WITH t AS (SELECT doc_id, $oToks AS toks FROM documents), " +
+       s"h AS (SELECT doc_id, ${O.tokenHashes("toks")} AS hs FROM t) " +
+       s"SELECT ${O.simhash("hs", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
+       "FROM h GROUP BY 1"),
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V, VectorOracle => VO}
+
+/** Similarity search over the `embeddings` table (north-star extension:
+  * ANN over an embedding column).
+  *
+  * Physical shapes (see VectorFunctions scaladoc for the scale stance):
+  *   - top-k: query vector broadcast, `orderBy(...).limit(k)` planned as
+  *     TakeOrderedAndProject — no global sort, no collect;
+  *   - ANN: sign-LSH bucket as a pre-join filter — at cluster scale the
+  *     corpus is written partitioned by bucket so a query touches one
+  *     partition (partition pruning), instead of scanning everything;
+  *   - pairwise threshold join: exact here (embeddings ≤ 2k rows at
+  *     bench sf); the 100 TB plan blocks by bucket first — same
+  *     threshold semantics, candidates only within buckets.
+  *
+  * Outputs round cosine to 6 dp BEFORE ordering/thresholding so both
+  * engines rank and filter identical values.
+  */
+object SimilarityQueries {
+
+  val QueryVecId = 0L
+  val TopK = 20
+  val BucketBits = 8
+  val PairThreshold = 0.4
+
+  /** Embedding dimensionality of the testdata corpus. Known statically →
+    * the dot product unrolls into codegen'd scalar arithmetic (dotN).
+    */
+  val Dim = 64
+
+  // v stays the RAW array<float>; dotN/l2N cast per element (see
+  // VectorFunctions.dotN scaladoc for why not an array-level cast).
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
+
+  private def cosExpr = V.cosinePre(
+    V.dotN(col("v"), col("qv"), Dim), l2N(col("v")), l2N(col("qv")))
+
+  private def l2N(c: org.apache.spark.sql.Column) = V.l2N(c, Dim)
+
+  // ---- Exact brute-force cosine top-k ----
+  def topkCosine(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+
+  // ---- ANN: search only the query's sign-LSH bucket ----
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .filter(V.signBucket(col("v"), BucketBits) === V.signBucket(col("qv"), BucketBits))
+      .select(col("vec_id"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+
+  // ---- Embedding near-dup pairs above a cosine threshold ----
+  // The one deliberate mapPartitions kernel in the engine: an exact
+  // all-pairs cosine is O(n²) dot products, and expressing it as a
+  // DataFrame join puts the 64-term dot inside a BroadcastNestedLoopJoin
+  // CONDITION, which is evaluated interpreted per candidate pair (~20 s
+  // at bench sf vs 0.5 s here). The shape below is exactly what BNLJ
+  // does physically — broadcast one side, stream the other — but with a
+  // primitive-array inner loop (the Spark-ML-style BLAS-kernel pattern).
+  // Determinism: dot is the same left fold in double as the declarative
+  // path and DuckDB's list_dot_product; rounding replicates Spark's
+  // `round` (BigDecimal HALF_UP) so the oracle comparison is exact.
+  // 100 TB stance: valid while ONE side fits in a broadcast (it is the
+  // build side, exactly like any broadcast join); a corpus×corpus
+  // near-dup sweep at full scale uses the sign-bucket equi-join
+  // (annLsh's blocking) instead of all-pairs.
+  def pairsThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val raw = embs(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Float])]
+    val build = raw.collect().sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotF(v, v))) }
+    val bc = s.sparkContext.broadcast(build)
+    val thr = PairThreshold
+    Tables.spread(s, raw.toDF("vec_id", "v")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.flatMap { case (ida, va) =>
+          val na = math.sqrt(dotF(va, va))
+          b.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, vb, nb) => (ida, idb, round6(dotF(va, vb) / (na * nb))) }
+            .filter(_._3 >= thr)
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos")
+  }
+
+  // ---- Per-dimension corpus stats by label (exact: min/max only) ----
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("label"), posexplode(V.vecD(col("v"))).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(min("x").as("min_x"), max("x").as("max_x"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_cosine" -> (topkCosine _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_pairs_threshold" -> (pairsThreshold _),
+    "sim_dim_stats" -> (dimStats _),
+  )
+
+  private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
+  private val oQ = s"SELECT v AS qv FROM e WHERE vec_id = $QueryVecId"
+  private val oCos = VO.cosine("v", "qv")
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_cosine" ->
+      (s"WITH e AS ($oE), q AS ($oQ) " +
+       s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+       s"ORDER BY cos DESC, vec_id LIMIT $TopK"),
+    "sim_ann_lsh" ->
+      (s"WITH e AS ($oE), q AS ($oQ) " +
+       s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+       s"AND ${VO.signBucket("v", BucketBits)} = ${VO.signBucket("qv", BucketBits)} " +
+       s"ORDER BY cos DESC, vec_id LIMIT $TopK"),
+    "sim_pairs_threshold" ->
+      (s"WITH e AS ($oE) " +
+       s"SELECT vec_a, vec_b, cos FROM (" +
+       s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
+       s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"),
+    "sim_dim_stats" ->
+      (s"WITH e AS ($oE) " +
+       "SELECT label, dim - 1 AS dim, min(x) AS min_x, max(x) AS max_x FROM (" +
+       "SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e) " +
+       "GROUP BY 1, 2"),
+  )
+}

@@ -22,8 +22,10 @@ import graft.functions.{TextFunctions => T, TextOracle => O}
   */
 object TextQueries {
 
+  // All five queries run interpreted higher-order lambdas per row —
+  // spread the single-file scan across cores (Tables.spread scaladoc).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
 
   private val toks: Column = T.tokens(col("text"))
   private val oToks: String = O.tokens("text")
