@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+
+/** Smoke + invariant tests for every registered query at sf0.001 (the
+  * driver-smoke scale). The DuckDB hash-compare at sf0.01 is the real
+  * correctness gate (Verify + tools/check_oracle.py); these assert the
+  * engine-level contracts that survive any data: schema names, bounds,
+  * and cross-query consistency.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("entry returns a single top-revenue row") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 1)
+    assert(rows.head.schema.fieldNames.contains("revenue"))
+  }
+
+  test("every query runs at sf0.001 and column names are stable") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, Sf)
+      val cols = df.columns
+      assert(cols.nonEmpty, s"$name has no columns")
+      assert(cols.distinct.length == cols.length, s"$name has duplicate column names")
+      df.count() // forces execution
+    }
+  }
+
+  test("every query with an oracle has matching registration") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
+    assert(q.subsetOf(o), s"query without oracle (rows-only check): ${q -- o}")
+  }
+
+  test("dedup pipeline: jaccard-verified pairs are a subset of candidates") {
+    val cand = DedupQueries.minhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = DedupQueries.jaccardPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand))
+    assert(verified.forall { case (a, b) => a < b })
+  }
+
+  test("similarity: ann results are a subset of brute-force ranking universe") {
+    val exact = SimilarityQueries.topkCosine(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = SimilarityQueries.annLsh(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // any ANN hit that also appears in exact top-k must carry the same score
+    ann.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(e == c, s"score mismatch for vec $id"))
+    }
+    assert(ann.map(_._2).sorted.reverse.sameElements(ann.map(_._2)), "ann not sorted desc")
+  }
+
+  test("pairs threshold output respects bound and ordering contract") {
+    val rows = SimilarityQueries.pairsThreshold(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= SimilarityQueries.PairThreshold)
+      assert(r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = Tables.documents(spark, Sf).count()
+    val grouped = DedupQueries.exact(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect().head.getLong(0)
+    assert(grouped == total)
+  }
+}
