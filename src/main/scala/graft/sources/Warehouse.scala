@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table layer replacing the reference's Postgres + Redshift pair with
+  * one parquet layout (SURVEY §7.1): tables are directories partitioned
+  * by `period_date`, so the daily close-out filter (P3/T2) and the
+  * `current_date - 1` analytics (P4) become metadata-only partition
+  * pruning — the Spark equivalent of the reference pushing its WHERE
+  * into Postgres (airflow_dags.py:61-66).
+  *
+  * Append semantics mirror the reference exactly: no dedup, duplicate
+  * rows on re-run are EXPECTED (T3; screenshot evidence ids 1/2, 9/10) —
+  * [[dedupCandles]] is the opt-in fix, not the default.
+  */
+object Warehouse {
+
+  /** D1/D2: CREATE TABLE IF NOT EXISTS — idempotent, run before loads. */
+  def createIfNotExists(spark: SparkSession, path: String): Unit = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Ohlcv.tableSchema)
+        .write.partitionBy("period_date").parquet(path)
+    }
+  }
+
+  /** K1/K4: append into the partitioned table (JDBC append ≅ COPY). */
+  def append(df: DataFrame, path: String): Unit =
+    df.select(Ohlcv.columns.map(df.col): _*)
+      .write.mode("append").partitionBy("period_date").parquet(path)
+
+  def table(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.schema(Ohlcv.tableSchema).parquet(path)
+    // partitionBy moves period_date last in the physical layout; restore
+    // the declared column order (the positional CSV contract needs it).
+    df.select(Ohlcv.columns.map(df.col): _*)
+  }
+
+  /** Current max id, the SERIAL high-water mark for [[Ohlcv.assignIds]].
+    * An inherently serial point (SURVEY §7.5.1) — fine at reference
+    * cadence, replaced by natural keys at scale.
+    */
+  def maxId(spark: SparkSession, path: String): Long = {
+    val r = table(spark, path).agg(coalesce(max("id"), lit(0L))).collect()
+    r.head.getLong(0)
+  }
+
+  /** T2: the daily close-out — `SELECT * WHERE period_date = ds`
+    * (airflow_dags.py:61-65) as a partition-pruned scan.
+    */
+  def dailyExport(spark: SparkSession, path: String, ds: String): DataFrame =
+    table(spark, path).filter(col("period_date") === lit(ds).cast("date"))
+
+  /** T3 fix (extension, opt-in): one candle per (time_period_start),
+    * keeping the lowest id — deterministic, unlike dropDuplicates whose
+    * survivor is partition-order dependent.
+    */
+  def dedupCandles(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("time_period_start").orderBy("id")
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming-native variant of the reference's temporal semantics
+  * (SURVEY §2.9): the scheduler-driven micro-batches (cron 5-min ingest
+  * T1, @daily close-out T2) re-expressed as one Structured Streaming
+  * topology. Batch and stream share [[graft.sources.Ohlcv.normalize]] —
+  * the transforms are plan fragments, agnostic to the source.
+  *
+  * State bounds (SURVEY §7.5.7): only tumbling windows + per-key
+  * dedup — the watermark lets Spark drop window state after
+  * (window end + delay) and dedup keys older than the watermark.
+  */
+object CandleStream {
+
+  /** T3 fix, streaming form: at-most-one candle per period start within
+    * the watermark horizon (re-fetches of the same candle dedup away).
+    */
+  def dedup(candles: DataFrame, delay: String = "10 minutes"): DataFrame =
+    candles
+      .withWatermark("time_period_start", delay)
+      .dropDuplicates("time_period_start")
+
+  /** T2 as a stream: daily tumbling close-out aggregates — the
+    * QuickSight daily tiles (A3-A5) computed incrementally instead of by
+    * re-scanning the warehouse.
+    */
+  def dailyAggregate(candles: DataFrame, delay: String = "1 hour"): DataFrame =
+    candles
+      .withWatermark("time_period_start", delay)
+      .groupBy(window(col("time_period_start"), "1 day").as("day"))
+      .agg(
+        sum("volume_traded").as("volume_traded"),
+        min("price_low").as("lowest_price"),
+        max("price_high").as("highest_price"),
+        sum("trades_count").as("total_trades"),
+        count("*").as("n_candles"))
+      .select(col("day.start").as("period_date"), col("volume_traded"),
+        col("lowest_price"), col("highest_price"), col("total_trades"),
+        col("n_candles"))
+
+  /** A6 as a stream: 5-minute resample of close prices (the dashboard
+    * line chart fed incrementally).
+    */
+  def resample5Min(candles: DataFrame, delay: String = "10 minutes"): DataFrame =
+    candles
+      .withWatermark("time_period_start", delay)
+      .groupBy(window(col("time_period_start"), "5 minutes").as("w"))
+      .agg(avg("price_close").as("avg_close"), count("*").as("n"))
+      .select(col("w.start").as("bucket_start"), col("avg_close"), col("n"))
+}
