@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque BINARY payloads + typed metadata, with decode / resize /
+  * frame-sample / feature-extract operators.
+  *
+  * The Spark-side plumbing is real — schema, partition-aware batch
+  * execution, metadata pushdown — while the codec inner loops are
+  * DETERMINISTIC STUBS (this environment ships no image/audio codecs):
+  * every `stub*` function derives its output from the payload bytes so
+  * tests are exact; swapping in a real codec changes only that function.
+  *
+  * 100 TB design:
+  *   - payloads live in parquet binary columns partitioned by (kind,
+  *     ingest date): metadata predicates (width, duration, format) are
+  *     separate scalar columns so Catalyst prunes/filters BEFORE any
+  *     payload is read (parquet column projection means a
+  *     metadata-only query never touches the heavy bytes);
+  *   - decode runs in `mapPartitions`, the JVM analog of Python's
+  *     `mapInPandas`: per-partition init (codec contexts, model
+  *     weights) amortizes across the partition's rows instead of
+  *     paying per row — the exact reason mapInPandas batches;
+  *   - derived embeddings feed the ANN operators (SimilarityQueries)
+  *     unchanged.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType), // image | audio | video
+    StructField("format", StringType), // png | wav | mp4 | ...
+    StructField("width", IntegerType), // images/video
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType), // audio
+    StructField("duration_ms", LongType), // audio/video
+    StructField("payload", BinaryType)))
+
+  final case class Media(media_id: Long, kind: String, format: String,
+                         width: Int, height: Int, sample_rate: Int,
+                         duration_ms: Long, payload: Array[Byte])
+
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 mean_byte: Double, embedding: Array[Float])
+
+  final case class Frame(media_id: Long, frame_idx: Int, t_ms: Long,
+                         payload: Array[Byte])
+
+  /** Deterministic fixture corpus (payload bytes derived from media_id —
+    * stands in for real files; REPLACE with `spark.read.format("binaryFile")`
+    * over an object store at deployment).
+    */
+  def fixture(spark: SparkSession, n: Int): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val id = i
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val bytes = stubPayload(id)
+      Media(id, kind,
+        format = Seq("png", "wav", "mp4")((id % 3).toInt),
+        width = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32,
+        height = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32,
+        sample_rate = if (kind == "audio") 16000 else 0,
+        duration_ms = if (kind == "image") 0L else 1000L + id * 40L,
+        payload = bytes)
+    }
+  }
+
+  // ??? real codec goes here — a seeded byte stream keeps tests exact.
+  private[operators] def stubPayload(id: Long): Array[Byte] = {
+    val r = new scala.util.Random(id)
+    val b = new Array[Byte](256 + (id % 64).toInt)
+    r.nextBytes(b); b
+  }
+
+  /** Decode + featurize images: batch-shaped mapPartitions (one codec
+    * init per partition, like mapInPandas' per-batch init). The decode
+    * itself is the stub: byte statistics + a byte-window embedding.
+    */
+  def imageFeatures(media: Dataset[Media], dim: Int = 64): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      // per-partition "codec init" happens here (amortized)
+      it.map { m =>
+        val px = m.payload // ??? real: decode(m.format, m.payload)
+        val mean = px.map(b => (b & 0xff).toDouble).sum / px.length
+        val emb = Array.tabulate(dim)(d => ((px(d % px.length) & 0xff) / 255.0f))
+        ImageFeatures(m.media_id, m.width, m.height, mean, emb)
+      }
+    }
+  }
+
+  /** Resize: payload-to-payload transform keeping metadata consistent.
+    * Stub: byte decimation standing in for pixel resampling.
+    */
+  def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "audio") m
+        else {
+          val scale = math.max(1, m.payload.length / math.max(1, (w * h) / 64))
+          val resized = m.payload.grouped(scale).map(_.head).toArray // ??? real resample
+          m.copy(width = w, height = h, payload = resized)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame every `everyMs` — the
+    * row-explosion shape (flatMap) a video pipeline needs; frame payload
+    * is a stub slice.
+    */
+  def sampleFrames(media: Dataset[Media], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val n = math.max(1, (m.duration_ms / everyMs).toInt)
+      (0 until n).iterator.map { i =>
+        val t = i * everyMs
+        val off = (t % math.max(1, m.payload.length - 16)).toInt
+        Frame(m.media_id, i, t, m.payload.slice(off, off + 16)) // ??? real frame decode
+      }
+    }
+  }
+
+  /** Metadata-only projection — MUST not deserialize payloads: parquet
+    * column pruning reads just the scalar columns at the storage layer.
+    */
+  def metadata(media: DataFrame): DataFrame =
+    media.select("media_id", "kind", "format", "width", "height",
+      "sample_rate", "duration_ms")
+}
