@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions.{CosineSim, MinHashSig}
+
+/** Engine extension point (SparkSessionExtensions): registers the
+  * native expressions as SQL functions, so they are callable from both
+  * the DataFrame API (`call_function("graft_minhash", ...)`) and
+  * `spark.sql("SELECT graft_minhash(...)")`. Activated via
+  * `spark.sql.extensions=graft.GraftExtensions` (Sessions.builder sets
+  * it; spark-submit users set the same conf).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sh) =>
+          MinHashSig(sh, k = 16, prime = graft.functions.TextFunctions.MinhashPrime)
+        case Seq(sh, Literal(k: Int, _)) =>
+          MinHashSig(sh, k, prime = graft.functions.TextFunctions.MinhashPrime)
+        case Seq(sh, Literal(k: Int, _), Literal(p: Long, _)) => MinHashSig(sh, k, p)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingles array<string>[, k int[, prime bigint]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }))
+  }
+}

@@ -20,6 +20,8 @@ object Sessions {
       // timestamp type, so read it as an exact nanos-epoch long
       // (Tables.events derives the calendar view).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native engine functions (graft_minhash, graft_cosine)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

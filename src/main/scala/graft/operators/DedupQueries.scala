@@ -53,10 +53,10 @@ object DedupQueries {
     * near-dup search an equi-join instead of a cross product.
     *
     * Two plan-shape decisions that matter:
-    *   - staged projections: shingle hashes land in their own column so
-    *     the 16 permutations reuse ONE md5 pass per shingle. Catalyst's
-    *     CollapseProject leaves this alone (non-cheap expression
-    *     referenced 16×); inlining it made the signature 16× slower;
+    *   - the signature is the native codegen'd [[graft.functions.expressions.MinHashSig]]
+    *     (registered by GraftExtensions): one md5 pass per shingle, k
+    *     min-updates in a tight loop — the declarative k×array_min
+    *     formulation evaluated interpreted, 16× the hashing work;
     *   - docs too short to shingle get a per-doc sentinel band key
     *     instead of a `size(tokens) >= n` FILTER: a filter predicate is
     *     pushed below the repartition and re-tokenizes every row
@@ -66,8 +66,9 @@ object DedupQueries {
     */
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), T.shingleHashes(T.shingles(toks, ShingleN)).as("hs"))
-      .select(col("doc_id"), T.minhashSignature(col("hs"), K).as("sig"))
+      .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("sh"), lit(K)).as("sig"))
     val bandKeys = (0 until Bands).map { m =>
       when(isnull(element_at(col("sig"), 1)), concat(lit("solo-"), col("doc_id")))
         .otherwise(concat_ws("-", (0 until Rows).map(r => element_at(col("sig"), m * Rows + r + 1)): _*))

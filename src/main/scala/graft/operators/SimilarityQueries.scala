@@ -43,10 +43,9 @@ object SimilarityQueries {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).filter(col("vec_id") === QueryVecId).select(col("v").as("qv"))
 
-  private def cosExpr = V.cosinePre(
-    V.dotN(col("v"), col("qv"), Dim), l2N(col("v")), l2N(col("qv")))
-
-  private def l2N(c: org.apache.spark.sql.Column) = V.l2N(c, Dim)
+  // native codegen'd loop (CosineSim via GraftExtensions): any
+  // dimension, same left-fold value as DuckDB's list_dot_product form.
+  private def cosExpr = call_function("graft_cosine", col("v"), col("qv"))
 
   // ---- Exact brute-force cosine top-k ----
   def topkCosine(s: SparkSession, dir: String): DataFrame =
