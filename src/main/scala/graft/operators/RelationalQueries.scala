@@ -160,7 +160,25 @@ object RelationalQueries {
       .agg(dsum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("revenue"))
   }
 
+  // ---- Sketches: approximate distinct + quantiles (HLL / KLL-style) ----
+  // Algorithm-specific results — registered WITHOUT oracle SQL, so the
+  // driver applies its rows-only check. At 100 TB these replace exact
+  // distinct counts whose shuffle would dominate the job.
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_approx_distinct" -> (approxDistinct _),
+    "rel_approx_quantiles" -> (approxQuantiles _),
     "rel_join_dims" -> (joinDims _),
     "rel_join_fact" -> (joinFact _),
     "rel_join_semi" -> (joinSemi _),

@@ -61,6 +61,12 @@ object SqlQueries {
     "sql_having" -> q(
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
          |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin),
+    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: sorted values, pos=(n-1)p, linear interpolation)
+    "sql_percentile" -> q(
+      """SELECT l_returnflag, round(percentile(l_quantity, 0.5), 6) AS median_qty,
+        |round(percentile(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
   )
 
   // DuckDB spellings — same shapes, dialect-adjusted where needed.
@@ -100,5 +106,9 @@ object SqlQueries {
     "sql_having" ->
       (s"SELECT o_custkey, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total " +
        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3"),
+    "sql_percentile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, " +
+       "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty " +
+       "FROM lineitem GROUP BY l_returnflag"),
   )
 }

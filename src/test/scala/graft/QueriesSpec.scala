@@ -30,7 +30,9 @@ class QueriesSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
-    assert(q.subsetOf(o), s"query without oracle (rows-only check): ${q -- o}")
+    // sketches are algorithm-specific → deliberately rows-only
+    val rowsOnly = Set("rel_approx_distinct", "rel_approx_quantiles")
+    assert((q -- o) == rowsOnly, s"unexpected rows-only queries: ${q -- o -- rowsOnly}")
   }
 
   test("dedup pipeline: jaccard-verified pairs are a subset of candidates") {
