@@ -176,7 +176,17 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
 
+  // ---- DataFrame-API pivot (wide-format conditional aggregation) ----
+  // Fixed pivot values → no extra collect-distinct job; oracle mirrors
+  // with CASE sums aliased to the pivot column names.
+  def pivotReturnflag(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pivot" -> (pivotReturnflag _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_approx_quantiles" -> (approxQuantiles _),
     "rel_join_dims" -> (joinDims _),
@@ -196,6 +206,12 @@ object RelationalQueries {
   private val rev = "l_extendedprice*(1.0-l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "rel_pivot" ->
+      (s"SELECT l_linestatus, " +
+       s"${sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A, " +
+       s"${sqlSum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS N, " +
+       s"${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R " +
+       "FROM lineitem GROUP BY 1"),
     "rel_join_dims" ->
       ("SELECT n.n_name AS nation, r.r_name AS region, COUNT(*) AS n_customers, " +
        s"${sqlSum("c.c_acctbal")} AS total_acctbal " +
