@@ -73,7 +73,12 @@ object DedupQueries {
       when(isnull(element_at(col("sig"), 1)), concat(lit("solo-"), col("doc_id")))
         .otherwise(concat_ws("-", (0 until Rows).map(r => element_at(col("sig"), m * Rows + r + 1)): _*))
     }
+    // persisted: both sides of the self-join (and the jaccard verify on
+    // top) replay this subplan — the cache is the signature store a real
+    // LSH pipeline materializes anyway. CacheManager keys on the
+    // canonicalized plan, so repeated query invocations share one entry.
     sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- MinHash+LSH candidate pairs ----
@@ -96,6 +101,7 @@ object DedupQueries {
     // (sentinel band keys in lshBands), so the join drops them.
     val sh = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashPairs(s, dir)
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(col("a.sh")) + size(col("b.sh")) - inter
