@@ -65,8 +65,11 @@ object DedupQueries {
     *     never pair).
     */
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    // tokens staged first: shingles() references the token array 3× and
+    // interpreted eval would re-split per reference (TextQueries.docsTok).
     val sig = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh"))
       .select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(K)).as("sig"))
     val bandKeys = (0 until Bands).map { m =>
@@ -100,7 +103,8 @@ object DedupQueries {
     // No short-doc filter: docs without shingles are never candidates
     // (sentinel band keys in lshBands), so the join drops them.
     val sh = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), T.shingles(toks, ShingleN).as("sh"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashPairs(s, dir)
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))

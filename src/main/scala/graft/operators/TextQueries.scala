@@ -27,26 +27,34 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.documents(s, dir))
 
+  /** Documents with tokens STAGED as a column: downstream expressions
+    * reference tokens 3-4×, and interpreted higher-order eval re-runs
+    * the regex split per reference — staging makes it once per row
+    * (CollapseProject keeps its hands off: non-cheap, multi-referenced).
+    */
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"), toks.as("toks"))
+
   private val toks: Column = T.tokens(col("text"))
   private val oToks: String = O.tokens("text")
 
   // ---- Token / char counting ----
   def stats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsTok(s, dir).select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct_tokens"),
       length(col("text")).as("len_chars"),
-      (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+      (aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double") / size(col("toks")))
         .as("avg_token_len"))
 
   // ---- Quality scoring: stopword/alpha ratios + fixed-order score ----
   def quality(s: SparkSession, dir: String): DataFrame = {
     val en = T.LangProfiles.head._2
-    val stopR = T.wordSetRatio(toks, en)
+    val stopR = T.wordSetRatio(col("toks"), en)
     val alphaR = T.charClassRatio(col("text"), "[a-z ]")
-    val lenCap = least(lit(1.0), size(toks).cast("double") / 100.0)
-    docs(s, dir).select(
+    val lenCap = least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+    docsTok(s, dir).select(
       col("doc_id"),
       round(stopR, 6).as("stopword_ratio"),
       round(alphaR, 6).as("alpha_ratio"),
@@ -55,16 +63,16 @@ object TextQueries {
 
   // ---- Heuristic language ID ----
   def langid(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), T.langId(toks).as("lang_pred"))
+    docsTok(s, dir).select(col("doc_id"), T.langId(col("toks")).as("lang_pred"))
 
   // ---- Positional document fingerprint ----
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), T.fingerprint(toks).as("fp"))
+    docsTok(s, dir).select(col("doc_id"), T.fingerprint(col("toks")).as("fp"))
 
   // ---- Corpus token frequency: explode → agg → top-k ----
   def tokenFreq(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(explode(toks).as("token"))
+    docsTok(s, dir)
+      .select(explode(col("toks")).as("token"))
       .groupBy("token")
       .agg(count("*").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
