@@ -45,6 +45,16 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(lit(Array.empty[String]))
   }
 
+  /** Distinct character n-grams — the other classic near-dup unit
+    * (robust to tokenization differences; catches partial overlap word
+    * shingles miss). Empty when the text is shorter than n.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val grams = array_distinct(
+      transform(sequence(lit(0), length(text) - n), i => text.substr(i + lit(1), lit(n))))
+    when(length(text) >= n, grams).otherwise(lit(Array.empty[String]))
+  }
+
   /** Base hashes of a shingle array, reduced mod p: computed ONCE per
     * row so the k permutations below reuse them instead of re-running
     * md5 k× per shingle.

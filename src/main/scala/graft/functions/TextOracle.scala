@@ -26,6 +26,9 @@ object TextOracle {
     s"list_distinct(list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), i -> concat_ws(' ', $parts)))"
   }
 
+  def charShingles(text: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(length($text) - ${n - 1}, 0) + 1), i -> substr($text, i, $n)))"
+
   def shingleHashes(sh: String, p: Long = TextFunctions.MinhashPrime): String =
     s"list_transform($sh, s -> ${tokenHash("s", 10)} % $p)"
 

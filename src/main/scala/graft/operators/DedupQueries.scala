@@ -64,12 +64,18 @@ object DedupQueries {
     *     all heavy work in the parallel projection (and a unique key can
     *     never pair).
     */
-  private def lshBands(s: SparkSession, dir: String): DataFrame = {
-    // tokens staged first: shingles() references the token array 3× and
-    // interpreted eval would re-split per reference (TextQueries.docsTok).
-    val sig = Tables.spread(s, Tables.documents(s, dir))
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    lshBandsOver(Tables.spread(s, Tables.documents(s, dir))
+      // tokens staged first: shingles() references the token array 3× and
+      // interpreted eval would re-split per reference (TextQueries.docsTok).
       .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh"))
+      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh")))
+
+  /** The LSH pipeline over ANY (doc_id, sh: array<string>) input —
+    * word shingles, char n-grams, or any other near-dup unit.
+    */
+  private def lshBandsOver(shingled: DataFrame): DataFrame = {
+    val sig = shingled
       .select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(K)).as("sig"))
     val bandKeys = (0 until Bands).map { m =>
@@ -89,14 +95,23 @@ object DedupQueries {
   // shuffle exchanges and ReuseExchange computes the signature pipeline
   // once (a broadcast build side would have a different exchange and
   // re-run the whole minhash stage for it).
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = lshBands(s, dir)
+  private def bandPairs(b: DataFrame): DataFrame =
     b.as("a").join(b.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    bandPairs(lshBands(s, dir))
+
+  // ---- Char 5-gram LSH: tokenization-independent near-dup pairs ----
+  def chargramPairs(s: SparkSession, dir: String): DataFrame =
+    bandPairs(lshBandsOver(
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), T.charShingles(col("text"), CharGramN).as("sh"))))
+
+  val CharGramN = 5
 
   // ---- Exact n-gram Jaccard, verified only on LSH candidates ----
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -129,28 +144,35 @@ object DedupQueries {
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_chargram_pairs" -> (chargramPairs _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_simhash_groups" -> (simhashGroups _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
   // → exploded bands, mirroring lshBands exactly.
-  private val oBandCte: String = {
+  /** Band CTE over any `sh`-producing CTE chain (mirror of lshBandsOver). */
+  private def oBandCteFor(shCtes: String): String = {
     val bandKeys = (0 until Bands).map { m =>
       val cw = (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
       s"(CASE WHEN sig[1] IS NULL THEN 'solo-' || doc_id ELSE $cw END)"
     }.mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
-       |sh AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t),
+    s"""WITH $shCtes,
        |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
        |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
        |bands AS (SELECT doc_id, u.band - 1 AS band, ($bandKeys)[u.band] AS key
        |          FROM sig, unnest(range(1, ${Bands + 1})) AS u(band))""".stripMargin.replace("\n", " ")
   }
 
-  private val oPairs: String =
-    s"""$oBandCte SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  private def oPairsFor(shCtes: String): String =
+    s"""${oBandCteFor(shCtes)} SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin.replace("\n", " ")
+
+  private val oWordShCtes: String =
+    s"""t AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t)""".stripMargin.replace("\n", " ")
+
+  private val oPairs: String = oPairsFor(oWordShCtes)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -159,6 +181,8 @@ object DedupQueries {
       (s"SELECT md5(array_to_string(list_sort(list_distinct($oToks)), ' ')) AS norm_hash, " +
        "COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1 HAVING COUNT(*) > 1"),
     "dedup_minhash_pairs" -> oPairs,
+    "dedup_chargram_pairs" -> oPairsFor(
+      s"sh AS (SELECT doc_id, ${O.charShingles("text", CharGramN)} AS sh FROM documents)"),
     "dedup_jaccard_pairs" ->
       (s"""WITH cand AS ($oPairs),
           |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),

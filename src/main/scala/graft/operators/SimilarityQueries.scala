@@ -108,6 +108,47 @@ object SimilarityQueries {
       .toDF("vec_a", "vec_b", "cos")
   }
 
+  // ---- IVF-style ANN: coarse-quantizer cells + single-cell probe ----
+  // Cells are defined by `NCells` seed vectors (vec_ids 1..NCells) used
+  // as centroids — a deterministic stand-in for a trained k-means
+  // codebook (the assignment and probe mechanics, which are what scale,
+  // are identical; training would only change the centroid values).
+  // Assignment: argmax over centroids of round(cos, 6), ties to the
+  // lowest centroid id — deterministic on both engines. At 100 TB the
+  // corpus is written partitioned by cell, so a probe is partition
+  // pruning; nprobe>1 = also scan neighboring cells for recall.
+  val NCells = 8
+
+  private def cells(s: SparkSession, dir: String): DataFrame = {
+    val cents = embs(s, dir)
+      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    embs(s, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(call_function("graft_cosine", col("v"), col("cv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+  }
+
+  def ivfCells(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir).groupBy("cell").agg(count("*").as("n_vecs"))
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = cells(s, dir)
+    val qcell = c.filter(col("vec_id") === QueryVecId)
+      .select(col("cell").as("qcell"), col("v").as("qv"))
+    c.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(qcell))
+      .filter(col("cell") === col("qcell"))
+      .select(col("vec_id"), round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- Per-dimension corpus stats by label (exact: min/max only) ----
   def dimStats(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
@@ -120,11 +161,20 @@ object SimilarityQueries {
     "sim_ann_lsh" -> (annLsh _),
     "sim_pairs_threshold" -> (pairsThreshold _),
     "sim_dim_stats" -> (dimStats _),
+    "sim_ivf_cells" -> (ivfCells _),
+    "sim_ann_ivf" -> (annIvf _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
   private val oQ = s"SELECT v AS qv FROM e WHERE vec_id = $QueryVecId"
   private val oCos = VO.cosine("v", "qv")
+
+  private val oCells: String =
+    s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $NCells),
+       |scored AS (SELECT e.vec_id, e.v, c.cid, round(${VO.cosine("e.v", "c.cv")}, 6) AS ccos FROM e, cents c),
+       |cells AS (SELECT vec_id, v, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored)
+       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
     "sim_topk_cosine" ->
@@ -141,6 +191,14 @@ object SimilarityQueries {
        s"SELECT vec_a, vec_b, cos FROM (" +
        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
        s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"),
+    "sim_ivf_cells" ->
+      (s"WITH e AS ($oE), $oCells " +
+       "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
+    "sim_ann_ivf" ->
+      (s"WITH e AS ($oE), $oCells, " +
+       s"q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = $QueryVecId) " +
+       s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
+       s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"),
     "sim_dim_stats" ->
       (s"WITH e AS ($oE) " +
        "SELECT label, dim - 1 AS dim, min(x) AS min_x, max(x) AS max_x FROM (" +
