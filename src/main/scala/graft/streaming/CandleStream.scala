@@ -1,7 +1,16 @@
 package graft.streaming
 
+import java.sql.Date
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mutable per-day running aggregate carried by [[CandleStream.runningDayStats]]. */
+case class DayRunning(max_volume: Double, total_trades: Long, n_candles: Long)
+
+case class DayRow(period_date: Date, max_volume: Double,
+                  total_trades: Long, n_candles: Long)
 
 /** Streaming-native variant of the reference's temporal semantics
   * (SURVEY §2.9): the scheduler-driven micro-batches (cron 5-min ingest
@@ -40,6 +49,39 @@ object CandleStream {
       .select(col("day.start").as("period_date"), col("volume_traded"),
         col("lowest_price"), col("highest_price"), col("total_trades"),
         col("n_candles"))
+
+  /** Custom streaming state (SURVEY §2.9 beyond tumbling windows):
+    * per-day RUNNING dashboard stats via `mapGroupsWithState` — emits
+    * the updated row on every micro-batch (OutputMode.Update), unlike
+    * the windowed aggregate that emits once on watermark close. This is
+    * the arbitrary-state API a pipeline reaches for when built-in
+    * windows can't express the update semantics; state here is O(1) per
+    * open day. Timeout deliberately NoTimeout for test determinism — a
+    * production run would set EventTimeTimeout to expire closed days.
+    */
+  def runningDayStats(candles: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles
+      .select(to_date(col("time_period_start")).as("day"),
+        col("volume_traded"), col("trades_count"))
+      .as[(Date, Double, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DayRunning, DayRow](GroupStateTimeout.NoTimeout) {
+        case (day, rows, state: GroupState[DayRunning]) =>
+          val prev = state.getOption.getOrElse(DayRunning(Double.MinValue, 0L, 0L))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            DayRunning(math.max(acc.max_volume, r._2),
+              acc.total_trades + r._3, acc.n_candles + 1)
+          }
+          state.update(next)
+          DayRow(day, next.max_volume, next.total_trades, next.n_candles)
+      }
+      .toDF()
+  }
+
+  /** The output mode [[runningDayStats]] requires. */
+  val RunningOutputMode: OutputMode = OutputMode.Update()
 
   /** A6 as a stream: 5-minute resample of close prices (the dashboard
     * line chart fed incrementally).

@@ -56,6 +56,29 @@ class CandleStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running stats update across micro-batches") {
+    val in = MemoryStream[TestCandle](spark)
+    val q = CandleStream.runningDayStats(in.toDF()).writeStream
+      .format("memory").queryName("running_out")
+      .outputMode(CandleStream.RunningOutputMode).start()
+    try {
+      in.addData(candle("2023-04-26 04:30:00", vol = 1.5))
+      q.processAllAvailable()
+      in.addData(candle("2023-04-26 09:00:00", vol = 4.5),
+        candle("2023-04-27 01:00:00", vol = 2.0))
+      q.processAllAvailable()
+      // memory sink in Update mode appends updated rows; the LAST row
+      // per day carries the running totals
+      val last = spark.table("running_out").collect()
+        .groupBy(_.getDate(0).toString)
+        .map { case (d, rows) => d -> rows.maxBy(_.getLong(3)) }
+      assert(last("2023-04-26").getDouble(1) == 4.5) // running max volume
+      assert(last("2023-04-26").getLong(2) == 6L) // 2 candles × 3 trades
+      assert(last("2023-04-26").getLong(3) == 2L)
+      assert(last("2023-04-27").getLong(3) == 1L)
+    } finally q.stop()
+  }
+
   test("5-minute resample buckets by candle start") {
     val in = MemoryStream[TestCandle](spark)
     val q = CandleStream.resample5Min(in.toDF(), delay = "10 minutes").writeStream
