@@ -78,7 +78,26 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  // ---- Cleaning + masking: the normalize stage of a training pipeline ----
+  // Whitespace collapse, control-char strip, lowercase, and pattern
+  // masking (email-shaped + long digit runs → sentinels). All single
+  // regexp passes — codegen'd, order written identically in the oracle.
+  def clean(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      lower(regexp_replace(regexp_replace(col("text"),
+        "[\\x00-\\x1f]", " "), "\\s+", " ")).as("clean_text"))
+
+  def mask(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>").as("masked_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_clean" -> (clean _),
+    "text_mask" -> (mask _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_langid" -> (langid _),
@@ -87,6 +106,13 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_clean" ->
+      ("SELECT doc_id, lower(regexp_replace(regexp_replace(text, " +
+       "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text FROM documents"),
+    "text_mask" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(text, " +
+       "'[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') " +
+       "AS masked_text FROM documents"),
     "text_stats" ->
       (s"SELECT doc_id, len($oToks) AS n_tokens, " +
        s"len(list_distinct($oToks)) AS n_distinct_tokens, " +
