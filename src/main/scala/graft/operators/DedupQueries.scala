@@ -132,6 +132,42 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
+  // ---- Duplicate clusters: connected components over the pair graph ----
+  // Pairs alone don't dedup a corpus — transitive near-dups (A~B, B~C)
+  // must collapse into one cluster with one kept representative. This is
+  // label propagation to a fixpoint: every node takes the min doc_id
+  // reachable through candidate edges. Each iteration is one equi-join +
+  // min-aggregate (both shuffle on doc_id); iterations needed = graph
+  // diameter, which for near-dup clusters is tiny (they are
+  // quasi-cliques — LSH links most pairs directly). The driver-side loop
+  // checks a scalar count per iteration (no data collected) — the
+  // standard Spark iterative-graph shape (Pregel-style, GraphFrames'
+  // connectedComponents does the same with fancier optimizations).
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val next = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels.select(col("node"), col("label")))
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.documents(s, dir))
@@ -145,18 +181,22 @@ object DedupQueries {
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_chargram_pairs" -> (chargramPairs _),
+    "dedup_clusters" -> (clusters _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_simhash_groups" -> (simhashGroups _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
   // → exploded bands, mirroring lshBands exactly.
+  /** DuckDB array literal of the four band-key expressions. */
+  private val oBandKeysArr: String = (0 until Bands).map { m =>
+    val cw = (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
+    s"(CASE WHEN sig[1] IS NULL THEN 'solo-' || doc_id ELSE $cw END)"
+  }.mkString("[", ", ", "]")
+
   /** Band CTE over any `sh`-producing CTE chain (mirror of lshBandsOver). */
   private def oBandCteFor(shCtes: String): String = {
-    val bandKeys = (0 until Bands).map { m =>
-      val cw = (0 until Rows).map(r => s"sig[${m * Rows + r + 1}]").mkString("concat_ws('-', ", ", ", ")")
-      s"(CASE WHEN sig[1] IS NULL THEN 'solo-' || doc_id ELSE $cw END)"
-    }.mkString("[", ", ", "]")
+    val bandKeys = oBandKeysArr
     s"""WITH $shCtes,
        |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
        |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
@@ -183,6 +223,20 @@ object DedupQueries {
     "dedup_minhash_pairs" -> oPairs,
     "dedup_chargram_pairs" -> oPairsFor(
       s"sh AS (SELECT doc_id, ${O.charShingles("text", CharGramN)} AS sh FROM documents)"),
+    // connected components as a recursive transitive closure + min
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE ${oWordShCtes},
+          |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
+          |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
+          |bands AS (SELECT doc_id, u.band - 1 AS band, ($oBandKeysArr)[u.band] AS key
+          |          FROM sig, unnest(range(1, ${Bands + 1})) AS u(band)),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
+          |          UNION ALL SELECT doc_b, doc_a FROM cand),
+          |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+          |          UNION SELECT reach.node, e.t FROM reach JOIN edges e ON reach.r = e.s)
+          |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin.replace("\n", " ")),
     "dedup_jaccard_pairs" ->
       (s"""WITH cand AS ($oPairs),
           |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
