@@ -76,6 +76,28 @@ object RelationalQueries {
       .agg(count(o("o_orderkey")).as("n_orders"))
   }
 
+  // ---- Full outer join: null-extending both sides ----
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), lit(1).as("has_cust"))
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count("*").as("n_orders"))
+    c.join(o.hint("merge"), c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        coalesce(col("has_cust"), lit(0)).as("has_cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  // ---- Deterministic hash sampling (the engine's reproducible sample:
+  //      rand()-based sampling can never oracle-match; an md5-prefix
+  //      bucket filter is exact on both engines and stable across runs
+  //      and partitionings — the right way to sample training data) ----
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(pmod(conv(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 10), 16, 10).cast("long"), lit(10)) === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+
   // ---- UNION ALL across heterogenous sources ----
   def unionAll(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -194,6 +216,8 @@ object RelationalQueries {
     "rel_join_semi" -> (joinSemi _),
     "rel_join_anti" -> (joinAnti _),
     "rel_join_left_count" -> (joinLeftCount _),
+    "rel_join_full" -> (joinFull _),
+    "rel_hash_sample" -> (hashSample _),
     "rel_union_all" -> (unionAll _),
     "rel_distinct_agg" -> (distinctAgg _),
     "rel_window_rank" -> (windowRank _),
@@ -229,6 +253,15 @@ object RelationalQueries {
     "rel_join_left_count" ->
       ("SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c " +
        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY 1"),
+    "rel_join_full" ->
+      ("SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, " +
+       "COALESCE(has_cust, 0) AS has_cust, COALESCE(n_orders, 0) AS n_orders " +
+       "FROM (SELECT c_custkey, 1 AS has_cust FROM customer) c " +
+       "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o " +
+       "ON c.c_custkey = o.o_custkey"),
+    "rel_hash_sample" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+       "WHERE (('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 10))::BIGINT % 10) = 0"),
     "rel_union_all" ->
       ("SELECT c_custkey AS key, 'customer' AS src FROM customer " +
        "UNION ALL SELECT s_suppkey AS key, 'supplier' AS src FROM supplier"),

@@ -61,6 +61,12 @@ object SqlQueries {
     "sql_having" -> q(
       s"""SELECT o_custkey, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
          |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3""".stripMargin),
+    "sql_grouping_sets" -> q(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+    "sql_cube" -> q(
+      s"""SELECT l_returnflag, l_linestatus, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
     // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: sorted values, pos=(n-1)p, linear interpolation)
     "sql_percentile" -> q(
@@ -106,6 +112,12 @@ object SqlQueries {
     "sql_having" ->
       (s"SELECT o_custkey, COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total " +
        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3"),
+    "sql_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+    "sql_cube" ->
+      (s"SELECT l_returnflag, l_linestatus, ${sqlSum("l_quantity")} AS sum_qty " +
+       "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
     "sql_percentile" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, " +
        "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty " +
