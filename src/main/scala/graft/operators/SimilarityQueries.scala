@@ -149,6 +149,19 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Int8 quantization: the storage-side companion of ANN (4×
+  //      smaller vectors; symmetric per-vector max-abs scaling). Exact
+  //      integer outputs → oracle-matched bit-for-bit. ----
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("vec_id"), V.vecD(col("v")).as("vd"))
+      .select(col("vec_id"), array_max(transform(col("vd"), x => abs(x))).as("maxabs"), col("vd"))
+      // serialized to a CSV string: scalar outputs sort/hash uniformly in
+      // any comparator, array cells don't
+      .select(col("vec_id"), round(col("maxabs"), 6).as("scale"),
+        concat_ws(",",
+          transform(col("vd"), x => round(x / col("maxabs") * 127).cast("int"))).as("q"))
+
   // ---- Per-dimension corpus stats by label (exact: min/max only) ----
   def dimStats(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
@@ -163,6 +176,7 @@ object SimilarityQueries {
     "sim_dim_stats" -> (dimStats _),
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_quantize_int8" -> (quantizeInt8 _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -199,6 +213,11 @@ object SimilarityQueries {
        s"q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = $QueryVecId) " +
        s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
        s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"),
+    "sim_quantize_int8" ->
+      (s"WITH e AS ($oE), m AS (SELECT vec_id, v, " +
+       "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) " +
+       "SELECT vec_id, round(maxabs, 6) AS scale, " +
+       "array_to_string(list_transform(v, x -> CAST(round(x / maxabs * 127, 0) AS INTEGER)), ',') AS q FROM m"),
     "sim_dim_stats" ->
       (s"WITH e AS ($oE) " +
        "SELECT label, dim - 1 AS dim, min(x) AS min_x, max(x) AS max_x FROM (" +

@@ -95,7 +95,21 @@ object TextQueries {
         regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
         "[0-9]{6,}", "<NUM>").as("masked_text"))
 
+  // ---- OOV rate: per-doc fraction of tokens outside the corpus top-100
+  //      vocabulary — a two-level query (derived vocab broadcast back
+  //      against the corpus), the shape of any coverage/contamination
+  //      check over training data. ----
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = tokenFreq(s, dir).select(col("token"))
+    val tok = docsTok(s, dir).select(col("doc_id"), explode(col("toks")).as("token"))
+    tok.join(broadcast(vocab).withColumn("in_vocab", lit(1)), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg((count(when(col("in_vocab").isNull, 1)).cast("double") / count("*")).as("oov_rate"))
+      .select(col("doc_id"), round(col("oov_rate"), 6).as("oov_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
     "text_mask" -> (mask _),
     "text_stats" -> (stats _),
@@ -106,6 +120,13 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_oov_rate" ->
+      (s"""WITH vocab AS (SELECT token FROM (
+          |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)
+          |  GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100)),
+          |tok AS (SELECT doc_id, unnest($oToks) AS token FROM documents)
+          |SELECT doc_id, round(COUNT(CASE WHEN v.token IS NULL THEN 1 END)::DOUBLE / COUNT(*), 6) AS oov_rate
+          |FROM tok LEFT JOIN vocab v ON tok.token = v.token GROUP BY 1""".stripMargin.replace("\n", " ")),
     "text_clean" ->
       ("SELECT doc_id, lower(regexp_replace(regexp_replace(text, " +
        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text FROM documents"),
