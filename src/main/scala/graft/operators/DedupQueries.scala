@@ -144,14 +144,20 @@ object DedupQueries {
   // standard Spark iterative-graph shape (Pregel-style, GraphFrames'
   // connectedComponents does the same with fancier optimizations).
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iteration state goes through EAGER localCheckpoint, not persist():
+    // it truncates the lineage (iteration k's plan would otherwise nest
+    // all k-1 predecessors) and sidesteps CacheManager's canonical-plan
+    // aliasing across repeated invocations, which made the loop's cost
+    // wildly non-deterministic. On a cluster with HA requirements this
+    // would be reliable checkpointing to the DFS instead.
+    val edges = minhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(minhashPairs(s, dir)
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -159,7 +165,7 @@ object DedupQueries {
         .select(col("dst").as("node"), col("label"))
         .union(labels.select(col("node"), col("label")))
         .groupBy("node").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next

@@ -132,6 +132,9 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      // the probe reads this twice (query's cell + candidate list); the
+      // persisted assignment is the IVF index a real system materializes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def ivfCells(s: SparkSession, dir: String): DataFrame =
