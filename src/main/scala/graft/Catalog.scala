@@ -7,8 +7,18 @@ import org.apache.spark.sql.SparkSession
   * API. Idempotent; views are session-scoped metadata (no data copied).
   */
 object Catalog {
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    Tables.names.foreach { t =>
-      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+  // session+dir guard: registration is idempotent but each call re-opens
+  // ten parquet footers; query functions call this per invocation, so
+  // without the guard a bench pass pays hundreds of redundant loads
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    if (registered.add(key)) {
+      Tables.names.foreach { t =>
+        Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+      }
     }
+  }
 }

@@ -18,12 +18,15 @@ object Demo {
 
     // -- entry point A: three 5-minute ingest ticks (dags/airflow_dags.py:82-177)
     def payload(start: String, o: Double, h: Double, l: Double, c: Double,
-                vol: Double, n: Int) =
+                vol: Double, n: Int) = {
+      val end = java.time.LocalDateTime.parse(start).plusMinutes(5)
+        .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
       s"""[{"time_period_start": "${start}.0000000Z",
-         |"time_period_end": "${start.take(14)}35:00.0000000Z",
+         |"time_period_end": "${end}.0000000Z",
          |"time_open": "${start}.8120000Z", "time_close": "${start}.9990000Z",
          |"price_open": $o, "price_high": $h, "price_low": $l, "price_close": $c,
          |"volume_traded": $vol, "trades_count": $n}]""".stripMargin
+    }
     Pipeline.ingestTick(spark, root, "Bitcoin",
       Seq(payload("2023-04-26T04:30:00", 28370.4, 28379.2, 28360.0, 28360.8, 0.615, 14)))
     Pipeline.ingestTick(spark, root, "Bitcoin",

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(sh, Literal(k: Int, _)) =>
           MinHashSig(sh, k, prime = graft.functions.TextFunctions.MinhashPrime)
         case Seq(sh, Literal(k: Int, _), Literal(p: Long, _)) => MinHashSig(sh, k, p)
+        // SQL integer literals in int range parse as Int, not Long
+        case Seq(sh, Literal(k: Int, _), Literal(p: Int, _)) => MinHashSig(sh, k, p.toLong)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingles array<string>[, k int[, prime bigint]])")
       }))

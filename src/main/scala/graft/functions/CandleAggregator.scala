@@ -34,12 +34,22 @@ object CandleAggregator extends Aggregator[CandleIn, CandleBuf, CandleOut] {
     CandleBuf(Long.MaxValue, 0, Long.MinValue, 0,
       Int.MinValue, Int.MaxValue, 0.0, 0L)
 
+  // Tie-break on equal timestamps by price value (min for open, max for
+  // close): arbitrary but DETERMINISTIC — Spark merges partial buffers
+  // in nondeterministic partition order, and the reference's T3
+  // duplicate candles share start timestamps, so "whichever buffer came
+  // first" would flip open/close between runs.
+  private def pickFirst(tA: Long, pA: Int, tB: Long, pB: Int): Int =
+    if (tA < tB || (tA == tB && pA <= pB)) pA else pB
+  private def pickLast(tA: Long, pA: Int, tB: Long, pB: Int): Int =
+    if (tA > tB || (tA == tB && pA >= pB)) pA else pB
+
   override def reduce(b: CandleBuf, c: CandleIn): CandleBuf =
     CandleBuf(
       first_us = math.min(b.first_us, c.start_us),
-      open = if (c.start_us < b.first_us) c.price_open else b.open,
+      open = pickFirst(b.first_us, b.open, c.start_us, c.price_open),
       last_us = math.max(b.last_us, c.start_us),
-      close = if (c.start_us > b.last_us) c.price_close else b.close,
+      close = pickLast(b.last_us, b.close, c.start_us, c.price_close),
       high = math.max(b.high, c.price_high),
       low = math.min(b.low, c.price_low),
       volume = b.volume + c.volume_traded,
@@ -48,9 +58,9 @@ object CandleAggregator extends Aggregator[CandleIn, CandleBuf, CandleOut] {
   override def merge(a: CandleBuf, b: CandleBuf): CandleBuf =
     CandleBuf(
       first_us = math.min(a.first_us, b.first_us),
-      open = if (a.first_us <= b.first_us) a.open else b.open,
+      open = pickFirst(a.first_us, a.open, b.first_us, b.open),
       last_us = math.max(a.last_us, b.last_us),
-      close = if (a.last_us >= b.last_us) a.close else b.close,
+      close = pickLast(a.last_us, a.close, b.last_us, b.close),
       high = math.max(a.high, b.high),
       low = math.min(a.low, b.low),
       volume = a.volume + b.volume,

@@ -48,7 +48,11 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (la, ra) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (lt, rt) = (elemType(left).get, elemType(right).get)
-    val n = math.min(la.numElements(), ra.numElements())
+    // dimension mismatch → NULL, matching the declarative zip_with fold
+    // (null-padded product nulls the whole sum) instead of silently
+    // scoring a truncated dot product
+    if (la.numElements() != ra.numElements()) return null
+    val n = la.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -71,14 +75,18 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = (double) $a.$getA($i);
-         |  final double $y = (double) $b.$getB($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = (double) $a.$getA($i);
+         |    final double $y = (double) $b.$getB($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -150,17 +150,20 @@ object DedupQueries {
     // aliasing across repeated invocations, which made the loop's cost
     // wildly non-deterministic. On a cluster with HA requirements this
     // would be reliable checkpointing to the DFS instead.
-    val edges = minhashPairs(s, dir)
+    // checkpoint the pairs BEFORE the symmetric union: the band
+    // self-join + distinct subtree would otherwise execute twice
+    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(minhashPairs(s, dir)
-        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val MaxIters = 50
+    while (changed > 0 && iter < MaxIters) {
       val next = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
         .union(labels.select(col("node"), col("label")))
@@ -171,6 +174,10 @@ object DedupQueries {
       labels = next
       iter += 1
     }
+    // fail LOUDLY rather than return silently-unconverged labels (a
+    // >50-hop duplicate chain would split one cluster into several)
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $MaxIters iterations ($changed labels still changing)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

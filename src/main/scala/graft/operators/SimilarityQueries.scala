@@ -29,13 +29,9 @@ object SimilarityQueries {
   val BucketBits = 8
   val PairThreshold = 0.4
 
-  /** Embedding dimensionality of the testdata corpus. Known statically →
-    * the dot product unrolls into codegen'd scalar arithmetic (dotN).
-    */
-  val Dim = 64
-
-  // v stays the RAW array<float>; dotN/l2N cast per element (see
-  // VectorFunctions.dotN scaladoc for why not an array-level cast).
+  // v stays the RAW array<float>; graft_cosine (native CosineSim loop)
+  // casts per element, so no array-level cast alias exists for
+  // CollapseProject to re-inline (VectorFunctions.dotN scaladoc).
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"), col("label"))

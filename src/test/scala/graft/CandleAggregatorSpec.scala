@@ -32,6 +32,20 @@ class CandleAggregatorSpec extends SparkSpec {
     assert(results.distinct.size == 1, results.toString)
   }
 
+  test("duplicate-timestamp candles resolve deterministically across partitionings") {
+    // the reference's T3 re-fetch duplicates: same start, revised close
+    val dups = candles ++ Seq(CandleIn(100, 11, 15, 9, 13, 1.0, 5),
+      CandleIn(300, 20, 25, 19, 22, 2.0, 10))
+    val results = Seq(1, 2, 5).map { p =>
+      spark.createDataset(dups).repartition(p)
+        .groupByKey(_ => 1).agg(CandleAggregator.toColumn)
+        .collect().head._2
+    }
+    assert(results.distinct.size == 1, results.toString)
+    assert(results.head.open == 10) // min price among t=100 opens
+    assert(results.head.close == 22) // max price among t=300 closes
+  }
+
   test("merge with zero buffer is the identity") {
     val b = candles.foldLeft(CandleAggregator.zero)(CandleAggregator.reduce)
     assert(CandleAggregator.merge(b, CandleAggregator.zero) == b ||

@@ -53,6 +53,18 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_cosine returns NULL on dimension mismatch (declarative parity)") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS c").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_minhash accepts an int-range prime literal from SQL") {
+    val r = spark.sql("SELECT graft_minhash(array('a b c'), 4, 97) AS m")
+      .collect().head
+    assert(r.getSeq[Long](0).forall(v => v >= 0 && v < 97))
+  }
+
   test("native functions are callable from spark.sql") {
     val v = spark.sql(
       "SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c, " +
