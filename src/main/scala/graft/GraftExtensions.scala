@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CosineSim, MinHashSig}
+import graft.functions.expressions.{CharShingles, CosineSim, MinHashSig, WordShingles}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so they are callable from both
@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(sh, Literal(k: Int, _), Literal(p: Int, _)) => MinHashSig(sh, k, p.toLong)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingles array<string>[, k int[, prime bigint]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, Literal(n: Int, _)) => WordShingles(toks, n)
+        case _ => throw new IllegalArgumentException("graft_shingles(tokens array<string>, n int)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_shingles"),
+      new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, _)) => CharShingles(text, n)
+        case _ => throw new IllegalArgumentException("graft_char_shingles(text string, n int)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

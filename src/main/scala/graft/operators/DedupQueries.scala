@@ -66,10 +66,8 @@ object DedupQueries {
     */
   private def lshBands(s: SparkSession, dir: String): DataFrame =
     lshBandsOver(Tables.spread(s, Tables.documents(s, dir))
-      // tokens staged first: shingles() references the token array 3× and
-      // interpreted eval would re-split per reference (TextQueries.docsTok).
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh")))
+      .select(col("doc_id"),
+        call_function("graft_shingles", toks, lit(ShingleN)).as("sh")))
 
   /** The LSH pipeline over ANY (doc_id, sh: array<string>) input —
     * word shingles, char n-grams, or any other near-dup unit.
@@ -109,7 +107,8 @@ object DedupQueries {
   def chargramPairs(s: SparkSession, dir: String): DataFrame =
     bandPairs(lshBandsOver(
       Tables.spread(s, Tables.documents(s, dir))
-        .select(col("doc_id"), T.charShingles(col("text"), CharGramN).as("sh"))))
+        .select(col("doc_id"),
+          call_function("graft_char_shingles", col("text"), lit(CharGramN)).as("sh"))))
 
   val CharGramN = 5
 
@@ -118,8 +117,8 @@ object DedupQueries {
     // No short-doc filter: docs without shingles are never candidates
     // (sentinel band keys in lshBands), so the join drops them.
     val sh = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), T.shingles(col("toks"), ShingleN).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_shingles", toks, lit(ShingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashPairs(s, dir)
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))

@@ -53,6 +53,21 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles equals the declarative word shingles on real documents") {
+    val both = Tables.documents(spark, Sf).select(
+      call_function("graft_shingles", T.tokens(col("text")), lit(3)).as("native"),
+      T.shingles(T.tokens(col("text")), 3).as("declarative"))
+    both.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("graft_char_shingles equals the declarative char shingles incl. multibyte") {
+    val docs = Seq("abcdefg", "ab", "héllo wörld").toDF("text")
+    val both = docs.select(
+      call_function("graft_char_shingles", col("text"), lit(5)).as("native"),
+      T.charShingles(col("text"), 5).as("declarative"))
+    both.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("graft_cosine returns NULL on dimension mismatch (declarative parity)") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS c").collect().head
