@@ -56,26 +56,41 @@ object CandleStream {
     * the windowed aggregate that emits once on watermark close. This is
     * the arbitrary-state API a pipeline reaches for when built-in
     * windows can't express the update semantics; state here is O(1) per
-    * open day. Timeout deliberately NoTimeout for test determinism — a
-    * production run would set EventTimeTimeout to expire closed days.
+    * open day, and each day's state EXPIRES once the event-time
+    * watermark passes (day end + `expireAfter`) — without the timeout a
+    * long-running job's state grows one entry per day forever.
     */
-  def runningDayStats(candles: DataFrame): DataFrame = {
+  def runningDayStats(candles: DataFrame, expireAfter: String = "1 day"): DataFrame = {
     val spark = candles.sparkSession
     import spark.implicits._
     candles
-      .select(to_date(col("time_period_start")).as("day"),
+      .withWatermark("time_period_start", "10 minutes")
+      // the watermarked timestamp column must SURVIVE the projection —
+      // deriving day via to_date drops the watermark metadata and the
+      // event-time timeout is rejected at analysis
+      .select(col("time_period_start"),
+        to_date(col("time_period_start")).as("day"),
         col("volume_traded"), col("trades_count"))
-      .as[(Date, Double, Int)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[DayRunning, DayRow](GroupStateTimeout.NoTimeout) {
+      .as[(java.sql.Timestamp, Date, Double, Int)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[DayRunning, DayRow](GroupStateTimeout.EventTimeTimeout) {
         case (day, rows, state: GroupState[DayRunning]) =>
-          val prev = state.getOption.getOrElse(DayRunning(Double.MinValue, 0L, 0L))
-          val next = rows.foldLeft(prev) { (acc, r) =>
-            DayRunning(math.max(acc.max_volume, r._2),
-              acc.total_trades + r._3, acc.n_candles + 1)
+          if (state.hasTimedOut) {
+            // closed day: emit the final row once more and drop the state
+            val last = state.get
+            state.remove()
+            DayRow(day, last.max_volume, last.total_trades, last.n_candles)
+          } else {
+            val prev = state.getOption.getOrElse(DayRunning(Double.MinValue, 0L, 0L))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              DayRunning(math.max(acc.max_volume, r._3),
+                acc.total_trades + r._4, acc.n_candles + 1)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(
+              day.toLocalDate.plusDays(1).toEpochDay * 86400000L, expireAfter)
+            DayRow(day, next.max_volume, next.total_trades, next.n_candles)
           }
-          state.update(next)
-          DayRow(day, next.max_volume, next.total_trades, next.n_candles)
       }
       .toDF()
   }

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventStream
+
+/** Streams-are-incremental-batch: draining the events table through the
+  * file-stream source must reproduce the batch daily counts exactly.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("file-stream daily counts equal the batch aggregate after drain") {
+    // file source wants a directory of files
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val agg = EventStream.countByDay(EventStream.read(spark, dir.toString))
+    val q = agg.writeStream
+      .format("memory").queryName("stream_counts")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_counts").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    val batch = CoreQueriesBatchCounts()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.values.sum == Tables.events(spark, Sf).count())
+  }
+
+  private def CoreQueriesBatchCounts(): Map[String, Long] =
+    graft.operators.CoreQueries.countByDay(spark, Sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+}
