@@ -44,8 +44,13 @@ object Tables {
     * `ts_ns` (exact integers), never raw timestamps.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    deriveTs(load(spark, sfDir, "events"))
+
+  /** The one place the nanos→micros contract lives (batch AND streaming
+    * paths share it — see the events scaladoc above for the rationale).
+    */
+  def deriveTs(raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

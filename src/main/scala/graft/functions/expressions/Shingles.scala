@@ -15,6 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * which runs interpreted — this is the codegen'd single pass). Inputs
   * shorter than n yield an EMPTY array (the declarative guard's
   * behavior), so downstream minhash nulls out exactly as before.
+  *
+  * NULL contract (the one deliberate divergence from the declarative
+  * form): NULL input → NULL output (standard null-intolerant
+  * propagation), where the declarative `when` guard yields an empty
+  * array. Downstream semantics are identical either way — a NULL
+  * signature takes the same per-doc sentinel band key an empty one
+  * does — pinned by ExpressionsSpec.
   */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)

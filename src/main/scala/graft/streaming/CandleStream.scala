@@ -59,12 +59,18 @@ object CandleStream {
     * open day, and each day's state EXPIRES once the event-time
     * watermark passes (day end + `expireAfter`) — without the timeout a
     * long-running job's state grows one entry per day forever.
+    *
+    * Late-data tradeoff of the timeout: the required watermark DROPS
+    * candles more than `delay` late (the NoTimeout formulation accepted
+    * arbitrarily late rows at the cost of unbounded state) — size
+    * `delay` to the source's real lateness.
     */
-  def runningDayStats(candles: DataFrame, expireAfter: String = "1 day"): DataFrame = {
+  def runningDayStats(candles: DataFrame, expireAfter: String = "1 day",
+                      delay: String = "10 minutes"): DataFrame = {
     val spark = candles.sparkSession
     import spark.implicits._
     candles
-      .withWatermark("time_period_start", "10 minutes")
+      .withWatermark("time_period_start", delay)
       // the watermarked timestamp column must SURVIVE the projection —
       // deriving day via to_date drops the watermark metadata and the
       // event-time timeout is rejected at analysis

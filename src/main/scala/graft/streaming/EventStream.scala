@@ -30,12 +30,11 @@ object EventStream {
     StructField("props", StringType)))
 
   def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.Tables.deriveTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
 
   /** The A4 daily count as a watermarked streaming aggregate. */
   def countByDay(events: DataFrame, delay: String = "1 hour"): DataFrame =

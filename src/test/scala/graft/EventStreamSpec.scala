@@ -23,10 +23,12 @@ class EventStreamSpec extends SparkSpec {
       .outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-
-    val streamed = spark.table("stream_counts").collect()
-      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val streamed =
+      try {
+        assert(q.awaitTermination(120000), "stream did not drain in 120s")
+        spark.table("stream_counts").collect()
+          .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      } finally q.stop()
 
     val batch = CoreQueriesBatchCounts()
     assert(streamed == batch, s"stream $streamed vs batch $batch")

@@ -68,6 +68,14 @@ class ExpressionsSpec extends SparkSpec {
     both.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("graft_shingles NULL contract: NULL text → NULL (sentinel-equivalent)") {
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(call_function("graft_shingles", T.tokens(col("text")), lit(3)))
+      .collect().head
+    assert(r.isNullAt(0)) // declarative form yields [], but both feed the
+    // same solo band key downstream (minhash(NULL|empty) → NULL sig)
+  }
+
   test("graft_cosine returns NULL on dimension mismatch (declarative parity)") {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS c").collect().head
