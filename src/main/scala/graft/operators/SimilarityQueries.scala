@@ -148,6 +148,74 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Trained IVF: deterministic k-means (Lloyd) coarse quantizer ----
+  // Exactness design (cross-engine bit-parity despite an iterative
+  // trained model):
+  //   - vectors quantize to integers: floor(v*1e6) — floor is
+  //     unambiguous, and every later sum stays below 2^53 so double
+  //     arithmetic on them is EXACT on both engines;
+  //   - assignment: argmax of round(cos, 6) with lowest-centroid-id
+  //     tie-break (exact integer dot → deterministic cosine);
+  //   - update: centroid[d] = floor(sum(qv[d]) / n) — exact;
+  //   - fixed seeds (vec_ids 1..NCells) + fixed 2 Lloyd iterations.
+  // Centroids are model parameters: 8×64 longs live on the driver
+  // between iterations (the collect is the model, not the data).
+  val KmeansIters = 2
+  val QuantScale = 1000000L
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"),
+      transform(V.vecD(col("v")), x => floor(x * QuantScale).cast("long")).as("qv"))
+
+  /** cos between a quantized vector column and a literal centroid. */
+  private def qCos(qv: org.apache.spark.sql.Column, c: Array[Long]) = {
+    val cl = typedLit(c.toSeq)
+    val dot = aggregate(zip_with(qv, cl, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    val nv = sqrt(aggregate(transform(qv, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    val nc = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+    round(dot / (nv * lit(nc)), 6)
+  }
+
+  /** Assignment column: argmax over centroids, ties to lowest cid. */
+  private def assignExpr(cents: Seq[(Long, Array[Long])]) = {
+    val scored = cents.map { case (cid, c) => (cid, qCos(col("qv"), c)) }
+    scored.zipWithIndex.foldRight(lit(scored.last._1): org.apache.spark.sql.Column) {
+      case (((cid, sc), i), els) =>
+        val later = scored.drop(i + 1).map(_._2)
+        if (later.isEmpty) els
+        else when(later.map(sc >= _).reduce(_ && _), lit(cid)).otherwise(els)
+    }
+  }
+
+  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Array[Long])] = q
+      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    for (_ <- 1 to KmeansIters) {
+      val assigned = q.select(col("vec_id"), col("qv"), assignExpr(cents).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum("x").as("sx"), count("*").as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      cents = sums.groupBy(_._1).map { case (cid, rows) =>
+        val arr = new Array[Long](rows.length)
+        rows.foreach { case (_, dim, sx, n) =>
+          arr(dim) = math.floor(sx.toDouble / n).toLong
+        }
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    q.select(col("vec_id"), assignExpr(cents).as("cell"))
+  }
+
+  def kmeansHistogram(s: SparkSession, dir: String): DataFrame =
+    kmeansCells(s, dir).groupBy("cell").agg(count("*").as("n_vecs"))
+
   // ---- Int8 quantization: the storage-side companion of ANN (4×
   //      smaller vectors; symmetric per-vector max-abs scaling). Exact
   //      integer outputs → oracle-matched bit-for-bit. ----
@@ -176,6 +244,7 @@ object SimilarityQueries {
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_kmeans_cells" -> (kmeansHistogram _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -189,7 +258,37 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored)
        |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
+  /** k-means oracle: the same fixed-iteration Lloyd loop as CTE chains
+    * (assign → per-dim integer centroid update, per iteration).
+    */
+  private val oKmeans: String = {
+    def qdot(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    def score(cv: String) =
+      s"round(${qdot("qv", cv)} / (sqrt(${qdot("qv", "qv")}) * sqrt(${qdot(cv, cv)})), 6)"
+    def assign(si: String, ci: String, ai: String) =
+      s"""$si AS (SELECT q.vec_id, q.qv, c.cid, ${score("c.cv")} AS sc FROM q, $ci c),
+         |$ai AS (SELECT vec_id, qv, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn FROM $si)
+         |  WHERE rn = 1)""".stripMargin
+    def update(ai: String, ui: String, ci: String) =
+      s"""$ui AS (SELECT cell, dim, CAST(floor(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS cx
+         |  FROM (SELECT cell, unnest(qv) AS x, generate_subscripts(qv, 1) AS dim FROM $ai)
+         |  GROUP BY 1, 2),
+         |$ci AS (SELECT cell AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
+    val iters = (1 to KmeansIters).map { i =>
+      assign(s"s$i", s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"u$i", s"c$i")
+    }.mkString(",\n")
+    val fin = KmeansIters + 1
+    s"""WITH e AS ($oE),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $NCells),
+       |$iters,
+       |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}
+       |SELECT cell, COUNT(*) AS n_vecs FROM a$fin GROUP BY 1""".stripMargin.replace("\n", " ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_kmeans_cells" -> oKmeans,
     "sim_topk_cosine" ->
       (s"WITH e AS ($oE), q AS ($oQ) " +
        s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
