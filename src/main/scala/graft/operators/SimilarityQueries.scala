@@ -62,6 +62,25 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopK)
 
+  // ---- Multi-probe ANN: also scan all hamming-1 neighbor buckets ----
+  // The standard recall lever for sign-LSH: a vector whose borderline
+  // dimension flips one bucket bit is still found. Probe set = exact
+  // bucket + the BucketBits single-bit flips; at cluster scale each
+  // probe is one pruned partition, so cost grows linearly with nprobe,
+  // not corpus size.
+  def annLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val b = V.signBucket(col("v"), BucketBits)
+    val qb = V.signBucket(col("qv"), BucketBits)
+    val probes = (b === qb) +: (0 until BucketBits).map(d => b === qb.bitwiseXOR(1L << d))
+    embs(s, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .filter(probes.reduce(_ || _))
+      .select(col("vec_id"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   // ---- Embedding near-dup pairs above a cosine threshold ----
   // The one deliberate mapPartitions kernel in the engine: an exact
   // all-pairs cosine is O(n²) dot products, and expressing it as a
@@ -239,6 +258,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (topkCosine _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "sim_pairs_threshold" -> (pairsThreshold _),
     "sim_dim_stats" -> (dimStats _),
     "sim_ivf_cells" -> (ivfCells _),
@@ -298,6 +318,15 @@ object SimilarityQueries {
        s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
        s"AND ${VO.signBucket("v", BucketBits)} = ${VO.signBucket("qv", BucketBits)} " +
        s"ORDER BY cos DESC, vec_id LIMIT $TopK"),
+    "sim_ann_lsh_multiprobe" -> {
+      val b = VO.signBucket("v", BucketBits)
+      val qb = VO.signBucket("qv", BucketBits)
+      val probes = (s"$b = $qb" +:
+        (0 until BucketBits).map(d => s"$b = xor($qb, ${1L << d})")).mkString("(", " OR ", ")")
+      s"WITH e AS ($oE), q AS ($oQ) " +
+      s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+      s"AND $probes ORDER BY cos DESC, vec_id LIMIT $TopK"
+    },
     "sim_pairs_threshold" ->
       (s"WITH e AS ($oE) " +
        s"SELECT vec_a, vec_b, cos FROM (" +
