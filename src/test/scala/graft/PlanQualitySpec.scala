@@ -55,4 +55,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [band"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
+    val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
+    // the pair condition must be a hash/merge EQUI-join on (bi, bj) —
+    // a BNLJ would evaluate the cosine interpreted per candidate pair,
+    // and a cartesian would mean the block decomposition fell apart
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && (p.contains("bi") && p.contains("bj")), p)
+  }
 }

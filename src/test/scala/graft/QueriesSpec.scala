@@ -58,11 +58,20 @@ class QueriesSpec extends SparkSpec {
 
   test("pairs threshold output respects bound and ordering contract") {
     val rows = SimilarityQueries.pairsThreshold(spark, Sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= SimilarityQueries.PairThreshold)
       assert(r.getDouble(2) <= 1.0)
     }
+  }
+
+  test("block-decomposed pairs join equals the broadcast-kernel cross-check") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val blocked = SimilarityQueries.pairsThreshold(spark, Sf).collect().map(key).toSet
+    val kernel = SimilarityQueries.pairsThresholdBroadcastKernel(spark, Sf).collect().map(key).toSet
+    assert(blocked == kernel,
+      s"only-blocked=${blocked -- kernel}, only-kernel=${kernel -- blocked}")
   }
 
   test("exact dedup groups partition the corpus") {
