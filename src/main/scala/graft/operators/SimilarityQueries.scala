@@ -211,6 +211,40 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- IVF multi-probe: scan the nprobe nearest cells, not just one ----
+  // The IVF recall lever (mirrors annLshMultiProbe for sign-LSH): a
+  // neighbor sitting just across a cell boundary is found by also probing
+  // the cells whose CENTROIDS are next-closest to the query. Probe-cell
+  // choice ranks centroids (NCells rows — the window is over the model,
+  // not the corpus) by cosine to the query; the corpus keeps its rn=1
+  // assignment. Cost grows with nprobe × cell size, not corpus size: at
+  // cluster scale each probed cell is one pruned partition.
+  val NProbeIvf = 3
+
+  def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val cents = embs(s, dir)
+      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qv = embs(s, dir).filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"))
+    // global window over exactly NCells scored centroids — model-sized
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = cents.crossJoin(broadcast(qv))
+      .select(col("cid"),
+        round(call_function("graft_cosine", col("cv"), col("qv")), 6).as("ccos"),
+        col("qv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NProbeIvf)
+      .select(col("cid").as("qcell"), col("qv"))
+    cells(s, dir).filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .select(col("vec_id"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- Trained IVF: deterministic k-means (Lloyd) coarse quantizer ----
   // Exactness design (cross-engine bit-parity despite an iterative
   // trained model):
@@ -252,7 +286,13 @@ object SimilarityQueries {
     }
   }
 
-  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+  /** Runs the Lloyd loop eagerly (the collects are the 8×64-long MODEL,
+    * never the data) and returns (persisted quantized corpus, trained
+    * centroids). Both the histogram and the ANN probe build on this —
+    * training happens once per invocation, at plan-construction time.
+    */
+  private def trainedModel(
+      s: SparkSession, dir: String): (DataFrame, Seq[(Long, Array[Long])]) = {
     val q = quantized(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Long, Array[Long])] = q
@@ -273,11 +313,42 @@ object SimilarityQueries {
         (cid, arr)
       }.toSeq.sortBy(_._1)
     }
+    (q, cents)
+  }
+
+  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
     q.select(col("vec_id"), assignExpr(cents).as("cell"))
   }
 
   def kmeansHistogram(s: SparkSession, dir: String): DataFrame =
     kmeansCells(s, dir).groupBy("cell").agg(count("*").as("n_vecs"))
+
+  // ---- ANN probe over the TRAINED quantizer ----
+  // The round-1 gap: the k-means codebook was trained and verified but
+  // never used for search. This is the full IVF query path — assign the
+  // corpus with the trained centroids, look up the query's cell, scan
+  // only that cell, exact top-k inside it. Assignments join back to the
+  // raw vectors on vec_id (an IVF index stores ids; the oracle does the
+  // same join), and the final cosine runs codegen'd on the raw floats.
+  // At 100 TB the assignment is a write-time partitioning, so the probe
+  // is partition pruning — identical mechanics to annIvf, but with
+  // learned (data-adaptive) cells instead of seed vectors.
+  def annKmeans(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val assigned = q.select(col("vec_id"), assignExpr(cents).as("cell"))
+    val withVec = embs(s, dir).select(col("vec_id"), col("v"))
+      .join(assigned, Seq("vec_id"))
+    val qside = withVec.filter(col("vec_id") === QueryVecId)
+      .select(col("cell").as("qcell"), col("v").as("qv"))
+    withVec.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(qside))
+      .filter(col("cell") === col("qcell"))
+      .select(col("vec_id"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
 
   // ---- Int8 quantization: the storage-side companion of ANN (4×
   //      smaller vectors; symmetric per-vector max-abs scaling). Exact
@@ -307,8 +378,10 @@ object SimilarityQueries {
     "sim_dim_stats" -> (dimStats _),
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_ivf_multiprobe" -> (annIvfMultiProbe _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_cells" -> (kmeansHistogram _),
+    "sim_ann_kmeans" -> (annKmeans _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -324,8 +397,13 @@ object SimilarityQueries {
 
   /** k-means oracle: the same fixed-iteration Lloyd loop as CTE chains
     * (assign → per-dim integer centroid update, per iteration).
+    * `oKmeansChain` is the WITH body up to the FINAL assignment CTE
+    * (named by `oKmeansFin`) so the histogram and the ANN-probe oracles
+    * share one trained model verbatim.
     */
-  private val oKmeans: String = {
+  private val oKmeansFin: String = s"a${KmeansIters + 1}"
+
+  private val oKmeansChain: String = {
     def qdot(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     def score(cv: String) =
       s"round(${qdot("qv", cv)} / (sqrt(${qdot("qv", "qv")}) * sqrt(${qdot(cv, cv)})), 6)"
@@ -343,16 +421,31 @@ object SimilarityQueries {
       assign(s"s$i", s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"u$i", s"c$i")
     }.mkString(",\n")
     val fin = KmeansIters + 1
-    s"""WITH e AS ($oE),
+    s"""e AS ($oE),
        |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $NCells),
        |$iters,
-       |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}
-       |SELECT cell, COUNT(*) AS n_vecs FROM a$fin GROUP BY 1""".stripMargin.replace("\n", " ")
+       |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}""".stripMargin.replace("\n", " ")
   }
+
+  private val oKmeans: String =
+    s"WITH $oKmeansChain SELECT cell, COUNT(*) AS n_vecs FROM $oKmeansFin GROUP BY 1"
+
+  /** ANN probe over the trained quantizer: final assignments joined back
+    * to the raw vectors, query-cell filter, exact top-k inside the cell —
+    * the same join-then-probe shape as the Spark plan.
+    */
+  private val oAnnKmeans: String =
+    s"""WITH $oKmeansChain,
+       |w AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN $oKmeansFin a ON e.vec_id = a.vec_id),
+       |qq AS (SELECT cell AS qcell, v AS qv FROM w WHERE vec_id = $QueryVecId)
+       |SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM w, qq
+       |WHERE vec_id <> $QueryVecId AND cell = qcell
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
     "sim_kmeans_cells" -> oKmeans,
+    "sim_ann_kmeans" -> oAnnKmeans,
     "sim_topk_cosine" ->
       (s"WITH e AS ($oE), q AS ($oQ) " +
        s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
@@ -384,6 +477,14 @@ object SimilarityQueries {
        s"q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = $QueryVecId) " +
        s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
        s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"),
+    "sim_ann_ivf_multiprobe" ->
+      (s"WITH e AS ($oE), $oCells, " +
+       s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
+       s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
+       s"qc AS (SELECT cid AS qcell, qv FROM (" +
+       s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeIvf) " +
+       s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
+       s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"),
     "sim_quantize_int8" ->
       (s"WITH e AS ($oE), m AS (SELECT vec_id, v, " +
        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) " +

@@ -74,6 +74,31 @@ class QueriesSpec extends SparkSpec {
       s"only-blocked=${blocked -- kernel}, only-kernel=${kernel -- blocked}")
   }
 
+  test("ivf multi-probe dominates single-probe rank-for-rank") {
+    // multi-probe scans a SUPERSET of single-probe's candidates (q-cell
+    // plus the next-nearest cells), so its k-th best cosine must be >=
+    // single-probe's k-th best, and every single-probe score must be
+    // matched or beaten at the same rank
+    val single = SimilarityQueries.annIvf(spark, Sf).collect().map(_.getDouble(1))
+    val multi = SimilarityQueries.annIvfMultiProbe(spark, Sf).collect().map(_.getDouble(1))
+    assert(multi.length >= single.length)
+    single.zip(multi).foreach { case (s1, m) => assert(m >= s1, s"rank dominated: $m < $s1") }
+  }
+
+  test("trained-quantizer ANN probes one learned cell with exact scores") {
+    val rows = SimilarityQueries.annKmeans(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val exact = SimilarityQueries.topkCosine(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      // scores agree with the brute-force ranking where ids overlap
+      exact.get(r.getLong(0)).foreach(e => assert(e == r.getDouble(1)))
+      assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+    }
+    val cos = rows.map(_.getDouble(1))
+    assert(cos.sorted.reverse.sameElements(cos), "not sorted desc")
+  }
+
   test("exact dedup groups partition the corpus") {
     val total = Tables.documents(spark, Sf).count()
     val grouped = DedupQueries.exact(spark, Sf)
