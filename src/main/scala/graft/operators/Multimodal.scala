@@ -55,26 +55,36 @@ object Multimodal {
     */
   def fixture(spark: SparkSession, n: Int): Dataset[Media] = {
     import spark.implicits._
-    spark.range(n).map { i =>
-      val id = i
-      val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val bytes = stubPayload(id)
-      Media(id, kind,
-        format = Seq("png", "wav", "mp4")((id % 3).toInt),
-        width = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32,
-        height = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32,
-        sample_rate = if (kind == "audio") 16000 else 0,
-        duration_ms = if (kind == "image") 0L else 1000L + id * 40L,
-        payload = bytes)
-    }
+    spark.range(n).map(i => mediaFor(i))
   }
 
-  // ??? real codec goes here — a seeded byte stream keeps tests exact.
-  private[operators] def stubPayload(id: Long): Array[Byte] = {
-    val r = new scala.util.Random(id)
-    val b = new Array[Byte](256 + (id % 64).toInt)
-    r.nextBytes(b); b
+  /** Oracle-checkable corpus: one Media row per `documents` row, every
+    * field — including the payload BYTES — a pure arithmetic function of
+    * doc_id, so the DuckDB oracle reproduces the identical logical
+    * content in SQL (MultimodalQueries). At deployment the id column
+    * comes from the catalog and the payload from object storage.
+    */
+  def corpus(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long].map(mediaFor _)
   }
+
+  private[graft] def mediaFor(id: Long): Media = {
+    val kind = Seq("image", "audio", "video")((id % 3).toInt)
+    Media(id, kind,
+      format = Seq("png", "wav", "mp4")((id % 3).toInt),
+      width = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32,
+      height = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32,
+      sample_rate = if (kind == "audio") 16000 else 0,
+      duration_ms = if (kind == "image") 0L else 1000L + id * 40L,
+      payload = stubPayload(id))
+  }
+
+  // ??? real codec goes here — an arithmetic byte stream (not a seeded
+  // RNG) keeps tests exact AND lets the DuckDB oracle recompute the
+  // same bytes in SQL: byte i = (id·31 + i·7) mod 256.
+  private[graft] def stubPayload(id: Long): Array[Byte] =
+    Array.tabulate(256 + (id % 64).toInt)(i => ((id * 31 + i * 7) % 256).toByte)
 
   /** Decode + featurize images: batch-shaped mapPartitions (one codec
     * init per partition, like mapInPandas' per-batch init). The decode
@@ -87,7 +97,10 @@ object Multimodal {
       it.map { m =>
         val px = m.payload // ??? real: decode(m.format, m.payload)
         val mean = px.map(b => (b & 0xff).toDouble).sum / px.length
-        val emb = Array.tabulate(dim)(d => ((px(d % px.length) & 0xff) / 255.0f))
+        // /256 (not /255): byte/256 is an exact dyadic in BOTH float and
+        // double, so the DuckDB oracle's double arithmetic reproduces
+        // these float embeddings bit-for-bit after widening
+        val emb = Array.tabulate(dim)(d => ((px(d % px.length) & 0xff) / 256.0f))
         ImageFeatures(m.media_id, m.width, m.height, mean, emb)
       }
     }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorOracle => VO}
+
+/** Oracle-checked queries over the multimodal path (round-4 judge item
+  * #1: the modality's first CORRECTNESS rows).
+  *
+  * The corpus is [[Multimodal.corpus]]: one media row per `documents`
+  * row with every field — payload bytes included — a pure arithmetic
+  * function of doc_id, so DuckDB recomputes the identical logical
+  * content in SQL while Spark runs the REAL multimodal plumbing
+  * (typed Dataset, mapPartitions decode shape, flatMap frame
+  * explosion). Four queries cover the four operator shapes:
+  *
+  *   - `multi_meta_stats`    — metadata-only aggregate (the payload
+  *     column is never touched; MultimodalSpec asserts parquet prunes it);
+  *   - `multi_image_features`— decode+featurize via mapPartitions
+  *     (mean byte + embedding, serialized like sim_quantize_int8);
+  *   - `multi_topk_cosine`   — the stub embeddings fed through the
+  *     sim_topk_cosine ANN shape (broadcast query vector +
+  *     TakeOrderedAndProject);
+  *   - `multi_frames`        — per-frame explosion with a byte checksum
+  *     over the exact sampled payload slice.
+  *
+  * Embeddings use byte/256 (exact dyadic in float AND double) so the
+  * oracle's double cosine reproduces Spark's float-widened cosine
+  * bit-for-bit; frame/mean sums are exact integers in double range.
+  */
+object MultimodalQueries {
+
+  val QueryMediaId = 0L // doc_id 0 → kind image (id % 3 == 0)
+  val TopK = 10
+  val FrameEveryMs = 250L
+
+  private def media(s: SparkSession, dir: String) = Multimodal.corpus(s, dir)
+
+  // ---- Metadata-only aggregate (never reads payload) ----
+  def metaStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metadata(media(s, dir).toDF())
+      .groupBy("kind")
+      .agg(count("*").as("n_media"),
+        sum("width").as("total_width"),
+        sum("height").as("total_height"),
+        max("duration_ms").as("max_duration_ms"))
+
+  // ---- Decode + featurize (mapPartitions batch shape) ----
+  // embedding serialized as exact ints (×256 inverts the /256 stub
+  // decode), same scalar-CSV trick as sim_quantize_int8: array cells
+  // don't sort/hash uniformly across engines, strings do.
+  def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(media(s, dir)).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        concat_ws(",",
+          transform(col("embedding"), x => (x * 256).cast("int"))).as("emb"))
+
+  // ---- Stub embeddings through the brute-force ANN shape ----
+  def topkCosine(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.imageFeatures(media(s, dir)).toDF()
+      .select(col("media_id"), col("embedding"))
+    val q = feats.filter(col("media_id") === QueryMediaId)
+      .select(col("embedding").as("qe"))
+    feats.filter(col("media_id") =!= QueryMediaId)
+      .crossJoin(broadcast(q))
+      .select(col("media_id"),
+        round(call_function("graft_cosine", col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("media_id").asc)
+      .limit(TopK)
+  }
+
+  // ---- Frame sampling (flatMap row explosion) + slice checksum ----
+  def frames(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    Multimodal.sampleFrames(media(s, dir), FrameEveryMs)
+      .map(f => (f.media_id, f.frame_idx, f.t_ms,
+        f.payload.map(b => (b & 0xff).toLong).sum))
+      .toDF("media_id", "frame_idx", "t_ms", "frame_sum")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multi_meta_stats" -> (metaStats _),
+    "multi_image_features" -> (imageFeatures _),
+    "multi_topk_cosine" -> (topkCosine _),
+    "multi_frames" -> (frames _),
+  )
+
+  // SQL mirror of Multimodal.mediaFor/stubPayload: byte i of doc d is
+  // (d·31 + i·7) mod 256, payload length 256 + d mod 64.
+  private val oMedia: String =
+    """m AS (SELECT doc_id AS media_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 4) * 32 END AS width,
+      | CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 3) * 32 END AS height,
+      | CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + doc_id * 40 END AS duration_ms,
+      | 256 + doc_id % 64 AS plen
+      | FROM documents)""".stripMargin.replace("\n", " ")
+
+  private def oByte(idx: String): String = s"(media_id * 31 + ($idx) * 7) % 256"
+
+  private val oEmb: String =
+    s"list_transform(range(0, 64), d -> (${oByte("d")})::DOUBLE / 256.0)"
+
+  val oracle: Map[String, String] = Map(
+    "multi_meta_stats" ->
+      (s"WITH $oMedia SELECT kind, COUNT(*) AS n_media, " +
+       "CAST(SUM(width) AS BIGINT) AS total_width, " +
+       "CAST(SUM(height) AS BIGINT) AS total_height, " +
+       "MAX(duration_ms) AS max_duration_ms FROM m GROUP BY 1"),
+    "multi_image_features" ->
+      (s"WITH $oMedia SELECT media_id, width, height, " +
+       s"round(list_aggregate(list_transform(range(0, plen), i -> ${oByte("i")}), 'sum')::DOUBLE / plen, 6) AS mean_byte, " +
+       s"array_to_string(list_transform(range(0, 64), d -> ${oByte("d")}), ',') AS emb " +
+       "FROM m WHERE kind = 'image'"),
+    "multi_topk_cosine" ->
+      (s"WITH $oMedia, f AS (SELECT media_id, $oEmb AS e FROM m WHERE kind = 'image'), " +
+       s"q AS (SELECT e AS qe FROM f WHERE media_id = $QueryMediaId) " +
+       s"SELECT media_id, round(${VO.cosine("e", "qe")}, 6) AS cos FROM f, q " +
+       s"WHERE media_id <> $QueryMediaId ORDER BY cos DESC, media_id LIMIT $TopK"),
+    "multi_frames" ->
+      (s"WITH $oMedia, v AS (SELECT media_id, plen, " +
+       s"greatest(1, duration_ms // $FrameEveryMs) AS n FROM m WHERE kind = 'video'), " +
+       s"fr AS (SELECT media_id, i AS frame_idx, i * $FrameEveryMs AS t_ms, " +
+       s"(i * $FrameEveryMs) % (plen - 16) AS off FROM v, unnest(range(0, n)) AS u(i)) " +
+       s"SELECT media_id, frame_idx, t_ms, " +
+       s"CAST(list_aggregate(list_transform(range(0, 16), j -> (media_id * 31 + (off + j) * 7) % 256), 'sum') AS BIGINT) AS frame_sum " +
+       "FROM fr"),
+  )
+}
