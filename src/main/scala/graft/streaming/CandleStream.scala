@@ -4,7 +4,9 @@ import java.sql.Date
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.sources.{Ohlcv, Warehouse}
 
 /** Mutable per-day running aggregate carried by [[CandleStream.runningDayStats]]. */
 case class DayRunning(max_volume: Double, total_trades: Long, n_candles: Long)
@@ -103,6 +105,29 @@ object CandleStream {
 
   /** The output mode [[runningDayStats]] requires. */
   val RunningOutputMode: OutputMode = OutputMode.Update()
+
+  /** The reference's T1→COPY loop, stream-native: normalized candles →
+    * SERIAL id assignment → warehouse, as a `foreachBatch` sink. Inside
+    * the batch function the micro-batch is a plain DataFrame, so the
+    * batch-only pieces (the global-window [[Ohlcv.assignIds]], the
+    * high-water-mark read) run unchanged — `foreachBatch` is exactly the
+    * escape hatch for reusing batch sinks under a stream.
+    *
+    * Exactly-once: ids derive from the mark over EARLIER batches only
+    * (deterministic under replay) and the write is
+    * [[Warehouse.idempotentAppend]] (a redelivered batch overwrites its
+    * own partition). WarehouseSinkSpec proves a forced redelivery
+    * changes nothing.
+    */
+  def warehouseSink(candles: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    candles.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val start = Warehouse.streamMaxId(batch.sparkSession, path, batchId)
+        Warehouse.idempotentAppend(Ohlcv.assignIds(batch, start), path, batchId)
+      }
+      .start()
 
   /** A6 as a stream: 5-minute resample of close prices (the dashboard
     * line chart fed incrementally).
