@@ -394,6 +394,15 @@ object SimilarityQueries {
       .groupBy("label", "dim")
       .agg(min("x").as("min_x"), max("x").as("max_x"))
 
+  /** Named builders for this module's shared CacheLife indexes (see
+    * DedupQueries.indexBuilders): the IVF cell assignment, and the
+    * k-means quantized corpus + trained codebook.
+    */
+  def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "sim.ivf_cells" -> (() => { cells(s, dir).count(); () }),
+    "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (topkCosine _),
     "sim_ann_lsh" -> (annLsh _),
