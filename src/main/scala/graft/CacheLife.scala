@@ -35,6 +35,12 @@ import scala.collection.concurrent.TrieMap
   * At cluster scale the equivalent is an explicit index-build job whose
   * outputs live in a table, not executor storage; session caching is the
   * local[n] / interactive analog.
+  *
+  * Lifecycle contract: call `release(s)` BEFORE `s.stop()` — the
+  * registry keys hold strong references, so entries of a session
+  * stopped without release stay reachable for the JVM lifetime (their
+  * executor storage dies with the session; the leak is driver-side plan
+  * objects). Verify/Bench follow this order.
   */
 object CacheLife {
   private val frames = TrieMap.empty[(SparkSession, String), DataFrame]

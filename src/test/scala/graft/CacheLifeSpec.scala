@@ -9,8 +9,12 @@ import graft.operators.{DedupQueries, SimilarityQueries}
   */
 class CacheLifeSpec extends SparkSpec {
 
+  // dedup_clusters' eager localCheckpoint() RDDs also register in
+  // getPersistentRDDs but are owned by the ContextCleaner (GC-driven),
+  // not CacheLife — counting them would make the ===0 assertion depend
+  // on GC timing when another suite ran clusters first (round-4 advice).
   private def persistedCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+    spark.sparkContext.getPersistentRDDs.values.count(!_.isCheckpointed)
 
   test("double pass over cache-heavy queries, then release → no persistent RDDs") {
     CacheLife.release(spark) // isolate from other suites' leftovers

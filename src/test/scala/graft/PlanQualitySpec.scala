@@ -56,6 +56,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("trained-quantizer ANN probe is an equi-join on the cell key") {
+    val p = plan(SimilarityQueries.annKmeans(spark, Sf))
+    // the probe joins corpus to the broadcast query row on cell =
+    // qcell — a BNLJ/cartesian would scan every cell per candidate
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    CacheLife.release(spark) // annKmeans persists the quantized corpus
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{RelationalQueries, SqlQueries}
+import graft.operators.RelationalQueries
 import org.apache.spark.sql.functions._
 
 /** Error-bound verification for the two sketch queries (round-2 judge
