@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{DedupQueries, SimilarityQueries}
+import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +28,8 @@ object Bench {
     // shared build to whichever query touches it first, while
     // build_total + query sum ≈ the honest full-pass cost.
     val builders = DedupQueries.indexBuilders(spark, sfDir) ++
-      SimilarityQueries.indexBuilders(spark, sfDir)
+      SimilarityQueries.indexBuilders(spark, sfDir) ++
+      TextQueries.indexBuilders(spark, sfDir)
     CacheLife.release(spark)
     val samples: Seq[(Map[String, Double], Map[String, Double])] =
       (1 to iters).map { _ =>

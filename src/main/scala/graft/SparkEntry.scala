@@ -31,7 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ SqlQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -39,5 +39,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ RelationalQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ SqlQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ TemporalQueries.oracle
 }

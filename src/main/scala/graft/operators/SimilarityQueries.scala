@@ -112,7 +112,11 @@ object SimilarityQueries {
   // blocking with an explicitly accepted recall target.
   val PairBlocks = 32
 
-  def pairsThreshold(s: SparkSession, dir: String): DataFrame = {
+  /** Every unordered pair's cosine (n(n-1)/2 rows) via the blocked
+    * triangle equi-join — the shared kernel under [[pairsThreshold]]
+    * and [[knnJoin]].
+    */
+  private def allPairsBlocked(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.spread(s, embs(s, dir))
       .select(col("vec_id"), col("v"),
         pmod(col("vec_id"), lit(PairBlocks.toLong)).cast("int").as("blk"))
@@ -129,7 +133,28 @@ object SimilarityQueries {
       .select(least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"),
         round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= PairThreshold)
+  }
+
+  def pairsThreshold(s: SparkSession, dir: String): DataFrame =
+    allPairsBlocked(s, dir).filter(col("cos") >= PairThreshold)
+
+  // ---- Exact k-NN self-join: every vector's k nearest neighbors ----
+  // The retrieval-building-block form of the pairs join (near-dup uses a
+  // threshold; retrieval wants top-k per vector). Symmetrize the
+  // triangle once — each pair is computed ONCE and read twice — then
+  // rank per source with a window. The window shuffles by src; per-group
+  // state is the k-row heap. At 100 TB exact all-pairs is replaced by
+  // the annLsh/IVF bucket blocking with this same rank stage on top of
+  // bucket candidates.
+  val KnnK = 3
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = allPairsBlocked(s, dir)
+    val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)
   }
 
   // The previous registered form, kept as a cross-check kernel (and as
@@ -408,6 +433,7 @@ object SimilarityQueries {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "sim_pairs_threshold" -> (pairsThreshold _),
+    "sim_knn_join" -> (knnJoin _),
     "sim_dim_stats" -> (dimStats _),
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
@@ -502,6 +528,12 @@ object SimilarityQueries {
        s"SELECT vec_a, vec_b, cos FROM (" +
        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
        s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"),
+    "sim_knn_join" ->
+      (s"WITH e AS ($oE), " +
+       s"p AS (SELECT a.vec_id AS src, b.vec_id AS dst, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
+       s"FROM e a JOIN e b ON a.vec_id <> b.vec_id) " +
+       s"SELECT src, dst, cos, rn FROM (SELECT *, row_number() OVER " +
+       s"(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p) WHERE rn <= $KnnK"),
     "sim_ivf_cells" ->
       (s"WITH e AS ($oE), $oCells " +
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),

@@ -69,10 +69,23 @@ object TextQueries {
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     docsTok(s, dir).select(col("doc_id"), T.fingerprint(col("toks")).as("fp"))
 
+  /** The exploded (doc_id, token) store — the tokenize+explode cost is
+    * the dominant term in every vocabulary-shaped query (tokenFreq,
+    * oovRate, tfidf each read it 1-3×), so it persists through
+    * CacheLife like the dedup signature stores.
+    */
+  private def tokStore(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"text.tokens:$dir")(
+      docsTok(s, dir).select(col("doc_id"), explode(col("toks")).as("token")))
+
+  /** Named builders for Bench's index-build attribution line. */
+  def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "text.tokens" -> (() => { tokStore(s, dir).count(); () }),
+  )
+
   // ---- Corpus token frequency: explode → agg → top-k ----
   def tokenFreq(s: SparkSession, dir: String): DataFrame =
-    docsTok(s, dir)
-      .select(explode(col("toks")).as("token"))
+    tokStore(s, dir)
       .groupBy("token")
       .agg(count("*").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
@@ -101,14 +114,34 @@ object TextQueries {
   //      check over training data. ----
   def oovRate(s: SparkSession, dir: String): DataFrame = {
     val vocab = tokenFreq(s, dir).select(col("token"))
-    val tok = docsTok(s, dir).select(col("doc_id"), explode(col("toks")).as("token"))
+    val tok = tokStore(s, dir)
     tok.join(broadcast(vocab).withColumn("in_vocab", lit(1)), Seq("token"), "left_outer")
       .groupBy("doc_id")
       .agg((count(when(col("in_vocab").isNull, 1)).cast("double") / count("*")).as("oov_rate"))
       .select(col("doc_id"), round(col("oov_rate"), 6).as("oov_rate"))
   }
 
+  // ---- TF-IDF over the derived top-100 vocabulary ----
+  // tf/df are exact counts; the weight is tf·N/df — a SINGLE division of
+  // exact integers, so it is the same IEEE double on both engines (a log
+  // idf would hinge on libm rounding and is deliberately avoided; a
+  // caller wanting log scaling applies it to the emitted tf/df). Two
+  // shuffles total: (doc, token) tf and token df, both over the
+  // vocab-joined explode; N and the vocab broadcast.
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val vocab = tokenFreq(s, dir).select(col("token"))
+    val vt = tokStore(s, dir).join(broadcast(vocab), Seq("token"))
+    val tf = vt.groupBy("doc_id", "token").agg(count("*").as("tf"))
+    val dfreq = vt.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count("*").as("df"))
+    val n = docs(s, dir).agg(count("*").as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf") * col("n_docs")) / col("df"), 6).as("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
     "text_mask" -> (mask _),
@@ -120,6 +153,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      (s"""WITH vocab AS (SELECT token FROM (
+          |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)
+          |  GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100)),
+          |vt AS (SELECT doc_id, token FROM (SELECT doc_id, unnest($oToks) AS token FROM documents)
+          |  WHERE token IN (SELECT token FROM vocab)),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM vt GROUP BY 1, 2),
+          |dfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM vt) GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+          |SELECT doc_id, tf.token AS token, tf, df, round((tf * n_docs) / df, 6) AS tfidf
+          |FROM tf JOIN dfreq ON tf.token = dfreq.token, n""".stripMargin.replace("\n", " ")),
     "text_oov_rate" ->
       (s"""WITH vocab AS (SELECT token FROM (
           |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)
