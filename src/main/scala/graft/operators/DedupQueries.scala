@@ -227,6 +227,27 @@ object DedupQueries {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  // ---- Decontamination: near-dup pairs CROSSING a train/eval split ----
+  // The pre-training leakage check: split the corpus deterministically
+  // (md5 bucket of doc_id → 10% eval, the rel_hash_sample idiom), then
+  // report LSH candidate pairs with one doc on each side — an eval doc
+  // near-duplicating a train doc is contamination. Reuses the banded
+  // candidate join verbatim: at 100 TB this rides on the SAME candidate
+  // generation the dedup pass already ran, so decontamination is a
+  // marginal filter, not a second corpus scan.
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(s, dir).select(col("doc_id"),
+      (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+        .cast("long"), lit(10)) === 0).as("is_eval"))
+    minhashPairs(s, dir)
+      .join(split.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(split.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("sa.is_eval") =!= col("sb.is_eval"))
+      .select(
+        when(col("sa.is_eval"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        when(col("sa.is_eval"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"))
+  }
+
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.documents(s, dir))
@@ -255,6 +276,7 @@ object DedupQueries {
     "dedup_clusters" -> (clusters _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_simhash_groups" -> (simhashGroups _),
+    "dedup_contamination" -> (contamination _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
@@ -323,5 +345,15 @@ object DedupQueries {
        s"h AS (SELECT doc_id, ${O.tokenHashes("toks")} AS hs FROM t) " +
        s"SELECT ${O.simhash("hs", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
        "FROM h GROUP BY 1"),
+    "dedup_contamination" ->
+      (s"""${oBandCteFor(oWordShCtes)},
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          |split AS (SELECT doc_id,
+          |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT % 10) = 0 AS is_eval FROM documents)
+          |SELECT CASE WHEN sa.is_eval THEN doc_a ELSE doc_b END AS eval_doc,
+          |       CASE WHEN sa.is_eval THEN doc_b ELSE doc_a END AS train_doc
+          |FROM cand JOIN split sa ON cand.doc_a = sa.doc_id JOIN split sb ON cand.doc_b = sb.doc_id
+          |WHERE sa.is_eval <> sb.is_eval""".stripMargin.replace("\n", " ")),
   )
 }
