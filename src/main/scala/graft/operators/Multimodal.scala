@@ -145,4 +145,27 @@ object Multimodal {
   def metadata(media: DataFrame): DataFrame =
     media.select("media_id", "kind", "format", "width", "height",
       "sample_rate", "duration_ms")
+
+  /** The corpus METADATA as pure Catalyst expressions over `documents` —
+    * the same formulas as [[mediaFor]] (MultimodalSpec asserts parity)
+    * without ever constructing payload bytes. Metadata-only queries go
+    * through here: a typed `corpus(...).map` would materialize every
+    * payload array behind a deserialization barrier, defeating exactly
+    * the pruning property [[metadata]] exists for.
+    */
+  def corpusMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val kindIdx = (pmod(id, lit(3L)) + 1).cast("int")
+    graft.Tables.documents(spark, dir).select(
+      id.as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")), kindIdx).as("kind"),
+      element_at(typedLit(Seq("png", "wav", "mp4")), kindIdx).as("format"),
+      when(kindIdx === 2, lit(0))
+        .otherwise((lit(64L) + pmod(id, lit(4L)) * 32L).cast("int")).as("width"),
+      when(kindIdx === 2, lit(0))
+        .otherwise((lit(64L) + pmod(id, lit(3L)) * 32L).cast("int")).as("height"),
+      when(kindIdx === 2, lit(16000)).otherwise(lit(0)).as("sample_rate"),
+      when(kindIdx === 1, lit(0L))
+        .otherwise(lit(1000L) + id * 40L).as("duration_ms"))
+  }
 }

@@ -37,9 +37,12 @@ object MultimodalQueries {
 
   private def media(s: SparkSession, dir: String) = Multimodal.corpus(s, dir)
 
-  // ---- Metadata-only aggregate (never reads payload) ----
+  // ---- Metadata-only aggregate: goes through the DECLARATIVE metadata
+  //      path (corpusMetadata), so no payload byte is ever constructed —
+  //      the typed corpus map would materialize every payload behind a
+  //      deserialization barrier just to throw it away ----
   def metaStats(s: SparkSession, dir: String): DataFrame =
-    Multimodal.metadata(media(s, dir).toDF())
+    Multimodal.corpusMetadata(s, dir)
       .groupBy("kind")
       .agg(count("*").as("n_media"),
         sum("width").as("total_width"),

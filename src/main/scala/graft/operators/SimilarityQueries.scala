@@ -149,9 +149,15 @@ object SimilarityQueries {
   val KnnK = 3
 
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = allPairsBlocked(s, dir)
-    val sym = p.select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
-      .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    // both orientations EXPLODE out of one join pass — a union of two
+    // projections of the kernel would re-execute the join and the n²/2
+    // cosine evaluations once per branch (ReuseExchange dedups only the
+    // shuffles under the join, not the join itself)
+    val sym = allPairsBlocked(s, dir)
+      .select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)

@@ -113,7 +113,15 @@ object Ohlcv {
     * offsets instead.
     */
   def assignIds(df: DataFrame, startId: Long): DataFrame = {
-    val w = Window.orderBy("time_period_start", "time_close")
+    // Order by EVERY column, not just the two time keys: ties under a
+    // partial order would leave row_number to upstream partition arrival
+    // order, and the streaming sink's replay-determinism contract
+    // (WarehouseSinkSpec) needs identical ids on redelivery. A total
+    // order over all columns is deterministic up to byte-identical rows,
+    // whose ids are interchangeable anyway.
+    val w = Window.orderBy(
+      (Seq("time_period_start", "time_close") ++
+        columns.filterNot(Set("id", "time_period_start", "time_close"))).map(col): _*)
     df.withColumn("id", row_number().over(w).cast("long") + startId)
       .select(columns.map(col): _*)
   }

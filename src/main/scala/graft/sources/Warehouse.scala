@@ -52,11 +52,20 @@ object Warehouse {
       .partitionBy("__batch_id", "period_date")
       .parquet(path)
 
+  /** Streaming-table schema: the declared columns plus the batch
+    * bookkeeping partition column. Reads go through an EXPLICIT schema —
+    * inference over a directory that exists but holds no data files yet
+    * (an empty first micro-batch writes only _SUCCESS) throws, killing
+    * the stream; with the schema such a read is just an empty frame.
+    */
+  private val streamSchema: org.apache.spark.sql.types.StructType =
+    Ohlcv.tableSchema.add("__batch_id", org.apache.spark.sql.types.LongType)
+
   /** The streaming table: same rows as [[table]], batch bookkeeping
     * column dropped, declared column order restored.
     */
   def streamTable(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path).drop("__batch_id")
+    val df = spark.read.schema(streamSchema).parquet(path).drop("__batch_id")
     df.select(Ohlcv.columns.map(df.col): _*)
   }
 
@@ -65,10 +74,18 @@ object Warehouse {
     * under redelivery (a replayed batch sees the same mark its first
     * delivery saw, so it re-produces identical rows for the partition
     * overwrite to replace).
+    *
+    * Cost note: this scans the earlier batches' id column — the sink
+    * ([[graft.streaming.CandleStream.warehouseSink]]) therefore calls it
+    * only on the FIRST batch after a (re)start and tracks the mark
+    * incrementally afterwards, so steady state is O(batch), not
+    * O(table). Existence check is java.nio = local-filesystem analog,
+    * consistent with this module's parquet-directory warehouse model;
+    * a DFS deployment swaps in the Hadoop FileSystem API here.
     */
   def streamMaxId(spark: SparkSession, path: String, belowBatch: Long): Long =
     if (!Files.exists(Paths.get(path))) 0L
-    else spark.read.parquet(path)
+    else spark.read.schema(streamSchema).parquet(path)
       .filter(col("__batch_id") < belowBatch)
       .agg(coalesce(max("id"), lit(0L))).collect().head.getLong(0)
 

@@ -120,14 +120,29 @@ object CandleStream {
     * changes nothing.
     */
   def warehouseSink(candles: DataFrame, path: String,
-                    checkpoint: String): StreamingQuery =
+                    checkpoint: String): StreamingQuery = {
+    // High-water mark carried across batches driver-side: only the first
+    // batch after a (re)start pays the table read (streamMaxId is an
+    // O(earlier-batches) scan); consecutive batches advance the mark
+    // from their own row count. Any gap in the batch sequence (restart,
+    // replay) falls back to the authoritative read — which excludes the
+    // current batch, so a replayed batch recomputes its original mark.
+    var mark: Option[(Long, Long)] = None // (batchId, maxId after it)
     candles.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val start = Warehouse.streamMaxId(batch.sparkSession, path, batchId)
-        Warehouse.idempotentAppend(Ohlcv.assignIds(batch, start), path, batchId)
+        val start = mark match {
+          case Some((prev, m)) if prev == batchId - 1 => m
+          case _ => Warehouse.streamMaxId(batch.sparkSession, path, batchId)
+        }
+        val b = batch.persist()
+        try {
+          Warehouse.idempotentAppend(Ohlcv.assignIds(b, start), path, batchId)
+          mark = Some((batchId, start + b.count()))
+        } finally b.unpersist()
       }
       .start()
+  }
 
   /** A6 as a stream: 5-minute resample of close prices (the dashboard
     * line chart fed incrementally).

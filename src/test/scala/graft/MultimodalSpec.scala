@@ -49,6 +49,15 @@ class MultimodalSpec extends SparkSpec {
     frames.collect().foreach(f => assert(f.payload.length <= 16))
   }
 
+  test("declarative corpusMetadata matches the typed corpus row-for-row") {
+    val declarative = Multimodal.corpusMetadata(spark, Sf)
+      .collect().map(_.toString).sorted.toSeq
+    val typed = Multimodal.metadata(Multimodal.corpus(spark, Sf).toDF())
+      .collect().map(_.toString).sorted.toSeq
+    assert(declarative == typed,
+      "the payload-free metadata formulas must stay in sync with mediaFor")
+  }
+
   test("metadata-only query over parquet prunes the payload column") {
     val dir = Files.createTempDirectory("graft-media").toString + "/t"
     media.toDF().write.partitionBy("kind").parquet(dir)

@@ -55,6 +55,20 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(Warehouse.table(spark, batchPath).count() === 4)
   }
 
+  test("an empty first batch does not poison the table for later reads") {
+    val path = tmp("graft-empty")
+    val empty = Seq.empty[NormCandle].toDF().withColumn("id", lit(0L))
+    Warehouse.idempotentAppend(empty, path, 0L) // writes only _SUCCESS
+    // schema-less inference over a data-file-free directory would throw
+    // here and kill the stream; the explicit-schema reads must not
+    assert(Warehouse.streamTable(spark, path).count() === 0)
+    assert(Warehouse.streamMaxId(spark, path, 1L) === 0L)
+    val b1 = Seq(candle("2023-04-26 04:30:00", 1.0)).toDF()
+      .withColumn("id", lit(1L))
+    Warehouse.idempotentAppend(b1, path, 1L)
+    assert(Warehouse.streamTable(spark, path).count() === 1)
+  }
+
   test("warehouseSink assigns serial ids across micro-batches") {
     val path = tmp("graft-stream")
     val in = MemoryStream[NormCandle](spark)
