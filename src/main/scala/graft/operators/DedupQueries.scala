@@ -160,7 +160,8 @@ object DedupQueries {
             call_function("graft_char_shingles", col("text"), lit(CharGramN)).as("sh"))))
 
   def chargramPairs(s: SparkSession, dir: String): DataFrame =
-    bandPairs(chargramBands(s, dir))
+    graft.CacheLife.cached(s, s"dedup.chargram-pairs:$dir")(
+      bandPairs(chargramBands(s, dir)))
 
   val CharGramN = 5
 
@@ -275,6 +276,7 @@ object DedupQueries {
     "dedup.lsh_bands" -> (() => { lshBands(s, dir).count(); () }),
     "dedup.cand_pairs" -> (() => { candidatePairs(s, dir).count(); () }),
     "dedup.chargram_bands" -> (() => { chargramBands(s, dir).count(); () }),
+    "dedup.chargram_pairs" -> (() => { chargramPairs(s, dir).count(); () }),
     "dedup.shingles" -> (() => { shingleStore(s, dir).count(); () }),
   )
 

@@ -309,26 +309,30 @@ object SimilarityQueries {
     embs(s, dir).select(col("vec_id"),
       transform(V.vecD(col("v")), x => floor(x * QuantScale).cast("long")).as("qv"))
 
-  /** cos between a quantized vector column and a literal centroid. */
-  private def qCos(qv: org.apache.spark.sql.Column, c: Array[Long]) = {
-    val cl = typedLit(c.toSeq)
-    val dot = aggregate(zip_with(qv, cl, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (a, x) => a + x)
-    val nv = sqrt(aggregate(transform(qv, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, x) => a + x))
-    val nc = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-    round(dot / (nv * lit(nc)), 6)
-  }
+  /** cos between a quantized vector column and a literal centroid —
+    * the native codegen'd loop over exact-integer doubles (every
+    * product ≤ ~1e12 and sum ≤ ~1e14 < 2^53, so the double arithmetic
+    * is EXACT and order-independent; value identical to the oracle's
+    * list_dot_product over ::DOUBLE[] casts).
+    */
+  private def qCos(qv: org.apache.spark.sql.Column, c: Array[Long]) =
+    round(call_function("graft_cosine",
+      qv.cast("array<double>"), typedLit(c.map(_.toDouble).toSeq)), 6)
 
-  /** Assignment column: argmax over centroids, ties to lowest cid. */
-  private def assignExpr(cents: Seq[(Long, Array[Long])]) = {
-    val scored = cents.map { case (cid, c) => (cid, qCos(col("qv"), c)) }
-    scored.zipWithIndex.foldRight(lit(scored.last._1): org.apache.spark.sql.Column) {
-      case (((cid, sc), i), els) =>
-        val later = scored.drop(i + 1).map(_._2)
-        if (later.isEmpty) els
-        else when(later.map(sc >= _).reduce(_ && _), lit(cid)).otherwise(els)
-    }
+  /** Assignment column: argmax over centroids, ties to lowest cid.
+    * All k scores land in ONE array and the winner is `array_max` over
+    * (score, -cid) structs — lexicographic struct comparison gives
+    * highest score then lowest cid, and each centroid's cosine is
+    * evaluated exactly once per row. The previous nested when-chain
+    * re-referenced every score O(k) times, so Catalyst evaluated k²
+    * interpreted folds per row — the dominant cost of both kmeans
+    * queries.
+    */
+  private def assignExpr(cents: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+    val scored = array(cents.map { case (cid, c) =>
+      struct(qCos(col("qv"), c).as("sc"), lit(-cid).as("ncid"))
+    }: _*)
+    -array_max(scored).getField("ncid")
   }
 
   /** Runs the Lloyd loop eagerly (the collects are the 8×64-long MODEL,

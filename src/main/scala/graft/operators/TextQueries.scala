@@ -132,10 +132,13 @@ object TextQueries {
     val vocab = tokenFreq(s, dir).select(col("token"))
     val vt = tokStore(s, dir).join(broadcast(vocab), Seq("token"))
     val tf = vt.groupBy("doc_id", "token").agg(count("*").as("tf"))
-    val dfreq = vt.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count("*").as("df"))
+    // df rides a window over tf — tf rows are already distinct
+    // (doc, token), so count-per-token IS the document frequency; this
+    // avoids a second scan+distinct over the exploded store and a join
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val n = docs(s, dir).agg(count("*").as("n_docs"))
-    tf.join(broadcast(dfreq), Seq("token")).crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(dfW))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round((col("tf") * col("n_docs")) / col("df"), 6).as("tfidf"))
   }
