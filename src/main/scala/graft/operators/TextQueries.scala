@@ -143,7 +143,26 @@ object TextQueries {
         round((col("tf") * col("n_docs")) / col("df"), 6).as("tfidf"))
   }
 
+  // ---- Training-mix sampling: deterministic per-SOURCE rates ----
+  // The data-mixing op of a corpus pipeline: each source stratum gets
+  // its own keep rate and rows are kept by an md5 bucket of the doc id
+  // (the rel_hash_sample idiom) — reproducible across runs and engines,
+  // unlike rand() sampling, and trivially parallel (a per-row filter,
+  // no shuffle). Rates here derive from the source name so the query is
+  // self-contained; a production mix passes the rate table in.
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    def mdBucket(c: Column, m: Int): Column =
+      pmod(conv(substring(md5(c), 1, 10), 16, 10).cast("long"), lit(m))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        mdBucket(col("doc_id").cast("string"), 1000).as("b"),
+        (mdBucket(col("source"), 600) + 200).as("rate_permille"))
+      .filter(col("b") < col("rate_permille"))
+      .select("doc_id", "source", "rate_permille")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_mix" -> (sampleMix _),
     "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
@@ -156,6 +175,11 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_sample_mix" ->
+      ("""SELECT doc_id, source, rate_permille FROM (SELECT doc_id, source,
+         | (('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT % 1000) AS b,
+         | (('0x' || substr(md5(source), 1, 10))::BIGINT % 600) + 200 AS rate_permille
+         | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
     "text_tfidf" ->
       (s"""WITH vocab AS (SELECT token FROM (
           |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)
