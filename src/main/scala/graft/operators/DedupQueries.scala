@@ -247,8 +247,8 @@ object DedupQueries {
   // marginal filter, not a second corpus scan.
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val split = Tables.documents(s, dir).select(col("doc_id"),
-      (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
-        .cast("long"), lit(10)) === 0).as("is_eval"))
+      (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) === 0)
+        .as("is_eval"))
     minhashPairs(s, dir)
       .join(split.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(split.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -362,7 +362,7 @@ object DedupQueries {
           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
           |split AS (SELECT doc_id,
-          |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT % 10) = 0 AS is_eval FROM documents)
+          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} = 0 AS is_eval FROM documents)
           |SELECT CASE WHEN sa.is_eval THEN doc_a ELSE doc_b END AS eval_doc,
           |       CASE WHEN sa.is_eval THEN doc_b ELSE doc_a END AS train_doc
           |FROM cand JOIN split sa ON cand.doc_a = sa.doc_id JOIN split sb ON cand.doc_b = sb.doc_id

@@ -95,7 +95,8 @@ object RelationalQueries {
   //      and partitionings — the right way to sample training data) ----
   def hashSample(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .filter(pmod(conv(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 10), 16, 10).cast("long"), lit(10)) === 0)
+      .filter(graft.functions.Buckets.mdBucket(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")), 10) === 0)
       .select("l_orderkey", "l_linenumber", "l_quantity")
 
   // ---- UNION ALL across heterogenous sources ----
@@ -261,7 +262,7 @@ object RelationalQueries {
        "ON c.c_custkey = o.o_custkey"),
     "rel_hash_sample" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-       "WHERE (('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 10))::BIGINT % 10) = 0"),
+       s"WHERE ${graft.functions.Buckets.sqlBucket("l_orderkey || '-' || l_linenumber", 10)} = 0"),
     "rel_union_all" ->
       ("SELECT c_custkey AS key, 'customer' AS src FROM customer " +
        "UNION ALL SELECT s_suppkey AS key, 'supplier' AS src FROM supplier"),

@@ -151,8 +151,7 @@ object TextQueries {
   // no shuffle). Rates here derive from the source name so the query is
   // self-contained; a production mix passes the rate table in.
   def sampleMix(s: SparkSession, dir: String): DataFrame = {
-    def mdBucket(c: Column, m: Int): Column =
-      pmod(conv(substring(md5(c), 1, 10), 16, 10).cast("long"), lit(m))
+    import graft.functions.Buckets.mdBucket
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         mdBucket(col("doc_id").cast("string"), 1000).as("b"),
@@ -176,9 +175,9 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_sample_mix" ->
-      ("""SELECT doc_id, source, rate_permille FROM (SELECT doc_id, source,
-         | (('0x' || substr(md5(doc_id::VARCHAR), 1, 10))::BIGINT % 1000) AS b,
-         | (('0x' || substr(md5(source), 1, 10))::BIGINT % 600) + 200 AS rate_permille
+      (s"""SELECT doc_id, source, rate_permille FROM (SELECT doc_id, source,
+         | ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 1000)} AS b,
+         | ${graft.functions.Buckets.sqlBucket("source", 600)} + 200 AS rate_permille
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
     "text_tfidf" ->
       (s"""WITH vocab AS (SELECT token FROM (

@@ -86,7 +86,13 @@ object Warehouse {
   def streamMaxId(spark: SparkSession, path: String, belowBatch: Long): Long =
     if (!Files.exists(Paths.get(path))) 0L
     else spark.read.schema(streamSchema).parquet(path)
-      .filter(col("__batch_id") < belowBatch)
+      // NULL __batch_id = rows written by the BATCH path (no batch
+      // partition dirs): a pre-existing warehouse the stream is pointed
+      // at. They predate every batch, so they count toward the mark —
+      // otherwise the first streamed batch would restart ids at 1 and
+      // collide with them. Stable under replay: batch-path rows are
+      // untouched by redelivery overwrites.
+      .filter(col("__batch_id").isNull || col("__batch_id") < belowBatch)
       .agg(coalesce(max("id"), lit(0L))).collect().head.getLong(0)
 
   def table(spark: SparkSession, path: String): DataFrame = {

@@ -51,10 +51,17 @@ class MultimodalSpec extends SparkSpec {
 
   test("declarative corpusMetadata matches the typed corpus row-for-row") {
     val declarative = Multimodal.corpusMetadata(spark, Sf)
-      .collect().map(_.toString).sorted.toSeq
     val typed = Multimodal.metadata(Multimodal.corpus(spark, Sf).toDF())
-      .collect().map(_.toString).sorted.toSeq
-    assert(declarative == typed,
+    // schemas first: a stringly row compare would miss type drift
+    // (e.g. a lost .cast("int") turning width into a long). Compare
+    // (name, type) only — nullability legitimately differs (the parquet
+    // doc_id column is nullable, case-class primitives are not).
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(declarative) == shape(typed),
+      s"metadata schemas diverged:\n${declarative.schema}\n${typed.schema}")
+    assert(declarative.collect().map(_.toString).sorted.toSeq ==
+      typed.collect().map(_.toString).sorted.toSeq,
       "the payload-free metadata formulas must stay in sync with mediaFor")
   }
 

@@ -69,6 +69,19 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(Warehouse.streamTable(spark, path).count() === 1)
   }
 
+  test("streamMaxId counts rows a BATCH-path writer left in the table") {
+    // pointing the streaming sink at a pre-existing batch warehouse
+    // (no __batch_id partitions) must continue its id sequence, not
+    // restart at 1 and collide
+    val path = tmp("graft-mixed")
+    val pre = Seq(candle("2023-04-25 10:00:00", 1.0),
+      candle("2023-04-25 10:05:00", 2.0)).toDF()
+      .withColumn("id", col("volume_traded").cast("long") + 3L) // ids 4, 5
+    Warehouse.append(pre, path)
+    assert(Warehouse.streamMaxId(spark, path, 0L) === 5L,
+      "batch-path rows (NULL __batch_id) predate every batch")
+  }
+
   test("warehouseSink assigns serial ids across micro-batches") {
     val path = tmp("graft-stream")
     val in = MemoryStream[NormCandle](spark)
