@@ -125,19 +125,25 @@ object TextQueries {
   // tf/df are exact counts; the weight is tf·N/df — a SINGLE division of
   // exact integers, so it is the same IEEE double on both engines (a log
   // idf would hinge on libm rounding and is deliberately avoided; a
-  // caller wanting log scaling applies it to the emitted tf/df). Two
-  // shuffles total: (doc, token) tf and token df, both over the
-  // vocab-joined explode; N and the vocab broadcast.
+  // caller wanting log scaling applies it to the emitted tf/df).
+  //
+  // df is an AGGREGATE of tf (tf rows are already distinct (doc, token),
+  // so count-per-token IS the document frequency) broadcast back onto
+  // tf. NOT a window: `count(*) over (partition by token)` would shuffle
+  // every tf row — one per (doc, token), ≈ corpus-sized — onto ≤|vocab|
+  // keys and buffer each token's whole posting list in a single
+  // WindowExec task. The aggregate form keeps map-side partial
+  // aggregation (the shuffle carries ≤|vocab| rows per task) and the
+  // ≤|vocab|-row df table broadcasts for free. The tf exchange feeds
+  // both the df aggregate and the join probe side, so Spark's
+  // ReuseExchange computes it once.
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val vocab = tokenFreq(s, dir).select(col("token"))
     val vt = tokStore(s, dir).join(broadcast(vocab), Seq("token"))
     val tf = vt.groupBy("doc_id", "token").agg(count("*").as("tf"))
-    // df rides a window over tf — tf rows are already distinct
-    // (doc, token), so count-per-token IS the document frequency; this
-    // avoids a second scan+distinct over the exploded store and a join
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count("*").as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(dfW))
+    tf.join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round((col("tf") * col("n_docs")) / col("df"), 6).as("tfidf"))

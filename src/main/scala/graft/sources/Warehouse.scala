@@ -33,16 +33,30 @@ object Warehouse {
     df.select(Ohlcv.columns.map(df.col): _*)
       .write.mode("append").partitionBy("period_date").parquet(path)
 
+  /** The streamed batches' section of a warehouse directory. The name
+    * is underscore-prefixed ON PURPOSE: Spark's file listing hides
+    * `_`-prefixed children (the `_spark_metadata` / `_SUCCESS`
+    * convention), so the batch layout at the table root
+    * (`period_date=…`) and the stream layout in here
+    * (`__batch_id=…/period_date=…`) never meet in one partition
+    * discovery — mixing them in a single directory tree would fail
+    * every read with a conflicting-directory-structures error. A
+    * warehouse can therefore take batch appends and streamed batches
+    * in any order; [[table]] stitches the two sections back together.
+    */
+  private def streamSection(path: String): String = s"$path/_stream"
+
   /** K1/K4 streaming form: idempotent per-batch append for
     * `foreachBatch`. Each micro-batch lands in its own
-    * `__batch_id=<id>` partition (plus the daily partition) with
-    * DYNAMIC partition overwrite, so a REDELIVERED batch — failure
-    * replay, checkpoint restart — REPLACES its own previous output
-    * instead of appending duplicates: exactly-once table contents over
-    * at-least-once delivery, the parquet analog of the reference's
-    * transactional COPY (airflow_dags.py:279-310). The plain [[append]]
-    * stays duplicate-tolerant (T3) — idempotence here is opt-in per
-    * sink, not a change to batch semantics.
+    * `__batch_id=<id>` partition (plus the daily partition) under
+    * [[streamSection]] with DYNAMIC partition overwrite, so a
+    * REDELIVERED batch — failure replay, checkpoint restart — REPLACES
+    * its own previous output instead of appending duplicates:
+    * exactly-once table contents over at-least-once delivery, the
+    * parquet analog of the reference's transactional COPY
+    * (airflow_dags.py:279-310). The plain [[append]] stays
+    * duplicate-tolerant (T3) — idempotence here is opt-in per sink,
+    * not a change to batch semantics.
     */
   def idempotentAppend(df: DataFrame, path: String, batchId: Long): Unit =
     df.select(Ohlcv.columns.map(df.col): _*)
@@ -50,7 +64,7 @@ object Warehouse {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id", "period_date")
-      .parquet(path)
+      .parquet(streamSection(path))
 
   /** Streaming-table schema: the declared columns plus the batch
     * bookkeeping partition column. Reads go through an EXPLICIT schema —
@@ -61,21 +75,43 @@ object Warehouse {
   private val streamSchema: org.apache.spark.sql.types.StructType =
     Ohlcv.tableSchema.add("__batch_id", org.apache.spark.sql.types.LongType)
 
-  /** The streaming table: same rows as [[table]], batch bookkeeping
-    * column dropped, declared column order restored.
+  /** Rows the BATCH path wrote: the table root, whose `_stream` child
+    * is hidden from the listing. Explicit schema — a root that exists
+    * but holds no visible data files yet (stream-only warehouse) must
+    * read as empty, not fail inference.
     */
-  def streamTable(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.schema(streamSchema).parquet(path).drop("__batch_id")
-    df.select(Ohlcv.columns.map(df.col): _*)
+  private def batchRows(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Ohlcv.tableSchema).parquet(path)
+
+  /** Rows the STREAM path wrote, bookkeeping `__batch_id` included;
+    * empty frame when nothing was ever streamed.
+    */
+  private def streamRows(spark: SparkSession, path: String): DataFrame = {
+    val dir = streamSection(path)
+    if (Files.exists(Paths.get(dir)))
+      spark.read.schema(streamSchema).parquet(dir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamSchema)
   }
+
+  /** The streaming table: same full view as [[table]] (both sections),
+    * kept as the sink-side entry point.
+    */
+  def streamTable(spark: SparkSession, path: String): DataFrame =
+    table(spark, path)
 
   /** SERIAL high-water mark over batches BEFORE `belowBatch` only:
     * excluding the current batch makes id assignment DETERMINISTIC
     * under redelivery (a replayed batch sees the same mark its first
     * delivery saw, so it re-produces identical rows for the partition
-    * overwrite to replace).
+    * overwrite to replace). Batch-path rows — a pre-existing warehouse
+    * the stream was pointed at — predate every batch, so they always
+    * count toward the mark; otherwise the first streamed batch would
+    * restart ids at 1 and collide with them. Stable under replay:
+    * batch-path rows are untouched by redelivery overwrites.
     *
-    * Cost note: this scans the earlier batches' id column — the sink
+    * Cost note: this scans the earlier rows' id column — the sink
     * ([[graft.streaming.CandleStream.warehouseSink]]) therefore calls it
     * only on the FIRST batch after a (re)start and tracks the mark
     * incrementally afterwards, so steady state is O(batch), not
@@ -85,20 +121,22 @@ object Warehouse {
     */
   def streamMaxId(spark: SparkSession, path: String, belowBatch: Long): Long =
     if (!Files.exists(Paths.get(path))) 0L
-    else spark.read.schema(streamSchema).parquet(path)
-      // NULL __batch_id = rows written by the BATCH path (no batch
-      // partition dirs): a pre-existing warehouse the stream is pointed
-      // at. They predate every batch, so they count toward the mark —
-      // otherwise the first streamed batch would restart ids at 1 and
-      // collide with them. Stable under replay: batch-path rows are
-      // untouched by redelivery overwrites.
-      .filter(col("__batch_id").isNull || col("__batch_id") < belowBatch)
+    else batchRows(spark, path).select(col("id"))
+      .unionByName(streamRows(spark, path)
+        .filter(col("__batch_id") < belowBatch).select(col("id")))
       .agg(coalesce(max("id"), lit(0L))).collect().head.getLong(0)
 
+  /** The full table: batch-path rows at the root plus streamed rows
+    * under `_stream/`, in declared column order. Stitching happens
+    * here, at plan time, so every downstream read ([[dailyExport]],
+    * [[maxId]], the close-out exports) sees one table regardless of
+    * which path wrote which row.
+    */
   def table(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.schema(Ohlcv.tableSchema).parquet(path)
     // partitionBy moves period_date last in the physical layout; restore
     // the declared column order (the positional CSV contract needs it).
+    val df = batchRows(spark, path)
+      .unionByName(streamRows(spark, path).drop("__batch_id"))
     df.select(Ohlcv.columns.map(df.col): _*)
   }
 

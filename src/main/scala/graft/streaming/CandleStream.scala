@@ -118,6 +118,15 @@ object CandleStream {
     * [[Warehouse.idempotentAppend]] (a redelivered batch overwrites its
     * own partition). WarehouseSinkSpec proves a forced redelivery
     * changes nothing.
+    *
+    * CONTRACT — single writer per warehouse path: the high-water mark
+    * is held driver-side and `streamMaxId` excludes only THIS query's
+    * current batch, so two concurrent sinks (or a second query started
+    * against the same path) would each track their own mark and assign
+    * colliding ids. One streaming query owns a path at a time — the
+    * same serial-id serialization point documented on
+    * [[Ohlcv.assignIds]] (SURVEY §7.5.1); a multi-writer deployment
+    * replaces SERIAL ids with natural keys, not this sink.
     */
   def warehouseSink(candles: DataFrame, path: String,
                     checkpoint: String): StreamingQuery = {

@@ -65,6 +65,33 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // annKmeans persists the quantized corpus
   }
 
+  test("tfidf df is an aggregate + broadcast join, never a vocab-partitioned window") {
+    val p = plan(TextQueries.tfidf(spark, Sf))
+    // a `count(*) over (partition by token)` df would buffer each
+    // token's full posting list in one WindowExec task at corpus scale
+    assert(!p.contains("Window"), s"df must not ride a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the df aggregate must partial-combine map-side before its shuffle
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below the exchange:\n$p")
+    CacheLife.release(spark) // tfidf reads the cached token store
+  }
+
+  test("range join is an equi-join on the time bucket (no NLJ, no cartesian)") {
+    val p = plan(TemporalQueries.rangeJoinCounts(spark, Sf))
+    // the whole design point: the 5-min range predicate refines a bucket
+    // EQUI-join — a BNLJ would pair every error with every click
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkt"), p)
+  }
+
+  test("sample-mix is a scan + filter with no exchange") {
+    val p = plan(TextQueries.sampleMix(spark, Sf))
+    assert(!p.contains("Exchange"), s"per-row hash sampling must not shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —

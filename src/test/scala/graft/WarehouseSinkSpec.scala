@@ -69,17 +69,39 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(Warehouse.streamTable(spark, path).count() === 1)
   }
 
-  test("streamMaxId counts rows a BATCH-path writer left in the table") {
+  test("streaming into a pre-existing BATCH warehouse: ids continue, every read still works") {
     // pointing the streaming sink at a pre-existing batch warehouse
-    // (no __batch_id partitions) must continue its id sequence, not
-    // restart at 1 and collide
+    // (period_date layout at the root) must continue its id sequence —
+    // not restart at 1 and collide — and the mixed directory must stay
+    // readable afterwards: streamed batches land under the hidden
+    // `_stream/` section, so the two partition layouts never meet in
+    // one discovery
     val path = tmp("graft-mixed")
     val pre = Seq(candle("2023-04-25 10:00:00", 1.0),
       candle("2023-04-25 10:05:00", 2.0)).toDF()
       .withColumn("id", col("volume_traded").cast("long") + 3L) // ids 4, 5
     Warehouse.append(pre, path)
     assert(Warehouse.streamMaxId(spark, path, 0L) === 5L,
-      "batch-path rows (NULL __batch_id) predate every batch")
+      "batch-path rows predate every batch")
+
+    val in = MemoryStream[NormCandle](spark)
+    val q = CandleStream.warehouseSink(in.toDF(), path, tmp("graft-ckpt"))
+    try {
+      in.addData(candle("2023-04-26 04:30:00", 3.0),
+        candle("2023-04-26 04:35:00", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the reads the round-5 layout broke: full table, stream view, and
+    // the restart-path mark over the now-mixed directory
+    val all = Warehouse.table(spark, path).orderBy("id").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(4L, 5L, 6L, 7L),
+      "streamed ids must continue after the batch-path high-water mark")
+    assert(Warehouse.streamTable(spark, path).count() === 4)
+    assert(Warehouse.streamMaxId(spark, path, 99L) === 7L,
+      "a restarted stream must see batch AND streamed rows in its mark")
+    assert(Warehouse.dailyExport(spark, path, "2023-04-26").count() === 2,
+      "partition-pruned close-out must see streamed rows")
   }
 
   test("warehouseSink assigns serial ids across micro-batches") {
