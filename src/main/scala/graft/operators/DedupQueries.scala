@@ -192,13 +192,14 @@ object DedupQueries {
   // Pairs alone don't dedup a corpus — transitive near-dups (A~B, B~C)
   // must collapse into one cluster with one kept representative. This is
   // label propagation to a fixpoint: every node takes the min doc_id
-  // reachable through candidate edges. Each iteration is one equi-join +
-  // min-aggregate (both shuffle on doc_id); iterations needed = graph
-  // diameter, which for near-dup clusters is tiny (they are
-  // quasi-cliques — LSH links most pairs directly). The driver-side loop
-  // checks a scalar count per iteration (no data collected) — the
-  // standard Spark iterative-graph shape (Pregel-style, GraphFrames'
-  // connectedComponents does the same with fancier optimizations).
+  // reachable through candidate edges — run as a DELTA ITERATION
+  // (Pregel's active-vertex set / Flink's delta iterate): only nodes
+  // whose label CHANGED last round propagate, so per-iteration join
+  // I/O scales with the frontier, not the graph. Near-dup clusters are
+  // quasi-cliques (LSH links most pairs directly), so the frontier
+  // collapses after the first hop and later iterations are
+  // near-empty — under the old full-relabel form every iteration
+  // re-joined ALL labels against ALL edges regardless.
   def clusters(s: SparkSession, dir: String): DataFrame = {
     // Iteration state goes through EAGER localCheckpoint, not persist():
     // it truncates the lineage (iteration k's plan would otherwise nest
@@ -216,18 +217,31 @@ object DedupQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // round 0: every node is its own frontier (its label just "changed"
+    // from nothing); afterwards the frontier is the changed subset
+    var frontier = labels
     var changed = 1L
     var iter = 0
     val MaxIters = 50
     while (changed > 0 && iter < MaxIters) {
-      val next = labels.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels.select(col("node"), col("label")))
-        .groupBy("node").agg(min("label").as("label"))
+      // proposals flow only OUT OF the frontier: a node whose label
+      // didn't change last round already sent this label before.
+      // Labels only decrease, so min over proposals is monotone and the
+      // delta form reaches the same fixpoint as full relabeling.
+      val prop = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst"), col("label"))
+        .groupBy("dst").agg(min("label").as("prop"))
+        .withColumnRenamed("dst", "node")
+      // the merge joins full labels against the (frontier-sized,
+      // AQE-broadcastable once the frontier collapses) proposal table
+      val merged = labels.join(prop, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("prop"), col("label"))).as("label"),
+          (col("prop") < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      frontier = merged.filter(col("chg")).select("node", "label")
+      changed = frontier.count()
+      labels = merged.select("node", "label")
       iter += 1
     }
     // fail LOUDLY rather than return silently-unconverged labels (a
@@ -257,6 +271,20 @@ object DedupQueries {
         when(col("sa.is_eval"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
         when(col("sa.is_eval"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"))
   }
+
+  // ---- Decontamination report: the table a curator actually reads ----
+  // Per-eval-doc contamination counts, worst offenders first. One
+  // groupBy over [[contamination]]'s output — which itself rides the
+  // CacheLife-shared LSH candidate store, so the report is a marginal
+  // aggregate, not a third corpus scan. Top-k plans as
+  // TakeOrderedAndProject (eval_doc is unique post-group, so the order
+  // is total and the cut deterministic on both engines).
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contamination(s, dir)
+      .groupBy("eval_doc")
+      .agg(count("*").as("n_train_dups"), min("train_doc").as("first_train_doc"))
+      .orderBy(col("n_train_dups").desc, col("eval_doc").asc)
+      .limit(20)
 
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
@@ -289,6 +317,7 @@ object DedupQueries {
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_simhash_groups" -> (simhashGroups _),
     "dedup_contamination" -> (contamination _),
+    "dedup_contamination_report" -> (contaminationReport _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
@@ -357,15 +386,21 @@ object DedupQueries {
        s"h AS (SELECT doc_id, ${O.tokenHashes("toks")} AS hs FROM t) " +
        s"SELECT ${O.simhash("hs", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
        "FROM h GROUP BY 1"),
-    "dedup_contamination" ->
-      (s"""${oBandCteFor(oWordShCtes)},
-          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-          |split AS (SELECT doc_id,
-          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} = 0 AS is_eval FROM documents)
-          |SELECT CASE WHEN sa.is_eval THEN doc_a ELSE doc_b END AS eval_doc,
-          |       CASE WHEN sa.is_eval THEN doc_b ELSE doc_a END AS train_doc
-          |FROM cand JOIN split sa ON cand.doc_a = sa.doc_id JOIN split sb ON cand.doc_b = sb.doc_id
-          |WHERE sa.is_eval <> sb.is_eval""".stripMargin.replace("\n", " ")),
+    "dedup_contamination" -> oContamination,
+    "dedup_contamination_report" ->
+      (s"""WITH cont AS ($oContamination)
+          |SELECT eval_doc, COUNT(*) AS n_train_dups, MIN(train_doc) AS first_train_doc
+          |FROM cont GROUP BY 1 ORDER BY n_train_dups DESC, eval_doc LIMIT 20""".stripMargin.replace("\n", " ")),
   )
+
+  private lazy val oContamination: String =
+    s"""${oBandCteFor(oWordShCtes)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |split AS (SELECT doc_id,
+       |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} = 0 AS is_eval FROM documents)
+       |SELECT CASE WHEN sa.is_eval THEN doc_a ELSE doc_b END AS eval_doc,
+       |       CASE WHEN sa.is_eval THEN doc_b ELSE doc_a END AS train_doc
+       |FROM cand JOIN split sa ON cand.doc_a = sa.doc_id JOIN split sb ON cand.doc_b = sb.doc_id
+       |WHERE sa.is_eval <> sb.is_eval""".stripMargin.replace("\n", " ")
 }

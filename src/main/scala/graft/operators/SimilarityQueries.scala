@@ -112,12 +112,32 @@ object SimilarityQueries {
   // blocking with an explicitly accepted recall target.
   val PairBlocks = 32
 
+  /** Refusal bound for the exact kernel, in PAIR rows. 2^31 pair rows
+    * (n ≈ 65k vectors) is far past anything the exact form should ever
+    * materialize — the guard exists to turn the scaladoc caveat into a
+    * loud failure instead of a silent n² job, so a caller who points
+    * the exact kernel at a corpus-scale table gets told to use the
+    * bucket-blocked candidates (annLsh/annIvf) rather than a cluster
+    * melting quietly.
+    */
+  val MaxKernelPairs: Long = 1L << 31
+
   /** Every unordered pair's cosine (n(n-1)/2 rows) via the blocked
     * triangle equi-join — the shared kernel under [[pairsThreshold]]
-    * and [[knnJoin]].
+    * and [[knnJoin]]. Guarded: counts the input first (a metadata-cheap
+    * parquet count against the one n² materialization it prevents) and
+    * refuses past `maxPairs`.
     */
-  private def allPairsBlocked(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.spread(s, embs(s, dir))
+  private[graft] def allPairsGuarded(s: SparkSession, input: DataFrame,
+                                     maxPairs: Long): DataFrame = {
+    val n = input.count()
+    val pairs = n * (n - 1L) / 2L
+    require(pairs <= maxPairs,
+      s"exact pair kernel: $n vectors would materialize $pairs pair rows " +
+      s"(bound $maxPairs) — at this scale use the LSH/IVF bucket-blocked " +
+      "candidate form (annLsh/annIvf + the same threshold/rank stage), " +
+      "not the exact triangle")
+    val base = Tables.spread(s, input)
       .select(col("vec_id"), col("v"),
         pmod(col("vec_id"), lit(PairBlocks.toLong)).cast("int").as("blk"))
     val aSide = base
@@ -140,10 +160,12 @@ object SimilarityQueries {
     * O(n²/2) rows — cacheable here because the embedding corpus is
     * model-scale small, NOT a 100 TB pattern (there the lossy LSH/IVF
     * bucket blocking replaces the exact kernel; see the
-    * allPairsBlocked/annLsh scaladocs).
+    * allPairsGuarded/annLsh scaladocs). [[MaxKernelPairs]] enforces
+    * the caveat — PairGuardSpec proves the trip.
     */
   private def pairKernel(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"sim.pair-kernel:$dir")(allPairsBlocked(s, dir))
+    graft.CacheLife.cached(s, s"sim.pair-kernel:$dir")(
+      allPairsGuarded(s, embs(s, dir), MaxKernelPairs))
 
   def pairsThreshold(s: SparkSession, dir: String): DataFrame =
     pairKernel(s, dir).filter(col("cos") >= PairThreshold)

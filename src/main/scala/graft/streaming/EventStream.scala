@@ -43,4 +43,37 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day").as("day"))
       .agg(count("*").as("n_events"))
       .select(to_date(col("day.start")).as("period_date"), col("n_events"))
+
+  /** Gap sessionization as a stream — the `session_window` twin of
+    * [[graft.operators.TemporalQueries.sessionize]], closing the
+    * batch/stream parity story for the temporal family the way
+    * `CandleStream.dailyAggregate` twins T2. The built-in session
+    * operator grows a per-user window while events land within the gap
+    * and DROPS the window's state once the watermark passes its end —
+    * bounded state over an unbounded stream, where the batch form's
+    * lag+running-sum would need the whole history.
+    *
+    * Emits the batch query's measures per closed session. `session_idx`
+    * is inherently a batch-ordinal notion (the k-th session of a user
+    * is unknowable until all earlier sessions closed), so stream-side
+    * identity is (user_id, session_start_us) — EventStreamSpec derives
+    * the ordinal after the drain and proves row-level parity.
+    *
+    * Boundary note: `session_window` starts a NEW session at
+    * gap-or-more idle (merge while `ts < prev + gap`), the batch form
+    * at strictly-more (`> SessionGapUs`). An event exactly on the gap
+    * boundary differs; event times are integer micros drawn from
+    * millisecond-ish arrival processes, so the measure-zero tie never
+    * appears in the fixtures — and a deployment picks one convention.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count("*").as("n_events"),
+        min(expr("ts_ns div 1000")).as("session_start_us"),
+        max(expr("ts_ns div 1000")).as("session_end_us"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"))
 }

@@ -38,4 +38,30 @@ class EventStreamSpec extends SparkSpec {
   private def CoreQueriesBatchCounts(): Map[String, Long] =
     graft.operators.CoreQueries.countByDay(spark, Sf).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+  test("session_window sessionization equals the batch gap sessionize after drain") {
+    val dir = Files.createTempDirectory("graft-sess")
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.sessionize(EventStream.read(spark, dir.toString))
+      .writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val streamed =
+      try {
+        assert(q.awaitTermination(120000), "stream did not drain in 120s")
+        spark.table("stream_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      } finally q.stop()
+
+    // batch ordinals don't exist stream-side — compare the full row set
+    // on the shared identity (user, start) with measures attached
+    val batch = graft.operators.TemporalQueries.sessionize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq,
+      s"stream sessions (${streamed.length}) != batch sessions (${batch.length})")
+  }
 }
