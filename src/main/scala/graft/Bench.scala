@@ -91,9 +91,13 @@ object Bench {
     val scalePart =
       if (scaleDir == "none") ""
       else {
-        val (_, small, smallErrs) = runPass(spark, scaleDir, 1)
-        val smallMap = small.toMap
-        val ratios = results.collect {
+        val (smallBuilds, small, smallErrs) = runPass(spark, scaleDir, 1)
+        // builders ride the ratio too — the O(n²) pair kernel lives in
+        // a BUILD line, and that is exactly where super-linearity hides
+        val smallMap = small.toMap ++
+          smallBuilds.map { case (n, t) => s"build:$n" -> t }
+        val mains = results ++ builds.map { case (n, t) => s"build:$n" -> t }
+        val ratios = mains.collect {
           case (name, t) if t >= 0 && smallMap.getOrElse(name, -1.0) > 0 =>
             name -> t / smallMap(name)
         }

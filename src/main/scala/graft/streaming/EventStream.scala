@@ -2,7 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Per-user streaming as-of state: the latest click seen so far. */
+case class AsofClick(click_id: Long, click_ts: Long)
+
+/** One matched error row emitted by [[EventStream.asofJoin]]. */
+case class AsofMatch(err_id: Long, user_id: Long, err_ts_us: Long,
+                     last_click_id: Option[Long], last_click_ts: Option[Long])
 
 /** Structured-Streaming ingestion of the `events` table from a file
   * source — "streams are incremental batch": the SAME daily aggregate
@@ -76,4 +84,54 @@ object EventStream {
         max(expr("ts_ns div 1000")).as("session_end_us"))
       .select(col("user_id"), col("n_events"),
         col("session_start_us"), col("session_end_us"))
+
+  /** The as-of join as a stream — the `flatMapGroupsWithState` twin of
+    * [[graft.operators.TemporalQueries.asofJoin]]: each error pairs
+    * with its user's latest click at-or-before it. Per-user state is
+    * ONE row (the best click so far) — O(users) total, where the batch
+    * form's union-window would need the whole history resident.
+    *
+    * Within a micro-batch the group's rows sort by (ts, is_error, id)
+    * — clicks before errors on ties, exactly the batch query's window
+    * order — so intra-batch results are exact regardless of arrival
+    * order. ACROSS batches the state keeps only the latest click:
+    * results match the batch query when arrival respects event time
+    * across micro-batches (the landing-zone file source delivers in
+    * file order = time order). An error delivered late, after a click
+    * with a LARGER timestamp, would see that newer click; full
+    * out-of-order correctness needs a watermark-buffered click history
+    * per user — a deliberate state-size/lateness tradeoff documented
+    * here, same family as the dedup watermark horizon.
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AsofClick, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[AsofClick]) =>
+          val ordered = rows.toSeq.sortBy { case (id, _, typ, ts) =>
+            (ts, if (typ == "error") 1 else 0, id)
+          }
+          val out = Seq.newBuilder[AsofMatch]
+          var best = state.getOption
+          ordered.foreach {
+            case (id, _, "click", ts) =>
+              // ties: the window order above already placed the
+              // higher-id click last, so >= keeps the batch tiebreak
+              if (best.forall(b => b.click_ts < ts || (b.click_ts == ts && b.click_id <= id)))
+                best = Some(AsofClick(id, ts))
+            case (id, _, "error", ts) =>
+              out += AsofMatch(id, user, ts, best.map(_.click_id), best.map(_.click_ts))
+            case _ => ()
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
 }

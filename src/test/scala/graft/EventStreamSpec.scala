@@ -64,4 +64,32 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sorted.toSeq == batch.sorted.toSeq,
       s"stream sessions (${streamed.length}) != batch sessions (${batch.length})")
   }
+
+  test("stateful streaming as-of join equals the batch union-window as-of after drain") {
+    val dir = Files.createTempDirectory("graft-asof")
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventStream.asofJoin(EventStream.read(spark, dir.toString))
+      .writeStream
+      .format("memory").queryName("stream_asof")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val streamed =
+      try {
+        assert(q.awaitTermination(120000), "stream did not drain in 120s")
+        spark.table("stream_asof").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])))
+      } finally q.stop()
+
+    val batch = graft.operators.TemporalQueries.asofJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(streamed.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq,
+      s"stream as-of (${streamed.length}) != batch as-of (${batch.length})")
+  }
 }
