@@ -251,6 +251,23 @@ object DedupQueries {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  // ---- Corpus after dedup: what a curator actually ships ----
+  // One representative per near-dup cluster (the component's min doc_id
+  // — which IS the cluster label, since labels min-propagate doc ids)
+  // plus every unclustered doc. The cluster labels are the output of
+  // [[clusters]], which rides the CacheLife-shared LSH candidate store,
+  // so the survivor pass costs one left join over the corpus — at scale
+  // a doc_id-keyed SMJ where the right side is only the clustered
+  // minority, never a second near-dup search.
+  def survivors(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters(s, dir).withColumnRenamed("doc_id", "c_doc"),
+        col("doc_id") === col("c_doc"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"),
+        when(col("cluster_id").isNull, lit("unique"))
+          .otherwise(lit("representative")).as("kept_as"))
+
   // ---- Decontamination: near-dup pairs CROSSING a train/eval split ----
   // The pre-training leakage check: split the corpus deterministically
   // (md5 bucket of doc_id → 10% eval, the rel_hash_sample idiom), then
@@ -314,6 +331,7 @@ object DedupQueries {
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_chargram_pairs" -> (chargramPairs _),
     "dedup_clusters" -> (clusters _),
+    "dedup_survivors" -> (survivors _),
     "dedup_jaccard_pairs" -> (jaccardPairs _),
     "dedup_simhash_groups" -> (simhashGroups _),
     "dedup_contamination" -> (contamination _),
@@ -359,18 +377,13 @@ object DedupQueries {
       s"sh AS (SELECT doc_id, ${O.charShingles("text", CharGramN)} AS sh FROM documents)"),
     // connected components as a recursive transitive closure + min
     "dedup_clusters" ->
-      (s"""WITH RECURSIVE ${oWordShCtes},
-          |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
-          |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
-          |bands AS (SELECT doc_id, u.band - 1 AS band, ($oBandKeysArr)[u.band] AS key
-          |          FROM sig, unnest(range(1, ${Bands + 1})) AS u(band)),
-          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-          |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
-          |          UNION ALL SELECT doc_b, doc_a FROM cand),
-          |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
-          |          UNION SELECT reach.node, e.t FROM reach JOIN edges e ON reach.r = e.s)
-          |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin.replace("\n", " ")),
+      s"$oClusterCtes SELECT doc_id, cluster_id FROM lab",
+    "dedup_survivors" ->
+      (s"""$oClusterCtes
+          |SELECT d.doc_id,
+          |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'representative' END AS kept_as
+          |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+          |WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id""".stripMargin.replace("\n", " ")),
     "dedup_jaccard_pairs" ->
       (s"""WITH cand AS ($oPairs),
           |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
@@ -392,6 +405,25 @@ object DedupQueries {
           |SELECT eval_doc, COUNT(*) AS n_train_dups, MIN(train_doc) AS first_train_doc
           |FROM cont GROUP BY 1 ORDER BY n_train_dups DESC, eval_doc LIMIT 20""".stripMargin.replace("\n", " ")),
   )
+
+  /** The full recursive CTE chain ending at `lab(doc_id, cluster_id)` —
+    * the oracle twin of [[clusters]], shared by the clusters, survivors,
+    * and funnel oracles (the engine side shares the same labels through
+    * the CacheLife candidate store).
+    */
+  private[operators] lazy val oClusterCtes: String =
+    s"""WITH RECURSIVE ${oWordShCtes},
+       |hs AS (SELECT doc_id, ${O.shingleHashes("sh")} AS hs FROM sh),
+       |sig AS (SELECT doc_id, ${O.minhashSignature("hs", K)} AS sig FROM hs),
+       |bands AS (SELECT doc_id, u.band - 1 AS band, ($oBandKeysArr)[u.band] AS key
+       |          FROM sig, unnest(range(1, ${Bands + 1})) AS u(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (SELECT DISTINCT s AS node, s AS r FROM edges
+       |          UNION SELECT reach.node, e.t FROM reach JOIN edges e ON reach.r = e.s),
+       |lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)""".stripMargin.replace("\n", " ")
 
   private lazy val oContamination: String =
     s"""${oBandCteFor(oWordShCtes)},

@@ -26,6 +26,7 @@ object SimilarityQueries {
 
   val QueryVecId = 0L
   val TopK = 20
+  val RecallK = 10
   val BucketBits = 8
   val PairThreshold = 0.4
 
@@ -471,7 +472,37 @@ object SimilarityQueries {
     "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
   )
 
+  // ---- ANN recall report: the eval a lossy index must ship with ----
+  // recall@10 of every approximate variant against the exact brute-force
+  // top-10 for the fixed query vector — the number that justifies (or
+  // refutes) choosing the bucketed path at scale. Each variant's top-10
+  // is the REGISTERED query's own result re-cut to k, semi-joined
+  // against the exact set; five one-row aggregates union into the
+  // report. The probes all ride the same memoized model/cell stores the
+  // individual queries use, so the report costs five small probes, not
+  // five corpus scans — and at 100 TB this is exactly the periodic
+  // index-health check a deployment schedules.
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    def top10(df: DataFrame): DataFrame =
+      df.orderBy(col("cos").desc, col("vec_id").asc).limit(RecallK).select("vec_id")
+    val brute = top10(topkCosine(s, dir))
+    def row(name: String, df: DataFrame): DataFrame =
+      top10(df).join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("variant"), col("hits"),
+          round(col("hits").cast("double") / RecallK, 6).as("recall"))
+    Seq(
+      "lsh" -> annLsh(s, dir),
+      "lsh_multiprobe" -> annLshMultiProbe(s, dir),
+      "ivf" -> annIvf(s, dir),
+      "ivf_multiprobe" -> annIvfMultiProbe(s, dir),
+      "kmeans" -> annKmeans(s, dir))
+      .map { case (n, df) => row(n, df) }
+      .reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall" -> (annRecall _),
     "sim_topk_cosine" -> (topkCosine _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiProbe _),
@@ -545,27 +576,63 @@ object SimilarityQueries {
        |WHERE vec_id <> $QueryVecId AND cell = qcell
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
+  private lazy val oIvf: String =
+    s"WITH e AS ($oE), $oCells, " +
+    s"q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = $QueryVecId) " +
+    s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
+    s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"
+
+  private lazy val oIvfMulti: String =
+    s"WITH e AS ($oE), $oCells, " +
+    s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
+    s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
+    s"qc AS (SELECT cid AS qcell, qv FROM (" +
+    s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeIvf) " +
+    s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
+    s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"
+
+  private lazy val oTopk: String =
+    s"WITH e AS ($oE), q AS ($oQ) " +
+    s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+    s"ORDER BY cos DESC, vec_id LIMIT $TopK"
+
+  private lazy val oLsh: String =
+    s"WITH e AS ($oE), q AS ($oQ) " +
+    s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+    s"AND ${VO.signBucket("v", BucketBits)} = ${VO.signBucket("qv", BucketBits)} " +
+    s"ORDER BY cos DESC, vec_id LIMIT $TopK"
+
+  private lazy val oLshMulti: String = {
+    val b = VO.signBucket("v", BucketBits)
+    val qb = VO.signBucket("qv", BucketBits)
+    val probes = (s"$b = $qb" +:
+      (0 until BucketBits).map(d => s"$b = xor($qb, ${1L << d})")).mkString("(", " OR ", ")")
+    s"WITH e AS ($oE), q AS ($oQ) " +
+    s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+    s"AND $probes ORDER BY cos DESC, vec_id LIMIT $TopK"
+  }
+
+  /** One recall row: |variant top-10 ∩ brute top-10| / 10. Each variant's
+    * oracle runs verbatim as a scoped derived-table CTE, so the recall
+    * oracle measures EXACTLY the registered queries it reports on.
+    */
+  private def oRecallRow(name: String, varSql: String): String =
+    s"""SELECT '$name' AS variant, COUNT(*) AS hits,
+       |round(COUNT(*)::DOUBLE / $RecallK, 6) AS recall
+       |FROM (SELECT vec_id FROM ($varSql) ORDER BY cos DESC, vec_id LIMIT $RecallK) v
+       |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
+       |USING (vec_id)""".stripMargin.replace("\n", " ")
+
   val oracle: Map[String, String] = Map(
     "sim_kmeans_cells" -> oKmeans,
     "sim_ann_kmeans" -> oAnnKmeans,
-    "sim_topk_cosine" ->
-      (s"WITH e AS ($oE), q AS ($oQ) " +
-       s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
-       s"ORDER BY cos DESC, vec_id LIMIT $TopK"),
-    "sim_ann_lsh" ->
-      (s"WITH e AS ($oE), q AS ($oQ) " +
-       s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
-       s"AND ${VO.signBucket("v", BucketBits)} = ${VO.signBucket("qv", BucketBits)} " +
-       s"ORDER BY cos DESC, vec_id LIMIT $TopK"),
-    "sim_ann_lsh_multiprobe" -> {
-      val b = VO.signBucket("v", BucketBits)
-      val qb = VO.signBucket("qv", BucketBits)
-      val probes = (s"$b = $qb" +:
-        (0 until BucketBits).map(d => s"$b = xor($qb, ${1L << d})")).mkString("(", " OR ", ")")
-      s"WITH e AS ($oE), q AS ($oQ) " +
-      s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
-      s"AND $probes ORDER BY cos DESC, vec_id LIMIT $TopK"
-    },
+    "sim_topk_cosine" -> oTopk,
+    "sim_ann_lsh" -> oLsh,
+    "sim_ann_lsh_multiprobe" -> oLshMulti,
+    "sim_ann_recall" -> Seq(
+      "lsh" -> oLsh, "lsh_multiprobe" -> oLshMulti, "ivf" -> oIvf,
+      "ivf_multiprobe" -> oIvfMulti, "kmeans" -> oAnnKmeans)
+      .map { case (n, sql) => oRecallRow(n, sql) }.mkString(" UNION ALL "),
     "sim_pairs_threshold" ->
       (s"WITH e AS ($oE) " +
        s"SELECT vec_a, vec_b, cos FROM (" +
@@ -580,19 +647,8 @@ object SimilarityQueries {
     "sim_ivf_cells" ->
       (s"WITH e AS ($oE), $oCells " +
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
-    "sim_ann_ivf" ->
-      (s"WITH e AS ($oE), $oCells, " +
-       s"q AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = $QueryVecId) " +
-       s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
-       s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"),
-    "sim_ann_ivf_multiprobe" ->
-      (s"WITH e AS ($oE), $oCells, " +
-       s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
-       s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
-       s"qc AS (SELECT cid AS qcell, qv FROM (" +
-       s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeIvf) " +
-       s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
-       s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"),
+    "sim_ann_ivf" -> oIvf,
+    "sim_ann_ivf_multiprobe" -> oIvfMulti,
     "sim_quantize_int8" ->
       (s"WITH e AS ($oE), m AS (SELECT vec_id, v, " +
        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) " +

@@ -156,6 +156,62 @@ object TextQueries {
   // unlike rand() sampling, and trivially parallel (a per-row filter,
   // no shuffle). Rates here derive from the source name so the query is
   // self-contained; a production mix passes the rate table in.
+  // ---- Corpus funnel: the whole curation pipeline as ONE report ----
+  // The table a curator reads before a training run: how many documents
+  // survive each stage of lang-filter → quality-filter → exact dedup →
+  // near-dedup → sampling, as cumulative counts in stage order. Every
+  // stage's verdict is computed as a per-doc FLAG in one corpus pass
+  // (plus the two join-shaped verdicts: exact-keep = min doc_id per
+  // text hash, near-keep = survivor per [[DedupQueries.clusters]]),
+  // then a single global aggregate counts the prefix conjunctions —
+  // six counters in one map-side-combined pass, NOT six corpus scans.
+  // The dedup verdicts ride the corpus-wide CacheLife candidate store
+  // (a real pipeline dedups once and reuses the verdicts downstream),
+  // so the funnel's marginal cost over the dedup pass is one scan +
+  // two joins. `stack` unpivots the one counter row into the report.
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val en = T.LangProfiles.head._2
+    val stopR = T.wordSetRatio(col("toks"), en)
+    val alphaR = T.charClassRatio(col("text"), "[a-z ]")
+    val lenCap = least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+    val qual = round(lit(0.5) * alphaR + lit(0.3) * stopR + lit(0.2) * lenCap, 6)
+    val flagged = docsTok(s, dir).select(
+      col("doc_id"),
+      (T.langId(col("toks")) === "en").as("f_lang"),
+      (qual >= 0.6).as("f_qual"),
+      md5(col("text")).as("text_hash"),
+      (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) < 8)
+        .as("f_samp"))
+    val exactKeep = flagged.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+    val nearRemoved = DedupQueries.clusters(s, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("nr_doc"))
+    flagged
+      .join(exactKeep, Seq("text_hash"))
+      .join(nearRemoved, col("doc_id") === col("nr_doc"), "left_outer")
+      .select(col("f_lang"), col("f_qual"),
+        (col("doc_id") === col("keep_id")).as("f_exact"),
+        col("nr_doc").isNull.as("f_near"), col("f_samp"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f_lang"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f_lang") && col("f_qual"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f_lang") && col("f_qual") && col("f_exact"), 1L)
+          .otherwise(0L)).as("n3"),
+        sum(when(col("f_lang") && col("f_qual") && col("f_exact") && col("f_near"), 1L)
+          .otherwise(0L)).as("n4"),
+        sum(when(col("f_lang") && col("f_qual") && col("f_exact") && col("f_near")
+          && col("f_samp"), 1L).otherwise(0L)).as("n5"))
+      .selectExpr(
+        """stack(6,
+          |  'raw', 0, n0,
+          |  'lang_en', 1, n1,
+          |  'quality', 2, n2,
+          |  'exact_dedup', 3, n3,
+          |  'near_dedup', 4, n4,
+          |  'sampled', 5, n5) AS (stage, stage_idx, n_docs)""".stripMargin)
+  }
+
   def sampleMix(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Buckets.mdBucket
     Tables.documents(s, dir)
@@ -168,6 +224,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sample_mix" -> (sampleMix _),
+    "text_corpus_funnel" -> (corpusFunnel _),
     "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
@@ -185,6 +242,32 @@ object TextQueries {
          | ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 1000)} AS b,
          | ${graft.functions.Buckets.sqlBucket("source", 600)} + 200 AS rate_permille
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
+    "text_corpus_funnel" -> {
+      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+      val alphaR = O.charClassRatio("text", "[a-z ]")
+      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+      val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
+      s"""${DedupQueries.oClusterCtes},
+         |flags AS (SELECT doc_id,
+         |  (${O.langId(oToks)} = 'en') AS f_lang,
+         |  ($qual >= 0.6) AS f_qual,
+         |  md5(text) AS text_hash,
+         |  (${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} < 8) AS f_samp
+         |  FROM documents),
+         |ek AS (SELECT text_hash, MIN(doc_id) AS keep_id FROM flags GROUP BY 1),
+         |nr AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+         |f AS (SELECT flags.doc_id, f_lang, f_qual,
+         |        (flags.doc_id = ek.keep_id) AS f_exact,
+         |        (nr.doc_id IS NULL) AS f_near, f_samp
+         |      FROM flags JOIN ek USING (text_hash)
+         |      LEFT JOIN nr ON flags.doc_id = nr.doc_id)
+         |SELECT 'raw' AS stage, 0 AS stage_idx, COUNT(*) AS n_docs FROM f
+         |UNION ALL SELECT 'lang_en', 1, COUNT(*) FILTER (WHERE f_lang) FROM f
+         |UNION ALL SELECT 'quality', 2, COUNT(*) FILTER (WHERE f_lang AND f_qual) FROM f
+         |UNION ALL SELECT 'exact_dedup', 3, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact) FROM f
+         |UNION ALL SELECT 'near_dedup', 4, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near) FROM f
+         |UNION ALL SELECT 'sampled', 5, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near AND f_samp) FROM f""".stripMargin.replace("\n", " ")
+    },
     "text_tfidf" ->
       (s"""WITH vocab AS (SELECT token FROM (
           |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)

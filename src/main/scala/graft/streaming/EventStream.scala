@@ -85,6 +85,30 @@ object EventStream {
       .select(col("user_id"), col("n_events"),
         col("session_start_us"), col("session_end_us"))
 
+  /** Watermarked ingest dedup — the streaming twin of the batch
+    * exact-dedup family (T3's duplicate-tolerant append, made exact at
+    * the stream boundary): redelivered events are dropped by key while
+    * their timestamp is inside the watermark horizon, so an at-least-once
+    * upstream (file re-land, kafka redelivery, task retry) yields an
+    * exactly-once table downstream WITHOUT the batch pass over the
+    * accumulated corpus that [[graft.operators.DedupQueries.exact]]
+    * would need.
+    *
+    * State is one entry per key within the horizon — O(arrival rate ×
+    * horizon), NOT O(corpus): `dropDuplicatesWithinWatermark` evicts a
+    * key once the watermark passes its event time, which is exactly the
+    * bounded-state tradeoff: `horizon` must cover the worst redelivery
+    * lateness (a duplicate arriving later than it slips through — and
+    * lands in the idempotent batch-id overwrite one layer down,
+    * Warehouse.idempotentAppend). EventStreamSpec sets the horizon past
+    * the fixture's whole span and redelivers the entire file: full
+    * redelivery, zero duplicate rows out.
+    */
+  def dedup(events: DataFrame, horizon: String = "30 days"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The as-of join as a stream — the `flatMapGroupsWithState` twin of
     * [[graft.operators.TemporalQueries.asofJoin]]: each error pairs
     * with its user's latest click at-or-before it. Per-user state is

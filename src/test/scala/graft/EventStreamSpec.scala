@@ -65,6 +65,38 @@ class EventStreamSpec extends SparkSpec {
       s"stream sessions (${streamed.length}) != batch sessions (${batch.length})")
   }
 
+  test("watermarked stream dedup yields each event once under full redelivery") {
+    val dir = Files.createTempDirectory("graft-dedup")
+    // the same file landed TWICE = two micro-batches (maxFilesPerTrigger=1),
+    // the second a complete redelivery of the first
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$Sf/events.parquet"),
+      dir.resolve("events-2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    // horizon (40 days) > fixture span (~30 days): no state evicts, so
+    // every redelivered key is still remembered — exactness proof; a
+    // deployment sizes it to the worst redelivery lateness instead
+    val q = EventStream.dedup(EventStream.read(spark, dir.toString), "40 days")
+      .select("event_id")
+      .writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val streamed =
+      try {
+        assert(q.awaitTermination(120000), "stream did not drain in 120s")
+        spark.table("stream_dedup").collect().map(_.getLong(0))
+      } finally q.stop()
+
+    val batchIds = Tables.events(spark, Sf).select("event_id")
+      .distinct().collect().map(_.getLong(0))
+    assert(streamed.length == streamed.distinct.length, "stream emitted duplicates")
+    assert(streamed.sorted.toSeq == batchIds.sorted.toSeq,
+      s"stream ids (${streamed.length}) != batch distinct ids (${batchIds.length})")
+  }
+
   test("stateful streaming as-of join equals the batch union-window as-of after drain") {
     val dir = Files.createTempDirectory("graft-asof")
     Files.copy(Paths.get(s"$Sf/events.parquet"),

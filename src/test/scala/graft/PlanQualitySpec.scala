@@ -92,6 +92,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("dedup survivors is a doc_id equi-join over the labels (no NLJ, no window)") {
+    val p = plan(DedupQueries.survivors(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    CacheLife.release(spark) // survivors rides the cached candidate store
+  }
+
+  test("corpus funnel counts all six stages in one final aggregate (no window, no NLJ)") {
+    val p = plan(TextQueries.corpusFunnel(spark, Sf))
+    // six cumulative counters must ride ONE partial+final aggregate
+    // pass over the flagged corpus — six separate scans (or a stage
+    // window) would read the corpus six times at scale
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below an exchange:\n$p")
+    CacheLife.release(spark) // funnel rides the cached candidate store
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —
