@@ -200,7 +200,14 @@ object DedupQueries {
   // collapses after the first hop and later iterations are
   // near-empty — under the old full-relabel form every iteration
   // re-joined ALL labels against ALL edges regardless.
-  def clusters(s: SparkSession, dir: String): DataFrame = {
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    // The converged labels are CacheLife-memoized: the fixpoint runs
+    // once per (session, dir) and survivors/corpusFunnel read the same
+    // label store instead of re-running the iterative job — the
+    // "dedup once, reuse the verdicts" contract a real pipeline has.
+    graft.CacheLife.cached(s, s"dedup.clusters:$dir")(clustersUncached(s, dir))
+
+  private def clustersUncached(s: SparkSession, dir: String): DataFrame = {
     // Iteration state goes through EAGER localCheckpoint, not persist():
     // it truncates the lineage (iteration k's plan would otherwise nest
     // all k-1 predecessors) and sidesteps CacheManager's canonical-plan
@@ -255,8 +262,8 @@ object DedupQueries {
   // One representative per near-dup cluster (the component's min doc_id
   // — which IS the cluster label, since labels min-propagate doc ids)
   // plus every unclustered doc. The cluster labels are the output of
-  // [[clusters]], which rides the CacheLife-shared LSH candidate store,
-  // so the survivor pass costs one left join over the corpus — at scale
+  // [[clusters]] — CacheLife-memoized, so the label fixpoint runs once
+  // per session and the survivor pass costs one left join — at scale
   // a doc_id-keyed SMJ where the right side is only the clustered
   // minority, never a second near-dup search.
   def survivors(s: SparkSession, dir: String): DataFrame =
@@ -323,6 +330,7 @@ object DedupQueries {
     "dedup.chargram_bands" -> (() => { chargramBands(s, dir).count(); () }),
     "dedup.chargram_pairs" -> (() => { chargramPairs(s, dir).count(); () }),
     "dedup.shingles" -> (() => { shingleStore(s, dir).count(); () }),
+    "dedup.clusters" -> (() => { clusters(s, dir).count(); () }),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,7 +417,7 @@ object DedupQueries {
   /** The full recursive CTE chain ending at `lab(doc_id, cluster_id)` —
     * the oracle twin of [[clusters]], shared by the clusters, survivors,
     * and funnel oracles (the engine side shares the same labels through
-    * the CacheLife candidate store).
+    * the CacheLife-memoized label store).
     */
   private[operators] lazy val oClusterCtes: String =
     s"""WITH RECURSIVE ${oWordShCtes},

@@ -132,8 +132,11 @@ object SimilarityQueries {
   private[graft] def allPairsGuarded(s: SparkSession, input: DataFrame,
                                      maxPairs: Long): DataFrame = {
     val n = input.count()
-    val pairs = n * (n - 1L) / 2L
-    require(pairs <= maxPairs,
+    // BigInt: n*(n-1) overflows Long past n ≈ 3e9 — exactly the
+    // corpus-scale input the guard exists to refuse, so the check
+    // itself must not wrap
+    val pairs = BigInt(n) * BigInt(n - 1L) / 2
+    require(pairs <= BigInt(maxPairs),
       s"exact pair kernel: $n vectors would materialize $pairs pair rows " +
       s"(bound $maxPairs) — at this scale use the LSH/IVF bucket-blocked " +
       "candidate form (annLsh/annIvf + the same threshold/rank stage), " +

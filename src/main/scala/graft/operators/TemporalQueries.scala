@@ -64,7 +64,12 @@ object TemporalQueries {
         col("ts_us").as("err_ts_us"), col("last_click_id"), col("last_click_ts"))
   }
 
-  // ---- Gap sessionization: new session after >30 min idle ----
+  // ---- Gap sessionization: new session at ≥30 min idle ----
+  // Boundary convention: gap-or-more idle starts a new session (>=),
+  // matching Structured Streaming's `session_window` (which merges only
+  // while ts < prev + gap) — so the EventStream.sessionize twin is
+  // row-level identical even for an event landing exactly on the gap
+  // boundary (cron-aligned pings do exactly that).
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -72,7 +77,7 @@ object TemporalQueries {
       .withColumn("prev_ts", lag("ts_us", 1).over(wOrd))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          col("ts_us") - col("prev_ts") > SessionGapUs, 1).otherwise(0))
+          col("ts_us") - col("prev_ts") >= SessionGapUs, 1).otherwise(0))
       .withColumn("session_idx", sum("new_sess").over(wRun))
       .groupBy("user_id", "session_idx")
       .agg(count("*").as("n_events"),
@@ -130,7 +135,7 @@ object TemporalQueries {
       (s"""WITH ev AS ($oEv),
           |l AS (SELECT user_id, event_id, ts_us,
           |  lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts FROM ev),
-          |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $SessionGapUs THEN 1 ELSE 0 END AS new_sess FROM l),
+          |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= $SessionGapUs THEN 1 ELSE 0 END AS new_sess FROM l),
           |x AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM m)
           |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,

@@ -165,10 +165,17 @@ object TextQueries {
   // text hash, near-keep = survivor per [[DedupQueries.clusters]]),
   // then a single global aggregate counts the prefix conjunctions —
   // six counters in one map-side-combined pass, NOT six corpus scans.
-  // The dedup verdicts ride the corpus-wide CacheLife candidate store
-  // (a real pipeline dedups once and reuses the verdicts downstream),
-  // so the funnel's marginal cost over the dedup pass is one scan +
-  // two joins. `stack` unpivots the one counter row into the report.
+  // The near-dup verdicts ride the corpus-wide CacheLife-memoized
+  // cluster labels (a real pipeline dedups once and reuses the verdicts
+  // downstream), so the funnel's marginal cost over the dedup pass is
+  // one scan + three joins. `stack` unpivots the counter row.
+  //
+  // Keep-verdict semantics: each dedup stage keeps the smallest
+  // SURVIVING doc of a duplicate group — the exact-keep min is taken
+  // over docs that passed lang+quality, and the cluster representative
+  // over docs that additionally survived exact dedup — so a group whose
+  // global-min doc was filtered by an earlier stage still ships exactly
+  // one copy (a global min would silently drop the whole group).
   def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
     val en = T.LangProfiles.head._2
     val stopR = T.wordSetRatio(col("toks"), en)
@@ -182,16 +189,24 @@ object TextQueries {
       md5(col("text")).as("text_hash"),
       (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) < 8)
         .as("f_samp"))
-    val exactKeep = flagged.groupBy("text_hash").agg(min("doc_id").as("keep_id"))
-    val nearRemoved = DedupQueries.clusters(s, dir)
-      .filter(col("cluster_id") =!= col("doc_id"))
-      .select(col("doc_id").as("nr_doc"))
-    flagged
-      .join(exactKeep, Seq("text_hash"))
-      .join(nearRemoved, col("doc_id") === col("nr_doc"), "left_outer")
-      .select(col("f_lang"), col("f_qual"),
-        (col("doc_id") === col("keep_id")).as("f_exact"),
-        col("nr_doc").isNull.as("f_near"), col("f_samp"))
+    val exactKeep = flagged.filter(col("f_lang") && col("f_qual"))
+      .groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+    val labels = DedupQueries.clusters(s, dir)
+      .select(col("doc_id").as("c_doc"), col("cluster_id"))
+    val staged = flagged
+      .join(exactKeep, Seq("text_hash"), "left_outer")
+      .withColumn("f_exact", coalesce(col("doc_id") === col("keep_id"), lit(false)))
+      .join(labels, col("doc_id") === col("c_doc"), "left_outer")
+    val reps = staged
+      .filter(col("f_lang") && col("f_qual") && col("f_exact")
+        && col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(min("doc_id").as("rep_id"))
+    staged
+      .join(reps, Seq("cluster_id"), "left_outer")
+      .select(col("f_lang"), col("f_qual"), col("f_exact"),
+        (col("cluster_id").isNull ||
+          coalesce(col("doc_id") === col("rep_id"), lit(false))).as("f_near"),
+        col("f_samp"))
       .agg(
         count(lit(1)).as("n0"),
         sum(when(col("f_lang"), 1L).otherwise(0L)).as("n1"),
@@ -254,13 +269,20 @@ object TextQueries {
          |  md5(text) AS text_hash,
          |  (${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} < 8) AS f_samp
          |  FROM documents),
-         |ek AS (SELECT text_hash, MIN(doc_id) AS keep_id FROM flags GROUP BY 1),
-         |nr AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
-         |f AS (SELECT flags.doc_id, f_lang, f_qual,
-         |        (flags.doc_id = ek.keep_id) AS f_exact,
-         |        (nr.doc_id IS NULL) AS f_near, f_samp
-         |      FROM flags JOIN ek USING (text_hash)
-         |      LEFT JOIN nr ON flags.doc_id = nr.doc_id)
+         |ek AS (SELECT text_hash, MIN(doc_id) AS keep_id FROM flags
+         |       WHERE f_lang AND f_qual GROUP BY 1),
+         |st AS (SELECT flags.doc_id, f_lang, f_qual, f_samp,
+         |         COALESCE(flags.doc_id = ek.keep_id, FALSE) AS f_exact,
+         |         lab.cluster_id
+         |       FROM flags LEFT JOIN ek USING (text_hash)
+         |       LEFT JOIN lab ON flags.doc_id = lab.doc_id),
+         |reps AS (SELECT cluster_id, MIN(doc_id) AS rep_id FROM st
+         |         WHERE f_lang AND f_qual AND f_exact AND cluster_id IS NOT NULL
+         |         GROUP BY 1),
+         |f AS (SELECT st.doc_id, f_lang, f_qual, f_exact,
+         |        (st.cluster_id IS NULL OR COALESCE(st.doc_id = reps.rep_id, FALSE)) AS f_near,
+         |        f_samp
+         |      FROM st LEFT JOIN reps ON st.cluster_id = reps.cluster_id)
          |SELECT 'raw' AS stage, 0 AS stage_idx, COUNT(*) AS n_docs FROM f
          |UNION ALL SELECT 'lang_en', 1, COUNT(*) FILTER (WHERE f_lang) FROM f
          |UNION ALL SELECT 'quality', 2, COUNT(*) FILTER (WHERE f_lang AND f_qual) FROM f

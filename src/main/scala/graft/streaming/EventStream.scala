@@ -67,12 +67,11 @@ object EventStream {
     * identity is (user_id, session_start_us) — EventStreamSpec derives
     * the ordinal after the drain and proves row-level parity.
     *
-    * Boundary note: `session_window` starts a NEW session at
-    * gap-or-more idle (merge while `ts < prev + gap`), the batch form
-    * at strictly-more (`> SessionGapUs`). An event exactly on the gap
-    * boundary differs; event times are integer micros drawn from
-    * millisecond-ish arrival processes, so the measure-zero tie never
-    * appears in the fixtures — and a deployment picks one convention.
+    * Boundary convention: both forms start a NEW session at gap-or-more
+    * idle — `session_window` merges only while `ts < prev + gap`, and
+    * the batch form's predicate is `>= SessionGapUs` to match — so
+    * parity holds even for an event landing exactly on the boundary
+    * (cron-aligned pings do exactly that).
     */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  delay: String = "1 hour"): DataFrame =

@@ -53,8 +53,8 @@ class TemporalQueriesSpec extends SparkSpec {
         "session indexes are dense per user")
       ordered.sliding(2).foreach {
         case Array(a, b) =>
-          assert(b._4 - a._5 > TemporalQueries.SessionGapUs,
-            "consecutive sessions must be separated by more than the gap")
+          assert(b._4 - a._5 >= TemporalQueries.SessionGapUs,
+            "consecutive sessions must be separated by at least the gap")
         case _ =>
       }
       ordered.foreach(s => assert(s._4 <= s._5))
