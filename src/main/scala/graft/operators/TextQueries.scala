@@ -189,10 +189,21 @@ object TextQueries {
       md5(col("text")).as("text_hash"),
       (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) < 8)
         .as("f_samp"))
+    funnelCounts(flagged,
+      DedupQueries.clusters(s, dir)
+        .select(col("doc_id").as("c_doc"), col("cluster_id")))
+  }
+
+  /** The funnel's staged keep-verdict + counting core over injected
+    * per-doc flags `(doc_id, f_lang, f_qual, text_hash, f_samp)` and
+    * cluster labels `(c_doc, cluster_id)` — split out so the
+    * surviving-min semantics are spec-testable on a hand-built corpus
+    * (the DuckDB oracle shares the formula, so only an independent
+    * fixture can catch a shared semantics bug; TextFunnelSpec holds it).
+    */
+  private[graft] def funnelCounts(flagged: DataFrame, labels: DataFrame): DataFrame = {
     val exactKeep = flagged.filter(col("f_lang") && col("f_qual"))
       .groupBy("text_hash").agg(min("doc_id").as("keep_id"))
-    val labels = DedupQueries.clusters(s, dir)
-      .select(col("doc_id").as("c_doc"), col("cluster_id"))
     val staged = flagged
       .join(exactKeep, Seq("text_hash"), "left_outer")
       .withColumn("f_exact", coalesce(col("doc_id") === col("keep_id"), lit(false)))
