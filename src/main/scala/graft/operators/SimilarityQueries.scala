@@ -488,7 +488,11 @@ object SimilarityQueries {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     def top10(df: DataFrame): DataFrame =
       df.orderBy(col("cos").desc, col("vec_id").asc).limit(RecallK).select("vec_id")
-    val brute = top10(topkCosine(s, dir))
+    // eager localCheckpoint: the exact baseline is 10 rows but its
+    // subplan is a full corpus scan — without it each of the five
+    // semi-joins re-executes that scan (same CacheManager-aliasing
+    // idiom as the clusters loop)
+    val brute = top10(topkCosine(s, dir)).localCheckpoint()
     def row(name: String, df: DataFrame): DataFrame =
       top10(df).join(brute, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
