@@ -81,6 +81,7 @@ object TextQueries {
   /** Named builders for Bench's index-build attribution line. */
   def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "text.tokens" -> (() => { tokStore(s, dir).count(); () }),
+    "text.funnel_flags" -> (() => { funnelFlags(s, dir).count(); () }),
   )
 
   // ---- Corpus token frequency: explode → agg → top-k ----
@@ -176,23 +177,33 @@ object TextQueries {
   // over docs that additionally survived exact dedup — so a group whose
   // global-min doc was filtered by an earlier stage still ships exactly
   // one copy (a global min would silently drop the whole group).
-  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
-    val en = T.LangProfiles.head._2
-    val stopR = T.wordSetRatio(col("toks"), en)
-    val alphaR = T.charClassRatio(col("text"), "[a-z ]")
-    val lenCap = least(lit(1.0), size(col("toks")).cast("double") / 100.0)
-    val qual = round(lit(0.5) * alphaR + lit(0.3) * stopR + lit(0.2) * lenCap, 6)
-    val flagged = docsTok(s, dir).select(
-      col("doc_id"),
-      (T.langId(col("toks")) === "en").as("f_lang"),
-      (qual >= 0.6).as("f_qual"),
-      md5(col("text")).as("text_hash"),
-      (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) < 8)
-        .as("f_samp"))
-    funnelCounts(flagged,
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(funnelFlags(s, dir),
       DedupQueries.clusters(s, dir)
         .select(col("doc_id").as("c_doc"), col("cluster_id")))
-  }
+
+  /** The per-doc verdict flags — CacheLife-materialized because the
+    * funnel's exact-keep groupBy and the staged join tree each re-read
+    * it (Catalyst does not materialize common subtrees across join
+    * branches, so the tokenize+langid+quality pass would run up to 4×),
+    * and because a real pipeline materializes the verdict table anyway
+    * — every downstream stage and audit reads verdicts, not raw text.
+    */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"text.funnel_flags:$dir") {
+      val en = T.LangProfiles.head._2
+      val stopR = T.wordSetRatio(col("toks"), en)
+      val alphaR = T.charClassRatio(col("text"), "[a-z ]")
+      val lenCap = least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+      val qual = round(lit(0.5) * alphaR + lit(0.3) * stopR + lit(0.2) * lenCap, 6)
+      docsTok(s, dir).select(
+        col("doc_id"),
+        (T.langId(col("toks")) === "en").as("f_lang"),
+        (qual >= 0.6).as("f_qual"),
+        md5(col("text")).as("text_hash"),
+        (graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) < 8)
+          .as("f_samp"))
+    }
 
   /** The funnel's staged keep-verdict + counting core over injected
     * per-doc flags `(doc_id, f_lang, f_qual, text_hash, f_samp)` and
