@@ -249,6 +249,33 @@ object TextQueries {
           |  'sampled', 5, n5) AS (stage, stage_idx, n_docs)""".stripMargin)
   }
 
+  // ---- Context packing plan: docs → (shard, context bin) ----
+  // The step after curation: lay documents into fixed-token-budget
+  // training contexts. Greedy first-fit packing is inherently
+  // sequential, so the distributed form shards FIRST (md5 bucket of
+  // doc_id — the engine's reproducible substitute for random
+  // placement), then packs WITHIN each shard by running token sum in
+  // doc_id order: bin = floor(tokens_before_me / budget). Every window
+  // is partitioned by shard — state per task is one running sum, there
+  // is no global window, and shards pack in parallel (at 100 TB, shard
+  // count scales with the cluster, and the ≤budget-1 token spill each
+  // bin boundary wastes is the standard packing tradeoff accepted for
+  // one-pass determinism).
+  val PackShards = 8
+  val PackBudget = 2048L
+  def packContexts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docsTok(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), PackShards)
+          .as("shard"))
+      .withColumn("bin",
+        (coalesce(sum("n_tokens").over(w), lit(0L)) / PackBudget).cast("long"))
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
   def sampleMix(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Buckets.mdBucket
     Tables.documents(s, dir)
@@ -262,6 +289,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sample_mix" -> (sampleMix _),
     "text_corpus_funnel" -> (corpusFunnel _),
+    "text_pack_contexts" -> (packContexts _),
     "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
@@ -312,6 +340,14 @@ object TextQueries {
          |UNION ALL SELECT 'near_dedup', 4, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near) FROM f
          |UNION ALL SELECT 'sampled', 5, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near AND f_samp) FROM f""".stripMargin.replace("\n", " ")
     },
+    "text_pack_contexts" ->
+      (s"""SELECT doc_id, shard, CAST(COALESCE(SUM(n_tokens) OVER (
+          |  PARTITION BY shard ORDER BY doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |  // $PackBudget AS bin, n_tokens
+          |FROM (SELECT doc_id, len($oToks)::BIGINT AS n_tokens,
+          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
+          |  FROM documents)""".stripMargin.replace("\n", " ")),
     "text_tfidf" ->
       (s"""WITH vocab AS (SELECT token FROM (
           |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)

@@ -112,6 +112,13 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // funnel rides the cached candidate store
   }
 
+  test("context packing windows are shard-partitioned, never global") {
+    val p = plan(TextQueries.packContexts(spark, Sf))
+    // a running sum with no partition spec moves the whole corpus into
+    // ONE task; the design point is per-shard packing
+    assert(p.contains("windowspecdefinition(shard"), p)
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —
