@@ -250,29 +250,34 @@ object TextQueries {
   }
 
   // ---- Context packing plan: docs → (shard, context bin) ----
-  // The step after curation: lay documents into fixed-token-budget
-  // training contexts. Greedy first-fit packing is inherently
-  // sequential, so the distributed form shards FIRST (md5 bucket of
-  // doc_id — the engine's reproducible substitute for random
-  // placement), then packs WITHIN each shard by running token sum in
-  // doc_id order: bin = floor(tokens_before_me / budget). Every window
-  // is partitioned by shard — state per task is one running sum, there
-  // is no global window, and shards pack in parallel (at 100 TB, shard
-  // count scales with the cluster, and the ≤budget-1 token spill each
-  // bin boundary wastes is the standard packing tradeoff accepted for
-  // one-pass determinism).
+  // The step after curation: lay documents into token-budget training
+  // contexts under CONCATENATE-AND-SPLIT semantics (the standard
+  // pretraining layout: each shard's token stream is conceptually
+  // concatenated in doc_id order and cut every `budget` tokens; a
+  // straddling document continues into the next context). `bin` is the
+  // context a document STARTS in — floor(tokens_before_it / budget).
+  // First-fit-with-spill packing would instead be a sequentially
+  // dependent recurrence (each bin's waste shifts every later
+  // boundary) — concat-and-split is the one-pass, shard-parallel form
+  // and wastes nothing. Shards come FIRST (md5 bucket of doc_id, the
+  // engine's reproducible substitute for random placement), so every
+  // window is partitioned by shard — state per task is one running
+  // sum, there is no global window, and `shards` is the parallelism
+  // knob a deployment raises with the cluster.
   val PackShards = 8
   val PackBudget = 2048L
-  def packContexts(s: SparkSession, dir: String): DataFrame = {
+  def packContexts(s: SparkSession, dir: String,
+                   shards: Int = PackShards,
+                   budget: Long = PackBudget): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docsTok(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), PackShards)
+        graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), shards)
           .as("shard"))
       .withColumn("bin",
-        (coalesce(sum("n_tokens").over(w), lit(0L)) / PackBudget).cast("long"))
+        (coalesce(sum("n_tokens").over(w), lit(0L)) / budget).cast("long"))
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
 
@@ -289,7 +294,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sample_mix" -> (sampleMix _),
     "text_corpus_funnel" -> (corpusFunnel _),
-    "text_pack_contexts" -> (packContexts _),
+    "text_pack_contexts" -> ((s: SparkSession, d: String) => packContexts(s, d)),
     "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),

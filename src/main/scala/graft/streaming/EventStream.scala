@@ -113,24 +113,31 @@ object EventStream {
     * stays pending even while clicks keep flowing). Matched pairs emit
     * immediately regardless.
     */
-  def rangeJoin(events: DataFrame, windowUs: Long = 5L * 60 * 1000000,
+  def rangeJoin(events: DataFrame,
+                windowUs: Long = graft.operators.TemporalQueries.RangeWindowUs,
                 delay: String = "1 hour"): DataFrame = {
     // Same interval-bucket idiom as the batch twin — and stream-side it
     // is load-bearing twice: Spark REQUIRES an equality predicate in a
     // stream-stream join (the bucket key provides it), and the bucket
     // hash-partitions both join-state stores so no task buffers the
-    // whole horizon
+    // whole horizon. Unlike the batch twin, the CLICK side carries the
+    // two bucket copies (b, b-1) and each error stays a SINGLE left
+    // row — an exploded left side would null-pad each error's unmatched
+    // copy, emitting spurious (err, NULL) rows next to its matches;
+    // with single-row errors a NULL click means exactly "zero clicks
+    // in the window", emitted once (the spec asserts the exact shape)
     val bkt = (c: org.apache.spark.sql.Column) => floor(c / windowUs)
     val errors = events.filter(col("event_type") === "error")
       .withWatermark("ts", delay)
       .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
         expr("ts_ns div 1000").as("err_ts_us"))
-      .withColumn("bkt", explode(array(bkt(col("err_ts_us")), bkt(col("err_ts_us")) + 1)))
+      .withColumn("bkt", bkt(col("err_ts_us")))
     val clicks = events.filter(col("event_type") === "click")
       .withWatermark("ts", delay)
       .select(col("ts").as("click_ts"),
         expr("ts_ns div 1000").as("click_ts_us"))
-      .withColumn("bkt", bkt(col("click_ts_us")))
+      .withColumn("bkt", explode(array(bkt(col("click_ts_us")),
+        bkt(col("click_ts_us")) - 1)))
     errors.as("e").join(clicks.as("c"),
         expr(s"""e.bkt = c.bkt
                 | AND c.click_ts > e.err_ts

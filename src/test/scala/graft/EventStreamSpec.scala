@@ -94,8 +94,16 @@ class EventStreamSpec extends SparkSpec {
       .map { case (err, ps) => err -> ps.count(_._2.isDefined).toLong }
     val batchAll = graft.operators.TemporalQueries.rangeJoinCounts(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // null-padding shape: a NULL click identifies a zero-click error,
+    // emitted exactly once — matched errors never carry a null row
+    streamedPairs.groupBy(_._1).foreach { case (err, ps) =>
+      val nulls = ps.count(_._2.isEmpty)
+      assert(nulls == 0 || (nulls == 1 && ps.length == 1),
+        s"err $err emitted ${ps.length} rows with $nulls nulls")
+    }
+
     val delayUs = 3600L * 1000000
-    val windowUs = 5L * 60 * 1000000
+    val windowUs = graft.operators.TemporalQueries.RangeWindowUs
     // the global watermark is the MIN across the two side watermarks —
     // each side only advances to ITS OWN max event time minus delay, so
     // the last error in the fixture can never self-close (its side's
