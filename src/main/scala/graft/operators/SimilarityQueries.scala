@@ -316,6 +316,45 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Batched ANN: a query SET probing the IVF index ----
+  // The realistic retrieval shape (batch inference, embedding-dedup
+  // lookups): k nearest per query for a whole query set in ONE plan,
+  // not a loop of single-query probes. Per-query centroid ranking is a
+  // window over queries × NCells rows (model-sized per query, never
+  // corpus); the probe is one equi-join of the materialized cell index
+  // against the broadcast (query, probe-cell) pairs; the final top-k
+  // is a window partitioned BY QUERY — state per task is the k-row
+  // heap, parallelism grows with the query count. At a larger query
+  // set the broadcast flips to a shuffle join on the cell key — same
+  // plan shape, documented escalation; nprobe bounds cost per query
+  // either way.
+  val NBatchQ = 5
+
+  def annIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    val cents = embs(s, dir)
+      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qvs = embs(s, dir).filter(col("vec_id") < NBatchQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = qvs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(call_function("graft_cosine", col("cv"), col("qv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= NProbeIvf)
+      .select(col("qid"), col("qv"), col("cid").as("qcell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    cells(s, dir)
+      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= RecallK)
+  }
+
   // ---- Trained IVF: deterministic k-means (Lloyd) coarse quantizer ----
   // Exactness design (cross-engine bit-parity despite an iterative
   // trained model):
@@ -519,6 +558,7 @@ object SimilarityQueries {
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiProbe _),
+    "sim_ann_batch" -> (annIvfBatch _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_cells" -> (kmeansHistogram _),
     "sim_ann_kmeans" -> (annKmeans _),
@@ -656,6 +696,18 @@ object SimilarityQueries {
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
     "sim_ann_ivf" -> oIvf,
     "sim_ann_ivf_multiprobe" -> oIvfMulti,
+    "sim_ann_batch" ->
+      (s"WITH e AS ($oE), $oCells, " +
+       s"qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NBatchQ), " +
+       s"qs AS (SELECT qid, qv, cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos FROM cents, qset), " +
+       s"qc AS (SELECT qid, qv, cid AS qcell FROM (" +
+       s"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rn FROM qs) " +
+       s"WHERE rn <= $NProbeIvf), " +
+       s"cand AS (SELECT qid, vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos " +
+       s"FROM cells JOIN qc ON cell = qcell WHERE vec_id <> qid) " +
+       s"SELECT qid, vec_id, cos, rn::INTEGER AS rn FROM (" +
+       s"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cand) " +
+       s"WHERE rn <= $RecallK"),
     "sim_quantize_int8" ->
       (s"WITH e AS ($oE), m AS (SELECT vec_id, v, " +
        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) " +

@@ -112,6 +112,24 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // funnel rides the cached candidate store
   }
 
+  test("batched ANN probe is a cell-key equi-join with per-query windows") {
+    // materialize the cell index first (Bench attributes it as a build)
+    // so the asserted plan is the PROBE, reading the index
+    SimilarityQueries.ivfCells(spark, Sf).count()
+    val p = plan(SimilarityQueries.annIvfBatch(spark, Sf))
+    // the CORPUS-side join must be an equi-join on the cell key — the
+    // only cross joins allowed are against model-sized inputs (the
+    // query set × NCells centroid ranking, and the cached index's own
+    // build lineage), never corpus × corpus
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // probe reads the index
+    // both the probe-cell ranking and the final top-k must partition by
+    // query — a global window would serialize the whole batch
+    assert(p.contains("windowspecdefinition(qid"), p)
+    CacheLife.release(spark) // the probe reads the cached cell index
+  }
+
   test("context packing windows are shard-partitioned, never global") {
     val p = plan(TextQueries.packContexts(spark, Sf))
     // a running sum with no partition spec moves the whole corpus into
