@@ -6,12 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only dump queries whose name starts with the
-    // prefix (local iteration; the driver always passes 2 args)
-    val prefix = args.lift(2).getOrElse("")
+    // optional 3rd arg: only dump queries whose name starts with one of
+    // the comma-separated prefixes (local iteration; the driver always
+    // passes 2 args)
+    val prefixes = args.lift(2).getOrElse("").split(',').toSeq
+    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,7 +35,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -70,9 +70,16 @@ object VectorFunctions {
     * first `bits` dimensions: Σ (v[d] > 0) << d. Deterministic, exact,
     * and identical across engines (a sign test has no float ambiguity).
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, 0, bits)
+
+  /** [[signBucket]] over dimensions [offset, offset+bits) — one BAND of
+    * a banded sign-LSH scheme (`SimilarityQueries.pairsLsh`): band m
+    * reads its own disjoint bit range, so the bands are independent
+    * hash functions over disjoint coordinate subsets.
+    */
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { d =>
-      when(element_at(v, d + 1) > 0, lit(1L << d)).otherwise(lit(0L))
+      when(element_at(v, offset + d + 1) > 0, lit(1L << d)).otherwise(lit(0L))
     }.reduce(_ + _)
 }
 
@@ -87,8 +94,10 @@ object VectorOracle {
   def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (${l2(a)} * ${l2(b)})"
 
-  def signBucket(v: String, bits: Int): String =
+  def signBucket(v: String, bits: Int): String = signBucketAt(v, 0, bits)
+
+  def signBucketAt(v: String, offset: Int, bits: Int): String =
     (0 until bits).map { d =>
-      s"(CASE WHEN ($v)[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)"
+      s"(CASE WHEN ($v)[${offset + d + 1}] > 0 THEN ${1L << d} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

@@ -310,6 +310,34 @@ object DedupQueries {
       .orderBy(col("n_train_dups").desc, col("eval_doc").asc)
       .limit(20)
 
+  // ---- Exact n-gram overlap decontamination (the GPT-3-style check) ----
+  // The OTHER standard leakage test: instead of near-dup candidates
+  // (minhash, catches whole-doc duplication), count EXACT shingle
+  // overlap between each eval doc and the train side — the method that
+  // catches verbatim passages embedded in otherwise-different documents.
+  // Same deterministic md5 split as [[contamination]]. Shape at scale:
+  // explode the CacheLife-shared shingle store once, distinct per side
+  // (map-side partials on the high-entropy shingle key), then a
+  // shingle-keyed equi-join — the train side collapses to its DISTINCT
+  // shingle set first, so the join probe is vocabulary-sized, never
+  // corpus × corpus. Emits one row per eval doc that shingles at all:
+  // total distinct shingles, how many also occur anywhere in train, and
+  // the overlap ratio (single exact-integer division, rounded).
+  def ngramOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleStore(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle")).distinct()
+    val isEval = graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 10) === 0
+    val evalSh = sh.filter(isEval)
+    val trainSh = sh.filter(!isEval).select("shingle").distinct()
+      .withColumn("in_train", lit(1))
+    evalSh.join(trainSh, Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("in_train")).as("n_overlap"))
+      .select(col("doc_id").as("eval_doc"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("overlap_ratio"))
+  }
+
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.documents(s, dir))
@@ -344,6 +372,7 @@ object DedupQueries {
     "dedup_simhash_groups" -> (simhashGroups _),
     "dedup_contamination" -> (contamination _),
     "dedup_contamination_report" -> (contaminationReport _),
+    "dedup_ngram_overlap" -> (ngramOverlap _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
@@ -408,6 +437,18 @@ object DedupQueries {
        s"SELECT ${O.simhash("hs", 16)} AS simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
        "FROM h GROUP BY 1"),
     "dedup_contamination" -> oContamination,
+    "dedup_ngram_overlap" ->
+      (s"""WITH $oWordShCtes,
+          |ds AS (SELECT DISTINCT doc_id, shingle FROM
+          |  (SELECT doc_id, unnest(sh) AS shingle FROM sh)),
+          |ev AS (SELECT doc_id, shingle FROM ds
+          |  WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} = 0),
+          |tr AS (SELECT DISTINCT shingle FROM ds
+          |  WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 10)} <> 0)
+          |SELECT ev.doc_id AS eval_doc, COUNT(*) AS n_shingles,
+          |  COUNT(tr.shingle) AS n_overlap,
+          |  round(COUNT(tr.shingle)::DOUBLE / COUNT(*), 6) AS overlap_ratio
+          |FROM ev LEFT JOIN tr USING (shingle) GROUP BY 1""".stripMargin.replace("\n", " ")),
     "dedup_contamination_report" ->
       (s"""WITH cont AS ($oContamination)
           |SELECT eval_doc, COUNT(*) AS n_train_dups, MIN(train_doc) AS first_train_doc

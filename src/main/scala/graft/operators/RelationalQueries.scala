@@ -208,7 +208,26 @@ object RelationalQueries {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(dsum(col("l_quantity")))
 
+  // ---- Salted two-stage aggregation, oracle-gated ----
+  // SkewUtils.saltedSumCount registered against the PLAIN GROUP BY
+  // oracle: the whole point of the salt is that it must be output-
+  // invisible, and hash-matching the direct aggregation proves it (the
+  // decimal accumulator makes the two-stage sum bit-equal, not just
+  // close). l_returnflag has 3 values over the whole fact table — the
+  // canonical hot-key shape where stage 1 spreads each key over `salts`
+  // reducers. For a plain algebraic SUM map-side partial aggregation
+  // already bounds reducer load; the two-stage form is the lever when
+  // stage-1 state per key is NOT O(1) (size-preserving aggregates,
+  // exact distinct partials) or when a straggling hot reducer must be
+  // split — registering it keeps the lever correctness-gated rather
+  // than spec-only.
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    SkewUtils.saltedSumCount(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_quantity"))
+      .select(col("k").as("l_returnflag"), col("sum_v"), col("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_salted_agg" -> (saltedAgg _),
     "rel_pivot" -> (pivotReturnflag _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_approx_quantiles" -> (approxQuantiles _),
@@ -231,6 +250,9 @@ object RelationalQueries {
   private val rev = "l_extendedprice*(1.0-l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "rel_salted_agg" ->
+      (s"SELECT l_returnflag, ${sqlSum("l_quantity")} AS sum_v, COUNT(*) AS cnt " +
+       "FROM lineitem GROUP BY 1"),
     "rel_pivot" ->
       (s"SELECT l_linestatus, " +
        s"${sqlSum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A, " +

@@ -174,6 +174,67 @@ object SimilarityQueries {
   def pairsThreshold(s: SparkSession, dir: String): DataFrame =
     pairKernel(s, dir).filter(col("cos") >= PairThreshold)
 
+  // ---- LSH-blocked near-dup pairs: the LOSSY form that runs at 100 TB ----
+  // The pairsThreshold scaladoc names bucket blocking as the scale path
+  // past the exact kernel's MaxKernelPairs bound — this registers it.
+  // Banded sign-LSH over disjoint coordinate ranges (SignBands bands ×
+  // SignRows sign bits each): two vectors become a candidate pair iff
+  // they agree on ALL bits of at least one band, which turns pair search
+  // into an equi-join on (band, key) — candidate count scales with bucket
+  // co-occupancy, never n². The band join is the SAME skew-bounded kernel
+  // text dedup uses (DedupQueries.bandPairsCapped), so a degenerate
+  // corpus (everything in one bucket) is triangle-decomposed into
+  // ≤MaxBucket cells instead of pinning one task. The exact cosine then
+  // verifies candidates only — linear in the candidate count.
+  //
+  // Lossy BY CONTRACT: a qualifying pair whose vectors disagree in every
+  // band is never proposed (at this threshold the corpus is
+  // near-isotropic — see the pairsThreshold scaladoc — so recall here is
+  // genuinely partial; PairsLshSpec pins the subset relation and
+  // sim_ann_recall-style parity holds the score semantics). The DuckDB
+  // oracle recomputes the same bands, so what IS emitted hash-matches
+  // exactly — the loss is deterministic, not approximate.
+  val SignBands = 8
+  val SignRows = 8
+
+  /** (vec_id→doc_id, band, key) rows — named like the dedup band store so
+    * [[DedupQueries.bandPairsCapped]] applies verbatim. CacheLife-shared:
+    * the pairs query and any recall audit replay it.
+    */
+  private def signBands(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"sim.sign-bands:$dir")(
+      Tables.spread(s, embs(s, dir)).select(col("vec_id").as("doc_id"),
+        posexplode(array((0 until SignBands).map(m =>
+          V.signBucketAt(col("v"), m * SignRows, SignRows)): _*)).as(Seq("band", "key"))))
+
+  def pairsLsh(s: SparkSession, dir: String): DataFrame = {
+    val cand = DedupQueries.bandPairsCapped(signBands(s, dir), DedupQueries.MaxBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val e = embs(s, dir)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= PairThreshold)
+  }
+
+  // ---- Pair recall report: the eval the lossy pair path must ship ----
+  // |lsh pairs| / |exact pairs| at the same threshold — the pair-join
+  // counterpart of sim_ann_recall (which evals the single-query probes).
+  // QueriesSpec proves lsh ⊆ exact, so the count ratio IS recall — no
+  // pair-level join needed; two one-row aggregates over the already-
+  // cached kernels, model-sized crossJoin. At 100 TB this runs on a
+  // SAMPLE of blocks (the exact side is the expensive one) — here the
+  // exact kernel is in scope, so the number is corpus-true.
+  def pairsRecall(s: SparkSession, dir: String): DataFrame = {
+    val nExact = pairsThreshold(s, dir).agg(count(lit(1)).as("n_exact"))
+    val nLsh = pairsLsh(s, dir).agg(count(lit(1)).as("n_lsh"))
+    nLsh.crossJoin(nExact)
+      .select(col("n_lsh"), col("n_exact"),
+        round(col("n_lsh").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   // ---- Exact k-NN self-join: every vector's k nearest neighbors ----
   // The retrieval-building-block form of the pairs join (near-dup uses a
   // threshold; retrieval wants top-k per vector). Symmetrize the
@@ -497,6 +558,25 @@ object SimilarityQueries {
         concat_ws(",",
           transform(col("vd"), x => round(x / col("maxabs") * 127).cast("int"))).as("q"))
 
+  // ---- Per-label centroids: the cluster-profile table of a corpus ----
+  // Element-wise mean vector per label, in LONG form (label, dim) — the
+  // layout an audit reads and a downstream join prunes by dim. Means of
+  // floats are summation-order-dependent, so the centroid is computed on
+  // the kmeans integer quantization (floor(x·1e6); sums stay < 2^53 ⇒
+  // the double arithmetic is EXACT and order-free on both engines) with
+  // a floor division — the same exactness design as the trained
+  // quantizer. Shape at scale: one narrow posexplode (64 rows/vector)
+  // into a (label, dim)-keyed aggregate — map-side partial aggregation
+  // shrinks the shuffle to |labels|·dim rows per task.
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("label"),
+        posexplode(transform(V.vecD(col("v")),
+          x => floor(x * QuantScale).cast("long"))).as(Seq("dim", "qx")))
+      .groupBy("label", "dim")
+      .agg(count("*").as("n_vecs"),
+        floor(sum("qx").cast("double") / count("*")).cast("long").as("centroid_q"))
+
   // ---- Per-dimension corpus stats by label (exact: min/max only) ----
   def dimStats(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
@@ -512,6 +592,7 @@ object SimilarityQueries {
     "sim.ivf_cells" -> (() => { cells(s, dir).count(); () }),
     "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
     "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
+    "sim.sign_bands" -> (() => { signBands(s, dir).count(); () }),
   )
 
   // ---- ANN recall report: the eval a lossy index must ship with ----
@@ -553,8 +634,11 @@ object SimilarityQueries {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "sim_pairs_threshold" -> (pairsThreshold _),
+    "sim_pairs_lsh" -> (pairsLsh _),
+    "sim_pairs_recall" -> (pairsRecall _),
     "sim_knn_join" -> (knnJoin _),
     "sim_dim_stats" -> (dimStats _),
+    "sim_label_centroids" -> (labelCentroids _),
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiProbe _),
@@ -567,6 +651,31 @@ object SimilarityQueries {
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
   private val oQ = s"SELECT v AS qv FROM e WHERE vec_id = $QueryVecId"
   private val oCos = VO.cosine("v", "qv")
+
+  private lazy val oPairsExact: String =
+    s"WITH e AS ($oE) " +
+    s"SELECT vec_a, vec_b, cos FROM (" +
+    s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
+    s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"
+
+  /** Banded candidates recomputed in SQL: per-band sign keys, equi-join
+    * on (band, key), distinct pairs, exact cosine verify.
+    */
+  private lazy val oPairsLsh: String = {
+    val keysArr = (0 until SignBands)
+      .map(m => VO.signBucketAt("v", m * SignRows, SignRows))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS ($oE),
+       |bands AS (SELECT vec_id, v, u.band AS band, ($keysArr)[u.band] AS key
+       |          FROM e, unnest(range(1, ${SignBands + 1})) AS u(band)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos
+       |  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)
+       |WHERE cos >= $PairThreshold""".stripMargin.replace("\n", " ")
+  }
 
   private val oCells: String =
     s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $NCells),
@@ -680,11 +789,19 @@ object SimilarityQueries {
       "lsh" -> oLsh, "lsh_multiprobe" -> oLshMulti, "ivf" -> oIvf,
       "ivf_multiprobe" -> oIvfMulti, "kmeans" -> oAnnKmeans)
       .map { case (n, sql) => oRecallRow(n, sql) }.mkString(" UNION ALL "),
-    "sim_pairs_threshold" ->
-      (s"WITH e AS ($oE) " +
-       s"SELECT vec_a, vec_b, cos FROM (" +
-       s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
-       s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"),
+    "sim_pairs_threshold" -> oPairsExact,
+    "sim_pairs_lsh" -> oPairsLsh,
+    "sim_pairs_recall" ->
+      (s"SELECT n_lsh, n_exact, round(n_lsh::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS n_lsh FROM ($oPairsLsh)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oPairsExact))"),
+    "sim_label_centroids" ->
+      (s"WITH e AS ($oE), q AS (SELECT label, " +
+       s"unnest(list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT))) AS qx, " +
+       "generate_subscripts(v, 1) AS dim FROM e) " +
+       "SELECT label, dim - 1 AS dim, COUNT(*) AS n_vecs, " +
+       "CAST(floor(SUM(qx)::DOUBLE / COUNT(*)) AS BIGINT) AS centroid_q " +
+       "FROM q GROUP BY 1, 2"),
     "sim_knn_join" ->
       (s"WITH e AS ($oE), " +
        s"p AS (SELECT a.vec_id AS src, b.vec_id AS dst, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +

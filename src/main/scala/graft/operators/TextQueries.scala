@@ -281,6 +281,63 @@ object TextQueries {
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  // ---- Document chunking: sliding token windows with overlap ----
+  // The context-prep step for RAG / eval pipelines (distinct from
+  // packContexts, which CONCATENATES docs into training contexts: here
+  // each doc SPLITS into its own windows). Chunk starts step by
+  // ChunkStride while chunks span ChunkSize tokens, so consecutive
+  // chunks overlap by ChunkSize-ChunkStride tokens and no boundary
+  // sentence is lost. Pure per-row explode+slice — no shuffle beyond
+  // the spread; output grows ~n_tokens/stride per doc independent of
+  // corpus size, and the slice reads the STAGED token array (one
+  // tokenize per doc, not per chunk). The `when` guards Spark's
+  // `sequence`, which throws on (0, -1, +step) for an empty doc rather
+  // than returning the empty list DuckDB's range() yields.
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+
+  // ---- Repetition signals: the Gopher-style quality heuristics ----
+  // Per-doc bigram repetition — the signal that catches boilerplate and
+  // degenerate generation loops that single-token ratios (text_stats)
+  // miss: top_bigram_frac = share of the most frequent bigram,
+  // dup_bigram_frac = share of bigram occurrences beyond each bigram's
+  // first. Two-level aggregate: (doc, bigram) counts with map-side
+  // partial agg, then a doc-keyed rollup — both shuffles carry counted
+  // rows, never raw text. Docs with <2 tokens have no bigrams and drop
+  // out identically on both engines (explode of an empty list).
+  // Ratios are single divisions of exact longs — same IEEE double on
+  // both engines — rounded before any consumer thresholds them.
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val bg = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docsTok(s, dir)
+      .select(col("doc_id"), explode(bg).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count("*").as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        count("*").as("n_distinct_bigrams"),
+        max("cnt").as("max_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round(col("max_cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"))
+  }
+
   def sampleMix(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Buckets.mdBucket
     Tables.documents(s, dir)
@@ -295,6 +352,8 @@ object TextQueries {
     "text_sample_mix" -> (sampleMix _),
     "text_corpus_funnel" -> (corpusFunnel _),
     "text_pack_contexts" -> ((s: SparkSession, d: String) => packContexts(s, d)),
+    "text_chunk" -> (chunk _),
+    "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
     "text_oov_rate" -> (oovRate _),
     "text_clean" -> (clean _),
@@ -353,6 +412,22 @@ object TextQueries {
           |FROM (SELECT doc_id, len($oToks)::BIGINT AS n_tokens,
           |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
           |  FROM documents)""".stripMargin.replace("\n", " ")),
+    "text_chunk" ->
+      (s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents)
+          |SELECT doc_id, (u.start // $ChunkStride)::INTEGER AS chunk_idx,
+          |  len(toks[u.start + 1 : u.start + $ChunkSize]) AS n_chunk_tokens,
+          |  array_to_string(toks[u.start + 1 : u.start + $ChunkSize], ' ') AS chunk_text
+          |FROM t, unnest(range(0, len(toks), $ChunkStride)) AS u(start)""".stripMargin.replace("\n", " ")),
+    "text_repetition" ->
+      (s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+          |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |  i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+          |c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+          |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+          |  COUNT(*) AS n_distinct_bigrams,
+          |  round(MAX(cnt)::DOUBLE / SUM(cnt), 6) AS top_bigram_frac,
+          |  round((SUM(cnt) - COUNT(*))::DOUBLE / SUM(cnt), 6) AS dup_bigram_frac
+          |FROM c GROUP BY 1""".stripMargin.replace("\n", " ")),
     "text_tfidf" ->
       (s"""WITH vocab AS (SELECT token FROM (
           |  SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents)

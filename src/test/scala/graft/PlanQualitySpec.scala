@@ -137,6 +137,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(shard"), p)
   }
 
+  test("lsh pair candidates ride the band equi-join; verify joins are id equi-joins") {
+    val p = plan(SimilarityQueries.pairsLsh(spark, Sf))
+    // candidate generation must be the banded (band, key) join — a
+    // BNLJ/cartesian would mean the lossy path degenerated to all-pairs,
+    // defeating its entire reason to exist
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band"), p)
+    CacheLife.release(spark) // pairsLsh rides the cached sign-band store
+  }
+
+  test("chunking is explode + slice with no join, window, or key shuffle") {
+    val p = plan(TextQueries.chunk(spark, Sf))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // the only exchange is the single-file spread (round-robin); a
+    // hashpartitioning here would mean chunking acquired a key shuffle
+    assert(!p.contains("hashpartitioning"), s"chunking must not shuffle by key:\n$p")
+  }
+
+  test("repetition aggregates partial-combine map-side before each shuffle") {
+    val p = plan(TextQueries.repetition(spark, Sf))
+    assert(!p.contains("Window"), p)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below the exchange:\n$p")
+  }
+
+  test("salted aggregation is two stages: (key, salt) partials then key merge") {
+    val p = plan(RelationalQueries.saltedAgg(spark, Sf))
+    // stage 1 shuffles by (k, salt), stage 2 by k alone — both with
+    // map-side partials; a single-stage plan would mean the salt was
+    // optimized away along with the skew spreading it exists for
+    assert(p.contains("hashpartitioning(k"), p)
+    assert(p.contains("salt"), p)
+    val s1 = p.indexOf("Exchange hashpartitioning")
+    val s2 = p.indexOf("Exchange hashpartitioning", s1 + 1)
+    assert(s1 >= 0 && s2 > s1, s"expected two key exchanges:\n$p")
+  }
+
+  test("label centroids partial-aggregate below the (label, dim) shuffle") {
+    val p = plan(SimilarityQueries.labelCentroids(spark, Sf))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below the exchange:\n$p")
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —

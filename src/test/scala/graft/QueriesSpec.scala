@@ -105,4 +105,102 @@ class QueriesSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).collect().head.getLong(0)
     assert(grouped == total)
   }
+
+  test("lsh pairs are a subset of the exact threshold pairs with identical scores") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = SimilarityQueries.pairsThreshold(spark, Sf).collect().map(key).toSet
+    val lsh = SimilarityQueries.pairsLsh(spark, Sf).collect().map(key).toSet
+    // the lossy path may MISS pairs (recall < 1 by contract) but must
+    // never invent one, and a surfaced pair carries the exact cosine
+    assert(lsh.subsetOf(exact), s"lsh-only pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty)
+    CacheLife.release(spark)
+  }
+
+  test("chunks tile each document: stride-spaced starts, full token coverage") {
+    import org.apache.spark.sql.functions._
+    val C = TextQueries.ChunkSize
+    val S = TextQueries.ChunkStride
+    val perDoc = TextQueries.chunk(spark, Sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_chunk_tokens").as("sum_tok"),
+        max("n_chunk_tokens").as("max_tok"))
+      .join(TextQueries.stats(spark, Sf).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (nChunks, sumTok, maxTok, n) =
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4).toLong)
+      assert(nChunks == (n + S - 1) / S, s"doc ${r.getLong(0)}: $nChunks chunks for $n tokens")
+      assert(maxTok <= C)
+      // each of the n tokens appears once per window covering it: full
+      // windows hold C tokens; the trailing windows shrink — total =
+      // n + (overlap C-S) per non-final chunk, capped by the tail
+      val expected = (0L until nChunks).map(i => math.min(C.toLong, n - i * S)).sum
+      assert(sumTok == expected, s"doc ${r.getLong(0)}: coverage $sumTok != $expected")
+    }
+  }
+
+  test("repetition fractions are consistent with token counts") {
+    import org.apache.spark.sql.functions._
+    val rep = TextQueries.repetition(spark, Sf)
+      .join(TextQueries.stats(spark, Sf).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (nb, nd) = (r.getLong(1), r.getLong(2))
+      val (top, dup) = (r.getDouble(3), r.getDouble(4))
+      assert(nb == r.getInt(5) - 1L, "bigram count must be n_tokens - 1")
+      assert(nd >= 1 && nd <= nb)
+      assert(top > 0 && top <= 1.0 + 1e-9)
+      assert(dup >= 0 && dup < 1.0)
+      // a doc where every bigram is distinct has zero duplication
+      if (nd == nb) assert(dup == 0.0)
+    }
+  }
+
+  test("salted aggregation is bit-equal to the direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val salted = RelationalQueries.saltedAgg(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = Tables.lineitem(spark, Sf)
+      .groupBy("l_returnflag")
+      .agg(Exact.dsum(col("l_quantity")).as("s"), count("*").as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("ngram overlap rows are eval-side docs with bounded ratios") {
+    val rows = DedupQueries.ngramOverlap(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, n, ov, ratio) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      // the eval side of the same deterministic split contamination uses
+      assert(doc % 1 == 0 && n >= 1 && ov >= 0 && ov <= n)
+      assert(math.abs(ratio - ov.toDouble / n) < 1e-6)
+    }
+    CacheLife.release(spark)
+  }
+
+  test("pair recall consistent with the two pair sets") {
+    val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
+    val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()
+    val r = SimilarityQueries.pairsRecall(spark, Sf).collect().head
+    assert(r.getLong(0) == nLsh && r.getLong(1) == nExact)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
+  test("label centroids cover every (label, dim) cell with per-label counts") {
+    val rows = SimilarityQueries.labelCentroids(spark, Sf).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    val dim = rows.map(_.getInt(1)).max + 1
+    byLabel.foreach { case (label, cells) =>
+      assert(cells.length == dim, s"label $label has ${cells.length} dims")
+      // one vector count per label, constant across dims
+      assert(cells.map(_.getLong(2)).distinct.length == 1, s"label $label counts vary")
+    }
+    val total = Tables.embeddings(spark, Sf).count()
+    assert(byLabel.map { case (_, cells) => cells.head.getLong(2) }.sum == total)
+  }
 }
