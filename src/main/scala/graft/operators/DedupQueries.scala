@@ -338,6 +338,28 @@ object DedupQueries {
         round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("overlap_ratio"))
   }
 
+  // ---- Cross-source duplication matrix: where duplication comes FROM ----
+  // The provenance view of near-duplication: verified near-dup pairs
+  // rolled up by (source, source) — the table that tells a curator which
+  // feeds overlap each other (mirror sites, re-crawls) vs which
+  // self-duplicate (boilerplate within one feed), and therefore which
+  // source to drop or down-weight in the training mix. Pair ends are
+  // emitted source-sorted so each unordered source pair lands in one
+  // cell. Rides the CacheLife-shared candidate store through two
+  // doc_id-keyed equi-joins against a two-column projection of the
+  // corpus, then a |sources|²-bounded aggregate with map-side partials —
+  // marginal cost over the dedup pass, never a second corpus scan.
+  def sourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairs(s, dir)
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- SimHash signatures grouped (identical-signature clusters) ----
   def simhashGroups(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.documents(s, dir))
@@ -373,6 +395,7 @@ object DedupQueries {
     "dedup_contamination" -> (contamination _),
     "dedup_contamination_report" -> (contaminationReport _),
     "dedup_ngram_overlap" -> (ngramOverlap _),
+    "dedup_source_matrix" -> (sourceMatrix _),
   )
 
   // Shared oracle CTEs: tokens → shingles → hashed shingles → signature
@@ -453,6 +476,13 @@ object DedupQueries {
       (s"""WITH cont AS ($oContamination)
           |SELECT eval_doc, COUNT(*) AS n_train_dups, MIN(train_doc) AS first_train_doc
           |FROM cont GROUP BY 1 ORDER BY n_train_dups DESC, eval_doc LIMIT 20""".stripMargin.replace("\n", " ")),
+    "dedup_source_matrix" ->
+      (s"""WITH cand AS ($oPairs),
+          |s AS (SELECT doc_id, source FROM documents)
+          |SELECT least(sa.source, sb.source) AS source_a,
+          |  greatest(sa.source, sb.source) AS source_b, COUNT(*) AS n_pairs
+          |FROM cand JOIN s sa ON cand.doc_a = sa.doc_id JOIN s sb ON cand.doc_b = sb.doc_id
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
   )
 
   /** The full recursive CTE chain ending at `lab(doc_id, cluster_id)` —

@@ -545,6 +545,34 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Semantic dedup: embedding-space dedup INSIDE trained cells ----
+  // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+  // the corpus with the coarse quantizer, then within each cell drop
+  // every vector that has a lower-id neighbor at cosine ≥ the
+  // threshold — one survivor per ε-group, chosen deterministically by
+  // id (the paper keeps an arbitrary member; id order makes the choice
+  // engine-reproducible). THE point is that the quadratic term is
+  // per-cell, never corpus-wide: the self-join is an EQUI-join on the
+  // cell key, so candidate count is bounded by cell occupancy, and at
+  // 100 TB the cell count K scales with the corpus (cells stay
+  // ~constant-sized) while cells are partition-pruned storage — the
+  // same mechanics annKmeans probes. Rides the CacheLife-memoized
+  // model: training runs once per session; this query adds one
+  // cell-keyed join + an id-keyed anti lookup.
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val withVec = embs(s, dir).select(col("vec_id"), col("v"))
+      .join(kmeansCells(s, dir), Seq("vec_id"))
+    val a = withVec.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
+    val b = withVec.select(col("cell"), col("vec_id").as("idb"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(round(call_function("graft_cosine", col("va"), col("vb")), 6)
+        >= PairThreshold)
+      .select(col("idb").as("vec_id")).distinct()
+    withVec.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
   // ---- Int8 quantization: the storage-side companion of ANN (4×
   //      smaller vectors; symmetric per-vector max-abs scaling). Exact
   //      integer outputs → oracle-matched bit-for-bit. ----
@@ -646,6 +674,7 @@ object SimilarityQueries {
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_cells" -> (kmeansHistogram _),
     "sim_ann_kmeans" -> (annKmeans _),
+    "sim_semantic_dedup" -> (semanticDedup _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -779,9 +808,22 @@ object SimilarityQueries {
        |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
        |USING (vec_id)""".stripMargin.replace("\n", " ")
 
+  /** Semantic dedup oracle: the shared trained-model CTE chain, the
+    * same within-cell lower-id-neighbor drop rule, survivors flagged.
+    */
+  private val oSemDedup: String =
+    s"""WITH $oKmeansChain,
+       |w AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN $oKmeansFin a ON e.vec_id = a.vec_id),
+       |d AS (SELECT DISTINCT b.vec_id FROM w a JOIN w b
+       |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      WHERE round(${VO.cosine("a.v", "b.v")}, 6) >= $PairThreshold)
+       |SELECT w.vec_id, w.cell, (d.vec_id IS NULL) AS kept
+       |FROM w LEFT JOIN d ON w.vec_id = d.vec_id""".stripMargin.replace("\n", " ")
+
   val oracle: Map[String, String] = Map(
     "sim_kmeans_cells" -> oKmeans,
     "sim_ann_kmeans" -> oAnnKmeans,
+    "sim_semantic_dedup" -> oSemDedup,
     "sim_topk_cosine" -> oTopk,
     "sim_ann_lsh" -> oLsh,
     "sim_ann_lsh_multiprobe" -> oLshMulti,

@@ -92,6 +92,24 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  // ---- Zipf histogram: the corpus frequency-spectrum fingerprint ----
+  // Token counts binned by power of two (bucket = floor(log2(cnt))) —
+  // the one-glance view of whether a corpus has a natural Zipfian tail
+  // or a degenerate head (boilerplate floods the high buckets, heavy
+  // near-duplication flattens the singleton bucket). The bucket is
+  // computed as binary-digit count (length(bin(cnt)) - 1), which is
+  // floor(log2) EXACTLY on integers on both engines — floating log2
+  // would put exact powers of two on a libm rounding boundary. Shape at
+  // scale: the token aggregate has map-side partials on the
+  // high-entropy token key; the re-aggregate input is vocabulary-sized
+  // and the output ~64 rows.
+  def zipfHistogram(s: SparkSession, dir: String): DataFrame =
+    tokStore(s, dir)
+      .groupBy("token").agg(count("*").as("cnt"))
+      .select((length(bin(col("cnt"))) - 1).as("freq_bucket"), col("cnt"))
+      .groupBy("freq_bucket")
+      .agg(count("*").as("n_tokens"), sum("cnt").as("n_occurrences"))
+
   // ---- Cleaning + masking: the normalize stage of a training pipeline ----
   // Whitespace collapse, control-char strip, lowercase, and pattern
   // masking (email-shaped + long digit runs → sentinels). All single
@@ -281,6 +299,39 @@ object TextQueries {
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  // ---- Packing fill report: the audit a packing plan ships with ----
+  // Per-(shard, bin) document and token counts over [[packContexts]] —
+  // the table that verifies the layout before a training run launches:
+  // every bin but each shard's last should hold ≈ budget tokens
+  // (concat-and-split wastes nothing), and shard totals should be
+  // near-uniform (the md5 shard hash balancing). One |shards × bins|-
+  // bounded aggregate with map-side partials over the plan's output;
+  // the shard-partitioned running-sum window is inherited from
+  // packContexts unchanged.
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    packContexts(s, dir)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+
+  // ---- Train/val/test split report: the OTHER hash-bucket assignment ----
+  // sample_mix keeps a per-source fraction; this PARTITIONS the corpus
+  // into disjoint train/val/test strata (80/10/10 by md5 bucket of
+  // doc_id — the [[graft.functions.Buckets]] idiom, so membership is
+  // reproducible across engines, retries, and corpus growth: a doc's
+  // split never changes when other docs arrive, unlike any
+  // row-number-based cut). Registered as the per-(source, split) count
+  // matrix — the balance check a curator reads; the per-doc assignment
+  // is the same expression without the aggregate. Per-row filterless
+  // map + a |sources × 3| aggregate: no shuffle carries raw text.
+  def splitReport(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 100)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---- Document chunking: sliding token windows with overlap ----
   // The context-prep step for RAG / eval pipelines (distinct from
   // packContexts, which CONCATENATES docs into training contexts: here
@@ -350,8 +401,11 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sample_mix" -> (sampleMix _),
+    "text_split_report" -> (splitReport _),
     "text_corpus_funnel" -> (corpusFunnel _),
     "text_pack_contexts" -> ((s: SparkSession, d: String) => packContexts(s, d)),
+    "text_pack_stats" -> (packStats _),
+    "text_zipf" -> (zipfHistogram _),
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -364,6 +418,18 @@ object TextQueries {
     "text_fingerprint" -> (fingerprintQ _),
     "text_token_freq" -> (tokenFreq _),
   )
+
+  /** The packContexts oracle body — shared verbatim by the plan query
+    * and the fill-report oracle so the two can never drift.
+    */
+  private val oPack: String =
+    s"""SELECT doc_id, shard, CAST(COALESCE(SUM(n_tokens) OVER (
+        |  PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  // $PackBudget AS bin, n_tokens
+        |FROM (SELECT doc_id, len($oToks)::BIGINT AS n_tokens,
+        |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
+        |  FROM documents)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
     "text_sample_mix" ->
@@ -404,14 +470,23 @@ object TextQueries {
          |UNION ALL SELECT 'near_dedup', 4, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near) FROM f
          |UNION ALL SELECT 'sampled', 5, COUNT(*) FILTER (WHERE f_lang AND f_qual AND f_exact AND f_near AND f_samp) FROM f""".stripMargin.replace("\n", " ")
     },
-    "text_pack_contexts" ->
-      (s"""SELECT doc_id, shard, CAST(COALESCE(SUM(n_tokens) OVER (
-          |  PARTITION BY shard ORDER BY doc_id
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-          |  // $PackBudget AS bin, n_tokens
-          |FROM (SELECT doc_id, len($oToks)::BIGINT AS n_tokens,
-          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
-          |  FROM documents)""".stripMargin.replace("\n", " ")),
+    "text_pack_contexts" -> oPack,
+    "text_pack_stats" ->
+      (s"""SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+          |FROM ($oPack) GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+    "text_zipf" ->
+      (s"""WITH c AS (SELECT token, COUNT(*) AS cnt
+          |  FROM (SELECT unnest($oToks) AS token FROM documents) GROUP BY 1)
+          |SELECT (length(bin(cnt)) - 1)::INTEGER AS freq_bucket, COUNT(*) AS n_tokens,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+          |FROM c GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "text_split_report" ->
+      (s"""SELECT source,
+          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          |  COUNT(*) AS n_docs
+          |FROM (SELECT source,
+          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
     "text_chunk" ->
       (s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents)
           |SELECT doc_id, (u.start // $ChunkStride)::INTEGER AS chunk_idx,
