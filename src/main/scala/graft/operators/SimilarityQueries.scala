@@ -545,6 +545,133 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Product quantization: the fine quantizer that makes 100 TB of
+  //      vectors scannable ----
+  // PQ (Jégou, Douze & Schmid 2011, "Product quantization for nearest
+  // neighbor search"): split each vector into M subvectors, train a
+  // tiny k-means codebook per subspace, store each vector as M small
+  // code ids — here 4 subspaces × 4 centroids = 4 codes ≈ 1 byte per
+  // vector against 256 bytes of raw floats. Search is ADC (asymmetric
+  // distance computation): the query stays exact, each corpus vector's
+  // distance is the sum of M codebook lookups — a linear scan over
+  // codes that is memory-bandwidth-, not FLOP-, bound. At deployment
+  // scale this composes with the coarse quantizer: IVF cells prune
+  // partitions, PQ codes make the surviving cells cheap to scan.
+  //
+  // Exactness design (same contract as the trained IVF): subvectors are
+  // the integer quantization floor(v·1e6); distances are integer L2²
+  // ((x−c)² ≤ ~6.4e13 per term, ×16 dims < 2^53, so the arithmetic is
+  // exact and order-free on both engines); assignment is argmin with
+  // lowest-code tie-break; centroid update is floor(sum/n); seeds are
+  // vec_ids 1..K with 2 fixed Lloyd iterations. The M codebooks are
+  // model parameters (4×4×16 longs) memoized on the driver; the code
+  // table is the CacheLife-materialized PQ index a real system writes.
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 4
+  val PqIters = 2
+
+  /** Exact integer L2² between a subvector column and another array
+    * column (or literal) — zip, square differences, sum; stays LongType
+    * end to end.
+    */
+  private def l2q(sq: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    aggregate(zip_with(sq, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+
+  /** Argmin over a subspace codebook: all K distances in one struct
+    * array, array_min's lexicographic order gives smallest distance
+    * then smallest code id — each distance evaluated once per row.
+    */
+  private def pqAssignExpr(sq: org.apache.spark.sql.Column,
+                           cents: Seq[(Long, Array[Long])]) = {
+    val scored = array(cents.map { case (cid, c) =>
+      struct(l2q(sq, typedLit(c.toSeq)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    array_min(scored).getField("cid")
+  }
+
+  private def subSlice(qv: org.apache.spark.sql.Column, m: Int) =
+    slice(qv, m * PqSubDim + 1, PqSubDim)
+
+  /** One subspace's Lloyd loop over (vec_id, sq) — the collects fetch
+    * the K×SubDim-long codebook, never the corpus. */
+  private def trainPqSub(sub: DataFrame): Seq[(Long, Array[Long])] = {
+    var cents: Seq[(Long, Array[Long])] = sub
+      .filter(col("vec_id") >= 1 && col("vec_id") <= PqK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    for (_ <- 1 to PqIters) {
+      val assigned = sub.select(pqAssignExpr(col("sq"), cents).as("code"), col("sq"))
+      val sums = assigned
+        .select(col("code"), posexplode(col("sq")).as(Seq("dim", "x")))
+        .groupBy("code", "dim")
+        .agg(sum("x").as("sx"), count("*").as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      cents = sums.groupBy(_._1).map { case (cid, rows) =>
+        val arr = new Array[Long](PqSubDim)
+        rows.foreach { case (_, dim, sx, n) =>
+          arr(dim) = math.floor(sx.toDouble / n).toLong
+        }
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** The M per-subspace codebooks, memoized like the IVF model. Rides
+    * the same cached integer-quantized corpus the trained coarse
+    * quantizer uses.
+    */
+  private def pqModel(s: SparkSession, dir: String): Seq[Seq[(Long, Array[Long])]] = {
+    val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
+    graft.CacheLife.memo(s, s"sim.pq-model:$dir")(
+      (0 until PqM).map(m =>
+        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")))).toSeq)
+  }
+
+  /** The PQ index: one row per vector, M code columns. This table IS
+    * the compressed corpus a deployment writes — everything downstream
+    * (ADC scan, cell histogram) reads codes, not floats.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val model = pqModel(s, dir)
+    val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
+    graft.CacheLife.cached(s, s"sim.pq-codes:$dir")(
+      q.select(col("vec_id") +: (0 until PqM).map(m =>
+        pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
+  }
+
+  /** Codebook occupancy histogram — the index-health view (a starved
+    * subspace code means the codebook under-fits that coordinate
+    * range). Long form via one posexplode of the M code columns.
+    */
+  def pqCellHistogram(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("sub", "code")))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** ADC top-10: the query's exact subvectors against each corpus
+    * vector's code-indexed centroids — M map-literal lookups + integer
+    * L2² sums per row, planned as a codes-table scan × 1-row broadcast
+    * with TakeOrderedAndProject on top. No shuffle touches the corpus.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val model = pqModel(s, dir)
+    val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
+    val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
+    val dist = (0 until PqM).map { m =>
+      val codebook = typedLit(model(m).map { case (cid, c) => cid -> c.toSeq }.toMap)
+      l2q(subSlice(col("qqv"), m), element_at(codebook, col(s"c$m")))
+    }.reduce(_ + _)
+    pqCodes(s, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"), dist.as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- Semantic dedup: embedding-space dedup INSIDE trained cells ----
   // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
   // the corpus with the coarse quantizer, then within each cell drop
@@ -621,6 +748,7 @@ object SimilarityQueries {
     "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
     "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
     "sim.sign_bands" -> (() => { signBands(s, dir).count(); () }),
+    "sim.pq_codes" -> (() => { pqCodes(s, dir).count(); () }),
   )
 
   // ---- ANN recall report: the eval a lossy index must ship with ----
@@ -675,6 +803,8 @@ object SimilarityQueries {
     "sim_kmeans_cells" -> (kmeansHistogram _),
     "sim_ann_kmeans" -> (annKmeans _),
     "sim_semantic_dedup" -> (semanticDedup _),
+    "sim_pq_cells" -> (pqCellHistogram _),
+    "sim_ann_pq" -> (annPq _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -808,6 +938,69 @@ object SimilarityQueries {
        |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
        |USING (vec_id)""".stripMargin.replace("\n", " ")
 
+  /** PQ oracle: per-subspace Lloyd CTE chains mirroring [[trainPqSub]]
+    * (integer L2² assignment, floor-average update, 2 iterations), a
+    * final per-subspace assignment, then the codes table — shared by
+    * the histogram and ADC oracles so both read the exact model the
+    * Spark side trains.
+    */
+  private def oPqL2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+    s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))"
+
+  private val oPqFinIter: Int = PqIters + 1
+
+  private val oPqChain: String = {
+    val subChains = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      def assign(si: String, ci: String, ai: String) =
+        s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM sub$m q, $ci c),
+           |$ai AS (SELECT vec_id, sq, cid AS code FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $si)
+           |  WHERE rn = 1)""".stripMargin
+      def update(ai: String, ui: String, ci: String) =
+        s"""$ui AS (SELECT code, dim, CAST(floor(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS cx
+           |  FROM (SELECT code, unnest(sq) AS x, generate_subscripts(sq, 1) AS dim FROM $ai)
+           |  GROUP BY 1, 2),
+           |$ci AS (SELECT code AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
+      val iters = (1 to PqIters).map { i =>
+        assign(s"p${m}s$i", s"p${m}c${i - 1}", s"p${m}a$i") + ",\n" +
+          update(s"p${m}a$i", s"p${m}u$i", s"p${m}c$i")
+      }.mkString(",\n")
+      s"""sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sq FROM q),
+         |p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM sub$m WHERE vec_id BETWEEN 1 AND $PqK),
+         |$iters,
+         |${assign(s"p${m}s$oPqFinIter", s"p${m}c$PqIters", s"p${m}a$oPqFinIter")}""".stripMargin
+    }.mkString(",\n")
+    val codes = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m::INTEGER AS sub, code FROM p${m}a$oPqFinIter")
+      .mkString("codes AS (", " UNION ALL ", ")")
+    s"""e AS ($oE),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
+       |$subChains,
+       |$codes""".stripMargin.replace("\n", " ")
+  }
+
+  private val oPqCells: String =
+    s"WITH $oPqChain SELECT sub, code, COUNT(*) AS n_vecs FROM codes GROUP BY 1, 2"
+
+  private val oAnnPq: String = {
+    val dists = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""d$m AS (SELECT a.vec_id, ${oPqL2(s"qq.qqv[$lo:$hi]", "c.cv")} AS d
+         |  FROM p${m}a$oPqFinIter a JOIN p${m}c$PqIters c ON a.code = c.cid, qq)""".stripMargin
+    }.mkString(",\n")
+    val dsum = (0 until PqM).map(m => s"d$m.d").mkString(" + ")
+    val joins = (1 until PqM).map(m => s"JOIN d$m USING (vec_id)").mkString(" ")
+    s"""WITH $oPqChain,
+       |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $QueryVecId),
+       |$dists
+       |SELECT vec_id, CAST($dsum AS BIGINT) AS adist FROM d0 $joins
+       |WHERE vec_id <> $QueryVecId ORDER BY adist, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
   /** Semantic dedup oracle: the shared trained-model CTE chain, the
     * same within-cell lower-id-neighbor drop rule, survivors flagged.
     */
@@ -824,6 +1017,8 @@ object SimilarityQueries {
     "sim_kmeans_cells" -> oKmeans,
     "sim_ann_kmeans" -> oAnnKmeans,
     "sim_semantic_dedup" -> oSemDedup,
+    "sim_pq_cells" -> oPqCells,
+    "sim_ann_pq" -> oAnnPq,
     "sim_topk_cosine" -> oTopk,
     "sim_ann_lsh" -> oLsh,
     "sim_ann_lsh_multiprobe" -> oLshMulti,

@@ -183,6 +183,46 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a partial aggregate below the exchange:\n$p")
   }
 
+  test("semantic dedup self-join is an equi-join on the cell key (no NLJ)") {
+    val p = plan(SimilarityQueries.semanticDedup(spark, Sf))
+    // the SemDeDup point: the quadratic term is confined to cells, so
+    // the pair search must be a cell-keyed equi-join — a BNLJ/cartesian
+    // would mean it degenerated to corpus × corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+    CacheLife.release(spark) // rides the cached quantized corpus + model
+  }
+
+  test("PQ ADC scan is a codes scan × 1-row broadcast with top-k, no corpus shuffle") {
+    val p = plan(SimilarityQueries.annPq(spark, Sf))
+    // ADC must stay a linear scan over the code table: the only join is
+    // the broadcast of the single query row, and the top-k must plan as
+    // TakeOrderedAndProject — any hashpartitioning exchange would mean
+    // the compressed corpus acquired a shuffle
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ADC scan must not shuffle the corpus:\n$p")
+    CacheLife.release(spark) // rides the cached PQ code table
+  }
+
+  test("source matrix joins candidates on doc ids and partial-aggregates the rollup") {
+    val p = plan(DedupQueries.sourceMatrix(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below the exchange:\n$p")
+    CacheLife.release(spark) // rides the cached candidate store
+  }
+
+  test("split report is a scan + two-level aggregate: no join, no window") {
+    val p = plan(TextQueries.splitReport(spark, Sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      s"expected a partial aggregate below the exchange:\n$p")
+  }
+
   test("pairs-threshold join is an equi-join on block-pair cells (no NLJ, no cartesian)") {
     val p = plan(SimilarityQueries.pairsThreshold(spark, Sf))
     // the pair condition must be a hash/merge EQUI-join on (bi, bj) —

@@ -203,4 +203,66 @@ class QueriesSpec extends SparkSpec {
     val total = Tables.embeddings(spark, Sf).count()
     assert(byLabel.map { case (_, cells) => cells.head.getLong(2) }.sum == total)
   }
+
+  test("PQ code histogram covers every vector in every subspace with in-range codes") {
+    val rows = SimilarityQueries.pqCellHistogram(spark, Sf).collect()
+    val n = Tables.embeddings(spark, Sf).count()
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until SimilarityQueries.PqM).toSet)
+    bySub.foreach { case (sub, cells) =>
+      assert(cells.map(_.getLong(2)).sum == n, s"subspace $sub does not cover the corpus")
+      cells.foreach(c => assert(c.getLong(1) >= 1 && c.getLong(1) <= SimilarityQueries.PqK))
+    }
+    CacheLife.release(spark)
+  }
+
+  test("PQ ADC returns k ascending non-negative distances excluding the query") {
+    val rows = SimilarityQueries.annPq(spark, Sf).collect()
+    assert(rows.length == 10)
+    val dists = rows.map(_.getLong(1))
+    assert(dists.forall(_ >= 0L))
+    assert(dists.sameElements(dists.sorted), "ADC results not ascending")
+    assert(!rows.map(_.getLong(0)).contains(SimilarityQueries.QueryVecId))
+    CacheLife.release(spark)
+  }
+
+  test("semantic dedup keeps each cell's min id and drops only documented vectors") {
+    val rows = SimilarityQueries.semanticDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(rows.length == n, "every vector must carry a verdict")
+    // a cell's smallest id has no lower-id neighbor, so it is always kept
+    rows.groupBy(_._2).foreach { case (cell, vs) =>
+      val minId = vs.map(_._1).min
+      assert(vs.find(_._1 == minId).get._3, s"cell $cell dropped its min id")
+    }
+    CacheLife.release(spark)
+  }
+
+  test("source matrix pair counts sum to the candidate-pair count") {
+    val nPairs = DedupQueries.minhashPairs(spark, Sf).count()
+    val m = DedupQueries.sourceMatrix(spark, Sf).collect()
+    assert(m.map(_.getLong(2)).sum == nPairs)
+    m.foreach(r => assert(r.getString(0) <= r.getString(1), "matrix cells must be source-sorted"))
+    CacheLife.release(spark)
+  }
+
+  test("zipf histogram partitions the vocabulary and totals the corpus tokens") {
+    val rows = TextQueries.zipfHistogram(spark, Sf).collect()
+    val vocab = TextQueries.queries("text_token_freq")(spark, Sf).count() // ≤100 cut
+    val hist = rows.map(_.getLong(1)).sum
+    // histogram counts EVERY distinct token (no top-100 cut), so it is ≥ the cut
+    assert(hist >= vocab, s"histogram vocab $hist < top-k vocab $vocab")
+    rows.foreach { r =>
+      // bucket b holds counts in [2^b, 2^(b+1))
+      assert(r.getInt(0) >= 0 && r.getLong(2) >= r.getLong(1) * (1L << r.getInt(0)))
+    }
+    CacheLife.release(spark)
+  }
+
+  test("pack stats and split report partition the corpus exactly") {
+    val n = Tables.documents(spark, Sf).count()
+    assert(TextQueries.packStats(spark, Sf).collect().map(_.getLong(2)).sum == n)
+    assert(TextQueries.splitReport(spark, Sf).collect().map(_.getLong(2)).sum == n)
+  }
 }
