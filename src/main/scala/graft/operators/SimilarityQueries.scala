@@ -628,16 +628,21 @@ object SimilarityQueries {
         trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")))).toSeq)
   }
 
-  /** The PQ index: one row per vector, M code columns. This table IS
-    * the compressed corpus a deployment writes — everything downstream
-    * (ADC scan, cell histogram) reads codes, not floats.
+  /** The PQ index: one row per vector with its coarse cell AND M code
+    * columns — the IVF-PQ layout a deployment writes (cell-partitioned
+    * code lists, ~6 longs/vector here vs 256 bytes of floats).
+    * Everything downstream (flat ADC scan, cell-pruned probe, code
+    * histogram) reads this one table, never the raw vectors; at scale
+    * the cell column is the write-time partitioning, so the pruned
+    * probe is partition pruning over compressed rows.
     */
   private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
     val model = pqModel(s, dir)
-    val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
     graft.CacheLife.cached(s, s"sim.pq-codes:$dir")(
-      q.select(col("vec_id") +: (0 until PqM).map(m =>
-        pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
+      q.select(col("vec_id") +: assignExpr(cents).as("cell") +:
+        (0 until PqM).map(m =>
+          pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
   }
 
   /** Codebook occupancy histogram — the index-health view (a starved
@@ -651,23 +656,57 @@ object SimilarityQueries {
       .groupBy("sub", "code")
       .agg(count(lit(1)).as("n_vecs"))
 
+  /** The ADC distance expression over a codes row joined with the
+    * broadcast query (`qqv`): M map-literal codebook lookups + integer
+    * L2² sums, reduced to one Long. Shared by the flat scan and the
+    * IVF-pruned form.
+    */
+  private def adcDist(s: SparkSession, dir: String): org.apache.spark.sql.Column =
+    (0 until PqM).map { m =>
+      val codebook = typedLit(pqModel(s, dir)(m)
+        .map { case (cid, c) => cid -> c.toSeq }.toMap)
+      l2q(subSlice(col("qqv"), m), element_at(codebook, col(s"c$m")))
+    }.reduce(_ + _)
+
   /** ADC top-10: the query's exact subvectors against each corpus
     * vector's code-indexed centroids — M map-literal lookups + integer
     * L2² sums per row, planned as a codes-table scan × 1-row broadcast
     * with TakeOrderedAndProject on top. No shuffle touches the corpus.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
-    val model = pqModel(s, dir)
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
     val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
-    val dist = (0 until PqM).map { m =>
-      val codebook = typedLit(model(m).map { case (cid, c) => cid -> c.toSeq }.toMap)
-      l2q(subSlice(col("qqv"), m), element_at(codebook, col(s"c$m")))
-    }.reduce(_ + _)
     pqCodes(s, dir)
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(qq))
-      .select(col("vec_id"), dist.as("adist"))
+      .select(col("vec_id"), adcDist(s, dir).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // ---- IVF-PQ: the full composed index (IVFADC) ----
+  // The deployment shape the two quantizers exist FOR: the trained
+  // coarse quantizer prunes the search to the query's cell (at scale a
+  // pruned partition), and PQ codes make the surviving cell cheap to
+  // scan (ADC lookups instead of raw floats). One cell equi-join
+  // against the broadcast query cell on top of the code table; cost =
+  // |cell| ADC rows, not corpus. The simplification vs the textbook
+  // IVFADC — codes quantize raw vectors, not per-cell residuals — is
+  // deliberate: residual codebooks would make every distance depend on
+  // two trained models' interaction, and the oracle proves THIS form
+  // bit-for-bit; the plan shape (prune, then compressed scan) is
+  // identical.
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
+    val idx = pqCodes(s, dir)
+    val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
+    val qcell = idx.filter(col("vec_id") === QueryVecId)
+      .select(col("cell").as("qcell"))
+    idx
+      .filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(qcell), col("cell") === col("qcell"))
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"), adcDist(s, dir).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(10)
   }
@@ -774,13 +813,21 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("variant"), col("hits"),
           round(col("hits").cast("double") / RecallK, 6).as("recall"))
-    Seq(
+    // the PQ variants rank by ADC distance, not cosine — their top-10
+    // is taken as emitted (already k rows), not re-cut by cos
+    def rowIds(name: String, df: DataFrame): DataFrame =
+      df.select("vec_id").join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("variant"), col("hits"),
+          round(col("hits").cast("double") / RecallK, 6).as("recall"))
+    (Seq(
       "lsh" -> annLsh(s, dir),
       "lsh_multiprobe" -> annLshMultiProbe(s, dir),
       "ivf" -> annIvf(s, dir),
       "ivf_multiprobe" -> annIvfMultiProbe(s, dir),
       "kmeans" -> annKmeans(s, dir))
-      .map { case (n, df) => row(n, df) }
+      .map { case (n, df) => row(n, df) } ++
+      Seq(rowIds("pq", annPq(s, dir)), rowIds("ivfpq", annIvfPq(s, dir))))
       .reduce(_ unionAll _)
   }
 
@@ -805,6 +852,7 @@ object SimilarityQueries {
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_pq_cells" -> (pqCellHistogram _),
     "sim_ann_pq" -> (annPq _),
+    "sim_ann_ivfpq" -> (annIvfPq _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -938,6 +986,16 @@ object SimilarityQueries {
        |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
        |USING (vec_id)""".stripMargin.replace("\n", " ")
 
+  /** Recall row for ADC-ranked variants: the variant SQL already emits
+    * its top-k by distance — taken as-is, never re-ordered by cosine.
+    */
+  private def oRecallRowIds(name: String, varSql: String): String =
+    s"""SELECT '$name' AS variant, COUNT(*) AS hits,
+       |round(COUNT(*)::DOUBLE / $RecallK, 6) AS recall
+       |FROM (SELECT vec_id FROM ($varSql)) v
+       |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
+       |USING (vec_id)""".stripMargin.replace("\n", " ")
+
   /** PQ oracle: per-subspace Lloyd CTE chains mirroring [[trainPqSub]]
     * (integer L2² assignment, floor-average update, 2 iterations), a
     * final per-subspace assignment, then the codes table — shared by
@@ -950,7 +1008,11 @@ object SimilarityQueries {
 
   private val oPqFinIter: Int = PqIters + 1
 
-  private val oPqChain: String = {
+  /** The PQ CTE body WITHOUT the shared `e`/`q` prefix — so it can
+    * compose into one WITH alongside [[oKmeansChain]] (which defines
+    * identical `e`/`q` CTEs) for the IVF-PQ oracle.
+    */
+  private val oPqSubChains: String = {
     val subChains = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
@@ -976,30 +1038,51 @@ object SimilarityQueries {
     val codes = (0 until PqM).map(m =>
       s"SELECT vec_id, $m::INTEGER AS sub, code FROM p${m}a$oPqFinIter")
       .mkString("codes AS (", " UNION ALL ", ")")
-    s"""e AS ($oE),
-       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
-       |$subChains,
+    s"""$subChains,
        |$codes""".stripMargin.replace("\n", " ")
   }
+
+  private val oPqChain: String =
+    s"""e AS ($oE),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
+       |$oPqSubChains""".stripMargin.replace("\n", " ")
 
   private val oPqCells: String =
     s"WITH $oPqChain SELECT sub, code, COUNT(*) AS n_vecs FROM codes GROUP BY 1, 2"
 
-  private val oAnnPq: String = {
-    val dists = (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val hi = (m + 1) * PqSubDim
-      s"""d$m AS (SELECT a.vec_id, ${oPqL2(s"qq.qqv[$lo:$hi]", "c.cv")} AS d
-         |  FROM p${m}a$oPqFinIter a JOIN p${m}c$PqIters c ON a.code = c.cid, qq)""".stripMargin
-    }.mkString(",\n")
-    val dsum = (0 until PqM).map(m => s"d$m.d").mkString(" + ")
-    val joins = (1 until PqM).map(m => s"JOIN d$m USING (vec_id)").mkString(" ")
+  /** Per-subspace ADC distance CTEs (d0..dM-1) + the sum/join glue —
+    * shared by the flat-scan and IVF-pruned oracles.
+    */
+  private val oAdcDists: String = (0 until PqM).map { m =>
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""d$m AS (SELECT a.vec_id, ${oPqL2(s"qq.qqv[$lo:$hi]", "c.cv")} AS d
+       |  FROM p${m}a$oPqFinIter a JOIN p${m}c$PqIters c ON a.code = c.cid, qq)""".stripMargin
+  }.mkString(",\n")
+  private val oAdcSum: String = (0 until PqM).map(m => s"d$m.d").mkString(" + ")
+  private val oAdcJoins: String = (1 until PqM).map(m => s"JOIN d$m USING (vec_id)").mkString(" ")
+
+  private val oAnnPq: String =
     s"""WITH $oPqChain,
        |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $QueryVecId),
-       |$dists
-       |SELECT vec_id, CAST($dsum AS BIGINT) AS adist FROM d0 $joins
+       |$oAdcDists
+       |SELECT vec_id, CAST($oAdcSum AS BIGINT) AS adist FROM d0 $oAdcJoins
        |WHERE vec_id <> $QueryVecId ORDER BY adist, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
-  }
+
+  /** IVF-PQ oracle: the SAME trained-quantizer chain (cells) and the
+    * SAME PQ chain (codes/codebooks) in one WITH — ADC distances
+    * restricted to the query's cell.
+    */
+  private val oAnnIvfPq: String =
+    s"""WITH $oKmeansChain,
+       |$oPqSubChains,
+       |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $QueryVecId),
+       |$oAdcDists,
+       |qc AS (SELECT cell AS qcell FROM $oKmeansFin WHERE vec_id = $QueryVecId)
+       |SELECT vec_id, CAST($oAdcSum AS BIGINT) AS adist
+       |FROM d0 $oAdcJoins JOIN $oKmeansFin a USING (vec_id), qc
+       |WHERE vec_id <> $QueryVecId AND a.cell = qc.qcell
+       |ORDER BY adist, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
   /** Semantic dedup oracle: the shared trained-model CTE chain, the
     * same within-cell lower-id-neighbor drop rule, survivors flagged.
@@ -1019,13 +1102,16 @@ object SimilarityQueries {
     "sim_semantic_dedup" -> oSemDedup,
     "sim_pq_cells" -> oPqCells,
     "sim_ann_pq" -> oAnnPq,
+    "sim_ann_ivfpq" -> oAnnIvfPq,
     "sim_topk_cosine" -> oTopk,
     "sim_ann_lsh" -> oLsh,
     "sim_ann_lsh_multiprobe" -> oLshMulti,
-    "sim_ann_recall" -> Seq(
+    "sim_ann_recall" -> (Seq(
       "lsh" -> oLsh, "lsh_multiprobe" -> oLshMulti, "ivf" -> oIvf,
       "ivf_multiprobe" -> oIvfMulti, "kmeans" -> oAnnKmeans)
-      .map { case (n, sql) => oRecallRow(n, sql) }.mkString(" UNION ALL "),
+      .map { case (n, sql) => oRecallRow(n, sql) } ++
+      Seq(oRecallRowIds("pq", oAnnPq), oRecallRowIds("ivfpq", oAnnIvfPq)))
+      .mkString(" UNION ALL "),
     "sim_pairs_threshold" -> oPairsExact,
     "sim_pairs_lsh" -> oPairsLsh,
     "sim_pairs_recall" ->

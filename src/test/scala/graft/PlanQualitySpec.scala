@@ -206,6 +206,19 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // rides the cached PQ code table
   }
 
+  test("IVF-PQ probe is a cell equi-join over the code table, no corpus shuffle") {
+    val p = plan(SimilarityQueries.annIvfPq(spark, Sf))
+    // prune must be the broadcast cell equi-join (at scale: partition
+    // pruning over the cell-partitioned code table) and the scan must
+    // stay shuffle-free with TakeOrderedAndProject on top
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF-PQ probe must not shuffle the corpus:\n$p")
+    CacheLife.release(spark) // rides the cached PQ index
+  }
+
   test("source matrix joins candidates on doc ids and partial-aggregates the rollup") {
     val p = plan(DedupQueries.sourceMatrix(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -226,6 +226,21 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("IVF-PQ distances agree with the flat ADC scan on shared hits") {
+    val flat = SimilarityQueries.annPq(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pruned = SimilarityQueries.annIvfPq(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // pruning restricts the candidate set; it must never change a
+    // vector's ADC distance
+    pruned.foreach { case (id, d) =>
+      flat.get(id).foreach(fd => assert(fd == d, s"ADC distance drifted for vec $id"))
+    }
+    val ds = pruned.map(_._2)
+    assert(ds.sameElements(ds.sorted), "pruned ADC results not ascending")
+    CacheLife.release(spark)
+  }
+
   test("semantic dedup keeps each cell's min id and drops only documented vectors") {
     val rows = SimilarityQueries.semanticDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
