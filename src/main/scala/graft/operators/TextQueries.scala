@@ -92,6 +92,37 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  // ---- Source scorecard: the per-feed curation dashboard ----
+  // One row per source: volume, mean quality, mean length, English
+  // share — the table that decides which feeds get up-weighted, capped,
+  // or dropped (the aggregate view the per-doc text_quality/langid
+  // verdicts feed). Exactness: means of floats are summation-order-
+  // dependent, so quality aggregates via its 6-dp integer form
+  // (round(q·1e6) as BIGINT — already 6-dp-rounded, so the scaled value
+  // sits on an integer; sums stay < 2^53 ⇒ exact and order-free on
+  // both engines) and each mean is ONE final division, rounded. Shape:
+  // one corpus pass computing per-doc verdicts, then a |sources|-
+  // bounded aggregate with map-side partials.
+  def sourceScorecard(s: SparkSession, dir: String): DataFrame = {
+    val en = T.LangProfiles.head._2
+    val stopR = T.wordSetRatio(col("toks"), en)
+    val alphaR = T.charClassRatio(col("text"), "[a-z ]")
+    val lenCap = least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+    val qual = round(lit(0.5) * alphaR + lit(0.3) * stopR + lit(0.2) * lenCap, 6)
+    docs(s, dir)
+      .select(col("source"), col("text"), toks.as("toks"))
+      .select(col("source"),
+        round(qual * 1000000.0, 0).cast("long").as("q6"),
+        size(col("toks")).cast("long").as("nt"),
+        (T.langId(col("toks")) === "en").as("is_en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("q6").cast("double") / (count(lit(1)) * 1000000.0), 6).as("mean_quality"),
+        round(sum("nt").cast("double") / count(lit(1)), 6).as("mean_tokens"),
+        round(sum(when(col("is_en"), 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("pct_en"))
+  }
+
   // ---- Zipf histogram: the corpus frequency-spectrum fingerprint ----
   // Token counts binned by power of two (bucket = floor(log2(cnt))) —
   // the one-glance view of whether a corpus has a natural Zipfian tail
@@ -406,6 +437,7 @@ object TextQueries {
     "text_pack_contexts" -> ((s: SparkSession, d: String) => packContexts(s, d)),
     "text_pack_stats" -> (packStats _),
     "text_zipf" -> (zipfHistogram _),
+    "text_source_scorecard" -> (sourceScorecard _),
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -480,6 +512,21 @@ object TextQueries {
           |SELECT (length(bin(cnt)) - 1)::INTEGER AS freq_bucket, COUNT(*) AS n_tokens,
           |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
           |FROM c GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "text_source_scorecard" -> {
+      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+      val alphaR = O.charClassRatio("text", "[a-z ]")
+      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+      val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
+      s"""WITH v AS (SELECT source,
+         |  CAST(round($qual * 1000000.0, 0) AS BIGINT) AS q6,
+         |  len($oToks)::BIGINT AS nt,
+         |  (${O.langId(oToks)} = 'en') AS is_en FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  round(CAST(SUM(q6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mean_quality,
+         |  round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+         |  round(CAST(COUNT(*) FILTER (WHERE is_en) AS DOUBLE) / COUNT(*), 6) AS pct_en
+         |FROM v GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
     "text_split_report" ->
       (s"""SELECT source,
           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

@@ -280,4 +280,14 @@ class QueriesSpec extends SparkSpec {
     assert(TextQueries.packStats(spark, Sf).collect().map(_.getLong(2)).sum == n)
     assert(TextQueries.splitReport(spark, Sf).collect().map(_.getLong(2)).sum == n)
   }
+
+  test("source scorecard covers the corpus with bounded ratios") {
+    val rows = TextQueries.sourceScorecard(spark, Sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, "quality out of range")
+      assert(r.getDouble(3) > 0.0, "mean tokens must be positive")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "pct_en out of range")
+    }
+  }
 }
