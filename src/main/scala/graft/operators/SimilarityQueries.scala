@@ -725,9 +725,31 @@ object SimilarityQueries {
   // same mechanics annKmeans probes. Rides the CacheLife-memoized
   // model: training runs once per session; this query adds one
   // cell-keyed join + an id-keyed anti lookup.
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Refusal bound on cell occupancy: the within-cell pair join does
+    * |cell|²/2 comparisons, so one runaway cell (an under-trained
+    * codebook on a lopsided corpus) would quietly pin a task at n²/2 —
+    * the same failure mode MaxKernelPairs guards in the exact kernel.
+    * Past the bound the fix is a bigger codebook (K scales with the
+    * corpus so cells stay ~constant-sized), and the guard says so
+    * instead of melting.
+    */
+  val MaxSemCell: Long = 1L << 20
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupGuarded(s, dir, MaxSemCell)
+
+  private[graft] def semanticDedupGuarded(s: SparkSession, dir: String,
+                                          maxCell: Long): DataFrame = {
     val withVec = embs(s, dir).select(col("vec_id"), col("v"))
       .join(kmeansCells(s, dir), Seq("vec_id"))
+    // metadata-cheap against the |cell|² join it prevents: one count
+    // over the already-cached assignment
+    val biggest = withVec.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    require(biggest <= maxCell,
+      s"semantic dedup: largest cell holds $biggest vectors (bound $maxCell) — " +
+      "the within-cell pair join would do |cell|^2/2 comparisons; retrain with " +
+      "a larger codebook (more cells) so cell occupancy stays bounded")
     val a = withVec.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
     val b = withVec.select(col("cell"), col("vec_id").as("idb"), col("v").as("vb"))
     val dropped = a.join(b, Seq("cell"))

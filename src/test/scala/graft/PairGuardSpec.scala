@@ -37,4 +37,16 @@ class PairGuardSpec extends SparkSpec {
     assert(SimilarityQueries.pairsThreshold(spark, Sf).count() > 0)
     CacheLife.release(spark)
   }
+
+  test("semantic dedup refuses a runaway cell before the |cell|² join") {
+    // with a 1-vector bound every real cell is oversized — the guard
+    // must trip during construction, naming the codebook fix
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.semanticDedupGuarded(spark, Sf, maxCell = 1L)
+    }
+    assert(e.getMessage.contains("larger codebook"), e.getMessage)
+    // under the default bound the query is unchanged
+    assert(SimilarityQueries.semanticDedup(spark, Sf).count() > 0)
+    CacheLife.release(spark)
+  }
 }
