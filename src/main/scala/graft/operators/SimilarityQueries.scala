@@ -509,7 +509,11 @@ object SimilarityQueries {
     cents
   }
 
-  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-quantizer cell assignment — `private[graft]` so
+    * [[graft.sources.VectorLayout]] can write the corpus partitioned by
+    * the SAME cells the ANN probes use.
+    */
+  private[graft] def kmeansCells(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     q.select(col("vec_id"), assignExpr(cents).as("cell"))
   }

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.SimilarityQueries
+import graft.sources.VectorLayout
+
+/** The cell-partitioned ANN layout: the probe must be metadata
+  * partition pruning (PartitionFilters on a literal cell id), its
+  * results must equal the in-engine trained-quantizer probe, and the
+  * directory layout must be one partition per trained cell.
+  */
+class VectorLayoutSpec extends SparkSpec {
+
+  test("ANN probe over the cell-partitioned layout is partition pruning with exact parity") {
+    val out = Files.createTempDirectory("graft-vectors").toString + "/vectors"
+    VectorLayout.materialize(spark, Sf, out)
+
+    val probe = VectorLayout.probe(spark, out)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cell"), plan)
+    // the cell predicate must be pushed as a partition filter, not a
+    // post-scan row filter over all partitions
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), pf)
+
+    // result parity with the in-engine probe (same trained cells, same
+    // rounding, same ordering)
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = SimilarityQueries.annKmeans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want),
+      s"layout probe drifted from annKmeans:\n${got.mkString(",")}\nvs\n${want.mkString(",")}")
+
+    // physical layout: one directory per trained cell
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= SimilarityQueries.NCells,
+      s"expected <= ${SimilarityQueries.NCells} cell partitions, got ${dirs.length}")
+    CacheLife.release(spark)
+  }
+}
