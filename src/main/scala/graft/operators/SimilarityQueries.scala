@@ -391,12 +391,20 @@ object SimilarityQueries {
   // either way.
   val NBatchQ = 5
 
-  def annIvfBatch(s: SparkSession, dir: String): DataFrame = {
+  def annIvfBatch(s: SparkSession, dir: String): DataFrame =
+    probeQuerySet(s, dir, embs(s, dir).filter(col("vec_id") < NBatchQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
+
+  /** The query-set probe over an ARBITRARY `(qid, qv)` set — shared by
+    * the registered batch query and the streaming retrieval endpoint
+    * ([[graft.streaming.VectorStream]]), so a micro-batch of arriving
+    * queries runs the exact plan the batch query is oracle-checked on.
+    */
+  private[graft] def probeQuerySet(s: SparkSession, dir: String,
+                                   qvs: DataFrame): DataFrame = {
     val cents = embs(s, dir)
       .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val qvs = embs(s, dir).filter(col("vec_id") < NBatchQ)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
     val qcells = qvs.crossJoin(broadcast(cents))

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.SimilarityQueries
+
+/** Streaming retrieval endpoint: query vectors ARRIVE as a stream and
+  * each micro-batch probes the static IVF cell index — the serving
+  * shape of the similarity family (batch inference emits embeddings
+  * continuously; retrieval answers against a fixed corpus snapshot),
+  * closing batch/stream parity for ANN the way EventStream closes the
+  * temporal trio.
+  *
+  * Mechanics: `foreachBatch` (the documented escape hatch for reusing
+  * a batch plan under a stream) runs the SAME
+  * [[SimilarityQueries.probeQuerySet]] the oracle-checked
+  * `sim_ann_batch` query uses — per-query centroid ranking over the
+  * broadcast model, one cell equi-join against the memoized index,
+  * per-query top-k windows. The index is CacheLife-memoized, so only
+  * the first micro-batch pays the build; every later batch is
+  * model-sized work per query.
+  *
+  * Exactly-once: results land under a `__batch_id=<id>` partition with
+  * dynamic partition overwrite (the [[CandleStream.warehouseSink]]
+  * idiom) — a redelivered micro-batch overwrites its own partition
+  * byte-identically (the probe is deterministic), so replays change
+  * nothing. VectorStreamSpec proves drain parity with the batch probe.
+  */
+object VectorStream {
+
+  /** File-source schema of arriving query vectors. */
+  val schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Results of every processed micro-batch (bookkeeping partition
+    * dropped).
+    */
+  def results(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("__batch_id")
+
+  def probeSink(queries: DataFrame, sfDir: String, outDir: String,
+                checkpoint: String): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilarityQueries
+          .probeQuerySet(batch.sparkSession, sfDir,
+            batch.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+          .withColumn("__batch_id", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityQueries
+import graft.streaming.VectorStream
+
+/** The streaming retrieval endpoint: arriving query micro-batches must
+  * produce exactly the batch probe's results, and a full replay (wiped
+  * checkpoint) must change nothing — the probe is deterministic and
+  * each batch overwrites its own partition.
+  */
+class VectorStreamSpec extends SparkSpec {
+
+  private def writeOneFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-vq-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("streamed query batches probe the IVF index with batch parity and idempotent replay") {
+    val qdir = Files.createTempDirectory("graft-vq")
+    val out = Files.createTempDirectory("graft-vq-out").toString + "/results"
+    val ckpt = Files.createTempDirectory("graft-vq-ckpt").toString + "/ckpt"
+
+    // five corpus vectors as the arriving query set, in two files → two
+    // micro-batches (maxFilesPerTrigger=1)
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").between(10, 14))
+      .select(col("vec_id"), col("embedding"))
+    writeOneFile(queries.filter(col("vec_id") < 12), qdir, "q1.parquet")
+    writeOneFile(queries.filter(col("vec_id") >= 12), qdir, "q2.parquet")
+
+    def drain(checkpoint: String): Set[(Long, Long, Double, Int)] = {
+      val q = VectorStream.probeSink(
+        VectorStream.read(spark, qdir.toString), Sf, out, checkpoint)
+      try q.processAllAvailable() finally q.stop()
+      VectorStream.results(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+
+    val streamed = drain(ckpt)
+    val batch = SimilarityQueries.probeQuerySet(spark, Sf,
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size} rows")
+    assert(streamed.nonEmpty)
+
+    // full replay: a wiped checkpoint reprocesses every file as a fresh
+    // batch sequence; deterministic probe + per-batch partition
+    // overwrite ⇒ byte-identical result table
+    val replayed = drain(Files.createTempDirectory("graft-vq-ckpt2").toString + "/ckpt")
+    assert(replayed == streamed, "replay with a fresh checkpoint changed the results")
+    CacheLife.release(spark)
+  }
+}
