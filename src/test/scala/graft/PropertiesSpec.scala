@@ -51,4 +51,25 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(results.distinct.size == 1)
   }
+
+  test("mdBucket property: in range and equal to an independent md5 reference") {
+    // every hash-keyed behavior (sampling, splits, mix rates, shards)
+    // rides this one expression — pin it against a from-scratch JVM
+    // computation of the same spec: first 40 md5 bits of the string,
+    // mod m
+    val keys = Seq.fill(2000)(rnd.alphanumeric.take(rnd.nextInt(20) + 1).mkString)
+    val m = 97
+    val got = keys.toDF("k")
+      .select(graft.functions.Buckets.mdBucket(col("k"), m).as("b"))
+      .collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = keys.map { k =>
+      val hex = md.digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16) % m
+    }
+    got.zip(want).zip(keys).foreach { case ((g, w), k) =>
+      assert(g == w, s"mdBucket('$k'): got $g want $w")
+    }
+    assert(got.forall(b => b >= 0 && b < m))
+  }
 }
