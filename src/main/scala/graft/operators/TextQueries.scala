@@ -123,6 +123,43 @@ object TextQueries {
           .as("pct_en"))
   }
 
+  // ---- Curriculum phases: quality-quartile training order ----
+  // Curriculum data prep: assign each doc a phase by quality quartile
+  // (phase 0 = lowest quarter … 3 = highest), the ordering signal a
+  // staged training run consumes. Thresholds are EXACT quantiles
+  // computed the scalable way: quality is a 6-dp value in [0, 1] — a
+  // BOUNDED DISCRETE domain (≤1e6+1 distinct values) — so the quantile
+  // is a domain-histogram walk, not a corpus sort: one map-side-partial
+  // aggregate to (value, count), a running sum over the ≤1e6-row
+  // DOMAIN (the global window is domain-bounded, never corpus-sized —
+  // same contract as the model-sized centroid windows), three
+  // min-where scalars broadcast back, and a per-row comparison. A
+  // global `percentile()` would instead buffer every corpus value in
+  // one aggregate — the 100 TB failure mode this form exists to avoid
+  // (the sketch alternative, approx_percentile, gives up oracle
+  // exactness; the bounded domain makes exactness free).
+  // Threshold rule (identical SQL both sides): t_p = min value whose
+  // cumulative count reaches p·n — quantile_disc semantics, no
+  // interpolation, so every computed number is a value that exists.
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val q = quality(s, dir).select(col("doc_id"), col("quality"))
+    val hist = q.groupBy("quality").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("quality")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("n").over(w))
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("nt"))))
+    val th = cum.agg(
+      min(when(col("cum") >= lit(0.25) * col("nt"), col("quality"))).as("t25"),
+      min(when(col("cum") >= lit(0.50) * col("nt"), col("quality"))).as("t50"),
+      min(when(col("cum") >= lit(0.75) * col("nt"), col("quality"))).as("t75"))
+    q.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("quality"),
+        ((col("quality") >= col("t25")).cast("int") +
+         (col("quality") >= col("t50")).cast("int") +
+         (col("quality") >= col("t75")).cast("int")).as("phase"))
+  }
+
   // ---- Zipf histogram: the corpus frequency-spectrum fingerprint ----
   // Token counts binned by power of two (bucket = floor(log2(cnt))) —
   // the one-glance view of whether a corpus has a natural Zipfian tail
@@ -438,6 +475,7 @@ object TextQueries {
     "text_pack_stats" -> (packStats _),
     "text_zipf" -> (zipfHistogram _),
     "text_source_scorecard" -> (sourceScorecard _),
+    "text_curriculum" -> (curriculum _),
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -534,6 +572,23 @@ object TextQueries {
           |FROM (SELECT source,
           |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)
           |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+    "text_curriculum" -> {
+      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+      val alphaR = O.charClassRatio("text", "[a-z ]")
+      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+      val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
+      s"""WITH qd AS (SELECT doc_id, $qual AS quality FROM documents),
+         |h AS (SELECT quality, COUNT(*) AS n FROM qd GROUP BY 1),
+         |c AS (SELECT quality, SUM(n) OVER (ORDER BY quality
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |t AS (SELECT COUNT(*) AS nt FROM qd),
+         |th AS (SELECT min(CASE WHEN cum >= 0.25 * nt THEN quality END) AS t25,
+         |  min(CASE WHEN cum >= 0.50 * nt THEN quality END) AS t50,
+         |  min(CASE WHEN cum >= 0.75 * nt THEN quality END) AS t75 FROM c, t)
+         |SELECT doc_id, quality,
+         |  ((quality >= t25)::INT + (quality >= t50)::INT + (quality >= t75)::INT) AS phase
+         |FROM qd, th""".stripMargin.replace("\n", " ")
+    },
     "text_chunk" ->
       (s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents)
           |SELECT doc_id, (u.start // $ChunkStride)::INTEGER AS chunk_idx,

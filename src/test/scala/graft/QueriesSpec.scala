@@ -281,6 +281,18 @@ class QueriesSpec extends SparkSpec {
     assert(TextQueries.splitReport(spark, Sf).collect().map(_.getLong(2)).sum == n)
   }
 
+  test("curriculum phases partition the corpus monotonically in quality") {
+    val rows = TextQueries.curriculum(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 3))
+    // sorted by quality, phase must never decrease (quartile thresholds)
+    val byQ = rows.sortBy(_._2).map(_._3)
+    assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b }, "phase not monotone in quality")
+    // every quartile threshold is reachable: the top quarter is phase 3
+    assert(byQ.last == 3 && byQ.head == 0)
+  }
+
   test("source scorecard covers the corpus with bounded ratios") {
     val rows = TextQueries.sourceScorecard(spark, Sf).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, Sf).count())
