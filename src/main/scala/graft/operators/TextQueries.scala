@@ -123,6 +123,29 @@ object TextQueries {
           .as("pct_en"))
   }
 
+  // ---- Token estimation: whitespace words vs BPE-ish pieces ----
+  // The budget-planning metric: training budgets are set in model
+  // TOKENS, but corpus accounting (packing, stats) counts whitespace
+  // words — fertility (pieces per word) converts between them. Pieces
+  // come from a GPT-2-style PRE-tokenizer split — maximal runs of
+  // letters / digits / other, each optionally absorbing its leading
+  // space — restricted to lookahead-free character classes so the SAME
+  // pattern runs under Java regex (Spark) and RE2 (DuckDB); real BPE
+  // would then merge within pieces, so the piece count is the
+  // vocabulary-independent UPPER BOUND a budget planner uses. One
+  // regexp_extract_all map per row, no shuffle beyond the spread.
+  val BpePiecePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def tokenEstimate(s: SparkSession, dir: String): DataFrame =
+    docsTok(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePiecePattern), lit(0)))
+          .cast("long").as("n_bpe_pieces"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_pieces"),
+        when(col("n_ws_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 6))
+          .as("fertility"))
+
   // ---- Curriculum phases: quality-quartile training order ----
   // Curriculum data prep: assign each doc a phase by quality quartile
   // (phase 0 = lowest quarter … 3 = highest), the ordering signal a
@@ -476,6 +499,7 @@ object TextQueries {
     "text_zipf" -> (zipfHistogram _),
     "text_source_scorecard" -> (sourceScorecard _),
     "text_curriculum" -> (curriculum _),
+    "text_token_est" -> (tokenEstimate _),
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -589,6 +613,13 @@ object TextQueries {
          |  ((quality >= t25)::INT + (quality >= t50)::INT + (quality >= t75)::INT) AS phase
          |FROM qd, th""".stripMargin.replace("\n", " ")
     },
+    "text_token_est" ->
+      (s"""SELECT doc_id, n_ws_tokens, n_bpe_pieces,
+          |  CASE WHEN n_ws_tokens = 0 THEN NULL
+          |    ELSE round(n_bpe_pieces::DOUBLE / n_ws_tokens, 6) END AS fertility
+          |FROM (SELECT doc_id, len($oToks)::BIGINT AS n_ws_tokens,
+          |  len(regexp_extract_all(text, '$BpePiecePattern'))::BIGINT AS n_bpe_pieces
+          |  FROM documents)""".stripMargin.replace("\n", " ")),
     "text_chunk" ->
       (s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents)
           |SELECT doc_id, (u.start // $ChunkStride)::INTEGER AS chunk_idx,

@@ -281,6 +281,17 @@ class QueriesSpec extends SparkSpec {
     assert(TextQueries.splitReport(spark, Sf).collect().map(_.getLong(2)).sum == n)
   }
 
+  test("token estimate: BPE-ish pieces never undercount whitespace words") {
+    // every whitespace word is at least one piece (digits/punct inside a
+    // word split it further), so fertility >= 1 for any corpus
+    val rows = TextQueries.tokenEstimate(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"doc ${r.getLong(0)} pieces < words")
+      if (r.getLong(1) > 0) assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
   test("curriculum phases partition the corpus monotonically in quality") {
     val rows = TextQueries.curriculum(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
