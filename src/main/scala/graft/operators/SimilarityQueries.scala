@@ -562,8 +562,12 @@ object SimilarityQueries {
   // PQ (Jégou, Douze & Schmid 2011, "Product quantization for nearest
   // neighbor search"): split each vector into M subvectors, train a
   // tiny k-means codebook per subspace, store each vector as M small
-  // code ids — here 4 subspaces × 4 centroids = 4 codes ≈ 1 byte per
-  // vector against 256 bytes of raw floats. Search is ADC (asymmetric
+  // code ids — here 4 subspaces × 8 centroids = 4 three-bit codes
+  // (≈2 bytes stored as longs) against 256 bytes of raw floats.
+  // Codebook size is THE recall knob (the corpus is near-isotropic —
+  // the documented worst case for coarse quantization — and
+  // sim_ann_recall prices the loss per variant); production PQ uses
+  // K=256 per subspace, the same plan with a bigger literal. Search is ADC (asymmetric
   // distance computation): the query stays exact, each corpus vector's
   // distance is the sum of M codebook lookups — a linear scan over
   // codes that is memory-bandwidth-, not FLOP-, bound. At deployment
@@ -580,7 +584,7 @@ object SimilarityQueries {
   // table is the CacheLife-materialized PQ index a real system writes.
   val PqM = 4
   val PqSubDim = 16
-  val PqK = 4
+  val PqK = 8
   val PqIters = 2
 
   /** Exact integer L2² between a subvector column and another array
