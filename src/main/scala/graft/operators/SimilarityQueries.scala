@@ -727,6 +727,49 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- IVF-PQ multiprobe + exact rerank: the full retrieval stack ----
+  // Both recall levers composed, plus the stage that makes coarse
+  // codes usable: (1) rank the trained centroids by integer cosine (a
+  // K-row, model-sized window — the same rule as the assignment, so
+  // the top-1 probe IS the single-probe cell); (2) ADC-shortlist the
+  // top-nprobe cells of the code table; (3) RERANK the shortlist with
+  // exact cosine over the raw vectors. The rerank is not optional
+  // polish — measured here, a wider probe under the RAW quantized
+  // metric LOWERED recall (extra candidates with noisy ADC distances
+  // displace true neighbors from the top-k; sim_ann_recall showed
+  // 0.3 → 0.1), which is exactly why production PQ systems rerank a
+  // shortlist. Cost: nprobe pruned partitions of compressed rows +
+  // |shortlist| exact distances — the raw vectors are touched only
+  // for the shortlist, never the corpus.
+  val PqShortlist = 50
+
+  def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val idx = pqCodes(s, dir)
+    val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
+    val scored = qq.select(col("qqv"),
+      explode(array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), qCos(col("qqv"), c).as("ccos"))
+      }: _*)).as("sc"))
+      .select(col("qqv"), col("sc.cid").as("qcell"), col("sc.ccos").as("ccos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ccos").desc, col("qcell").asc) // K rows — model-sized
+    val probes = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NProbeIvf)
+      .select(col("qcell"), col("qqv"))
+    val shortlist = idx.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(probes), col("cell") === col("qcell"))
+      .select(col("vec_id"), adcDist(s, dir).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(PqShortlist)
+    shortlist
+      .join(embs(s, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- Semantic dedup: embedding-space dedup INSIDE trained cells ----
   // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
   // the corpus with the coarse quantizer, then within each cell drop
@@ -865,7 +908,9 @@ object SimilarityQueries {
       "ivf_multiprobe" -> annIvfMultiProbe(s, dir),
       "kmeans" -> annKmeans(s, dir))
       .map { case (n, df) => row(n, df) } ++
-      Seq(rowIds("pq", annPq(s, dir)), rowIds("ivfpq", annIvfPq(s, dir))))
+      Seq(rowIds("pq", annPq(s, dir)), rowIds("ivfpq", annIvfPq(s, dir)),
+        // the reranked variant emits exact cos — rank-cut like the others
+        row("ivfpq_multiprobe", annIvfPqMultiProbe(s, dir))))
       .reduce(_ unionAll _)
   }
 
@@ -891,6 +936,7 @@ object SimilarityQueries {
     "sim_pq_cells" -> (pqCellHistogram _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
+    "sim_ann_ivfpq_multiprobe" -> (annIvfPqMultiProbe _),
   )
 
   private val oE = s"SELECT vec_id, ${VO.vecD("embedding")} AS v, label FROM embeddings"
@@ -1122,6 +1168,32 @@ object SimilarityQueries {
        |WHERE vec_id <> $QueryVecId AND a.cell = qc.qcell
        |ORDER BY adist, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
+  /** IVF-PQ multiprobe oracle: the kmeans chain supplies the final
+    * centroids (`c$KmeansIters`) and assignments; probe cells rank by
+    * the SAME integer-cosine score the assignment uses; ADC dists are
+    * the shared CTEs restricted to the probe set.
+    */
+  private val oAnnIvfPqMulti: String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    val sc = s"round(${qd("qq.qqv", "c.cv")} / " +
+      s"(sqrt(${qd("qq.qqv", "qq.qqv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
+    s"""WITH $oKmeansChain,
+       |$oPqSubChains,
+       |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $QueryVecId),
+       |ps AS (SELECT c.cid, $sc AS ccos FROM c$KmeansIters c, qq),
+       |pc AS (SELECT cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM ps)
+       |  WHERE rn <= $NProbeIvf),
+       |$oAdcDists,
+       |sl AS (SELECT vec_id, CAST($oAdcSum AS BIGINT) AS adist
+       |  FROM d0 $oAdcJoins JOIN $oKmeansFin a USING (vec_id) JOIN pc ON a.cell = pc.qcell
+       |  WHERE vec_id <> $QueryVecId ORDER BY adist, vec_id LIMIT $PqShortlist),
+       |qraw AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+       |SELECT vec_id, round(${VO.cosine("e.v", "qv")}, 6) AS cos
+       |FROM sl JOIN e USING (vec_id), qraw
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
   /** Semantic dedup oracle: the shared trained-model CTE chain, the
     * same within-cell lower-id-neighbor drop rule, survivors flagged.
     */
@@ -1141,6 +1213,7 @@ object SimilarityQueries {
     "sim_pq_cells" -> oPqCells,
     "sim_ann_pq" -> oAnnPq,
     "sim_ann_ivfpq" -> oAnnIvfPq,
+    "sim_ann_ivfpq_multiprobe" -> oAnnIvfPqMulti,
     "sim_topk_cosine" -> oTopk,
     "sim_ann_lsh" -> oLsh,
     "sim_ann_lsh_multiprobe" -> oLshMulti,
@@ -1148,7 +1221,8 @@ object SimilarityQueries {
       "lsh" -> oLsh, "lsh_multiprobe" -> oLshMulti, "ivf" -> oIvf,
       "ivf_multiprobe" -> oIvfMulti, "kmeans" -> oAnnKmeans)
       .map { case (n, sql) => oRecallRow(n, sql) } ++
-      Seq(oRecallRowIds("pq", oAnnPq), oRecallRowIds("ivfpq", oAnnIvfPq)))
+      Seq(oRecallRowIds("pq", oAnnPq), oRecallRowIds("ivfpq", oAnnIvfPq),
+        oRecallRow("ivfpq_multiprobe", oAnnIvfPqMulti)))
       .mkString(" UNION ALL "),
     "sim_pairs_threshold" -> oPairsExact,
     "sim_pairs_lsh" -> oPairsLsh,
