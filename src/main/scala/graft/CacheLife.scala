@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
@@ -18,7 +19,14 @@ import scala.collection.concurrent.TrieMap
   * k-means Lloyd loop re-ran its per-iteration collects on EVERY
   * invocation because the trained centroids lived in a local.
   *
-  * Two maps, both keyed (session, logical-key):
+  * Two maps, both keyed (SparkContext, logical-key). The CONTEXT, not
+  * the session, is the identity (round-6 advice): `foreachBatch` hands
+  * the sink a per-stream session CLONE, so session-keyed entries
+  * registered inside a streaming sink were invisible to
+  * `release(mainSession)` and accumulated across stream restarts.
+  * Cached storage and persisted RDDs live at the context level anyway —
+  * every session clone of one local[n] context shares them — so the
+  * context is the honest owner.
   *   - `frames`: persisted DataFrames (the signature store / IVF index /
   *     quantized corpus a real pipeline materializes). `cached` is
   *     memoizing, so two queries sharing a subplan (kmeansHistogram and
@@ -28,7 +36,8 @@ import scala.collection.concurrent.TrieMap
   *     instead of once-per-query-invocation.
   *
   * `release(session)` unpersists every tracked frame and drops every
-  * model for that session — the lifecycle hook Verify/Bench call between
+  * model for that session's CONTEXT (including entries a streaming
+  * clone registered) — the lifecycle hook Verify/Bench call between
   * passes. After it, `sparkContext.getPersistentRDDs` is empty
   * (CacheLifeSpec proves it for a double pass).
   *
@@ -43,23 +52,26 @@ import scala.collection.concurrent.TrieMap
   * objects). Verify/Bench follow this order.
   */
 object CacheLife {
-  private val frames = TrieMap.empty[(SparkSession, String), DataFrame]
-  private val models = TrieMap.empty[(SparkSession, String), Any]
+  private val frames = TrieMap.empty[(SparkContext, String), DataFrame]
+  private val models = TrieMap.empty[(SparkContext, String), Any]
 
-  /** Memoize-and-persist one DataFrame per (session, key). */
+  /** Memoize-and-persist one DataFrame per (context, key). */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+    frames.getOrElseUpdate((s.sparkContext, key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Memoize a driver-side value (a trained model) per (session, key). */
+  /** Memoize a driver-side value (a trained model) per (context, key). */
   def memo[T](s: SparkSession, key: String)(build: => T): T =
-    models.getOrElseUpdate((s, key), build).asInstanceOf[T]
+    models.getOrElseUpdate((s.sparkContext, key), build).asInstanceOf[T]
 
   /** Unpersist every tracked DataFrame and drop every memoized model
-    * belonging to `s`. Blocking, so storage is actually gone on return.
+    * belonging to `s`'s context — session clones included. Blocking, so
+    * storage is actually gone on return.
     */
   def release(s: SparkSession): Unit = {
-    frames.keys.toSeq.filter(_._1 eq s)
+    val sc = s.sparkContext
+    frames.keys.toSeq.filter(_._1 eq sc)
       .foreach(k => frames.remove(k).foreach(_.unpersist(blocking = true)))
-    models.keys.toSeq.filter(_._1 eq s).foreach(models.remove)
+    models.keys.toSeq.filter(_._1 eq sc).foreach(models.remove)
   }
 }

@@ -339,19 +339,22 @@ object DedupQueries {
   }
 
   // ---- Cross-source duplication matrix: where duplication comes FROM ----
-  // The provenance view of near-duplication: verified near-dup pairs
-  // rolled up by (source, source) — the table that tells a curator which
-  // feeds overlap each other (mirror sites, re-crawls) vs which
-  // self-duplicate (boilerplate within one feed), and therefore which
-  // source to drop or down-weight in the training mix. Pair ends are
-  // emitted source-sorted so each unordered source pair lands in one
-  // cell. Rides the CacheLife-shared candidate store through two
-  // doc_id-keyed equi-joins against a two-column projection of the
-  // corpus, then a |sources|²-bounded aggregate with map-side partials —
-  // marginal cost over the dedup pass, never a second corpus scan.
+  // The provenance view of near-duplication: VERIFIED near-dup pairs
+  // (exact Jaccard >= 0.5 over the LSH candidates — round-6 advice: the
+  // raw banding candidates count false positives, so the matrix now
+  // rolls up the verified set) grouped by (source, source) — the table
+  // that tells a curator which feeds overlap each other (mirror sites,
+  // re-crawls) vs which self-duplicate (boilerplate within one feed),
+  // and therefore which source to drop or down-weight in the training
+  // mix. Pair ends are emitted source-sorted so each unordered source
+  // pair lands in one cell. Rides the CacheLife-shared candidate +
+  // shingle stores through two doc_id-keyed equi-joins against a
+  // two-column projection of the corpus, then a |sources|²-bounded
+  // aggregate with map-side partials — marginal cost over the dedup
+  // pass, never a second corpus scan.
   def sourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    minhashPairs(s, dir)
+    jaccardPairs(s, dir).select("doc_a", "doc_b")
       .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(least(col("sa.source"), col("sb.source")).as("source_a"),
@@ -444,16 +447,7 @@ object DedupQueries {
           |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'representative' END AS kept_as
           |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
           |WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id""".stripMargin.replace("\n", " ")),
-    "dedup_jaccard_pairs" ->
-      (s"""WITH cand AS ($oPairs),
-          |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
-          |shs AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t2)
-          |SELECT doc_a, doc_b, jaccard FROM (
-          |  SELECT doc_a, doc_b,
-          |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-          |  FROM cand JOIN shs a ON cand.doc_a = a.doc_id JOIN shs b ON cand.doc_b = b.doc_id)
-          |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")),
+    "dedup_jaccard_pairs" -> oJaccardPairs,
     "dedup_simhash_groups" ->
       (s"WITH t AS (SELECT doc_id, $oToks AS toks FROM documents), " +
        s"h AS (SELECT doc_id, ${O.tokenHashes("toks")} AS hs FROM t) " +
@@ -477,13 +471,27 @@ object DedupQueries {
           |SELECT eval_doc, COUNT(*) AS n_train_dups, MIN(train_doc) AS first_train_doc
           |FROM cont GROUP BY 1 ORDER BY n_train_dups DESC, eval_doc LIMIT 20""".stripMargin.replace("\n", " ")),
     "dedup_source_matrix" ->
-      (s"""WITH cand AS ($oPairs),
+      (s"""WITH vp AS ($oJaccardPairs),
           |s AS (SELECT doc_id, source FROM documents)
           |SELECT least(sa.source, sb.source) AS source_a,
           |  greatest(sa.source, sb.source) AS source_b, COUNT(*) AS n_pairs
-          |FROM cand JOIN s sa ON cand.doc_a = sa.doc_id JOIN s sb ON cand.doc_b = sb.doc_id
+          |FROM vp JOIN s sa ON vp.doc_a = sa.doc_id JOIN s sb ON vp.doc_b = sb.doc_id
           |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
   )
+
+  /** Jaccard-verified pair oracle — shared by the jaccard query and the
+    * source matrix (which rolls up the VERIFIED set, not raw candidates).
+    */
+  private lazy val oJaccardPairs: String =
+    s"""WITH cand AS ($oPairs),
+       |t2 AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |shs AS (SELECT doc_id, ${O.shingles("toks", ShingleN)} AS sh FROM t2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |  FROM cand JOIN shs a ON cand.doc_a = a.doc_id JOIN shs b ON cand.doc_b = b.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")
 
   /** The full recursive CTE chain ending at `lab(doc_id, cluster_id)` —
     * the oracle twin of [[clusters]], shared by the clusters, survivors,

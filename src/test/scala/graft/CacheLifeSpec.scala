@@ -49,7 +49,7 @@ class CacheLifeSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
-  test("release is per-session-scoped and idempotent") {
+  test("release is per-context-scoped and idempotent") {
     CacheLife.release(spark)
     CacheLife.release(spark) // second call is a no-op, must not throw
     assert(persistedCount === 0)

@@ -57,6 +57,16 @@ class VectorStreamSpec extends SparkSpec {
     // overwrite ⇒ byte-identical result table
     val replayed = drain(Files.createTempDirectory("graft-vq-ckpt2").toString + "/ckpt")
     assert(replayed == streamed, "replay with a fresh checkpoint changed the results")
+
+    // round-6 advice: foreachBatch registers the IVF index under a
+    // per-stream session CLONE; CacheLife keys by SparkContext, so
+    // releasing the OUTER session must still unpersist those entries —
+    // otherwise every stream (re)start leaks an index copy
     CacheLife.release(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filter(!_.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"release(outer) must also free the streaming clone's cache entries; " +
+        s"still persisted: ${leaked.map(_.name).mkString(", ")}")
   }
 }
