@@ -483,7 +483,16 @@ object SimilarityQueries {
   private def trainedModel(
       s: SparkSession, dir: String): (DataFrame, Seq[(Long, Array[Long])]) = {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
-    val cents = graft.CacheLife.memo(s, s"sim.kmeans-model:$dir")(trainCentroids(q))
+    // codebook codec for the on-disk store: K rows of (cid, 64 longs) —
+    // the artifact a second session loads instead of re-running Lloyd
+    val cents = graft.CacheLife.memoModel(s, s"sim.kmeans-model:$dir")(
+      trainCentroids(q)) { (ss, m) =>
+      import ss.implicits._
+      m.map { case (cid, a) => (cid, a.toSeq) }.toDF("cid", "cent")
+    } { df =>
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+    }
     (q, cents)
   }
 
@@ -639,9 +648,21 @@ object SimilarityQueries {
     */
   private def pqModel(s: SparkSession, dir: String): Seq[Seq[(Long, Array[Long])]] = {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
-    graft.CacheLife.memo(s, s"sim.pq-model:$dir")(
+    // M×K rows of (sub, cid, 16 longs) on disk — load-or-train like the
+    // coarse codebook
+    graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](s, s"sim.pq-model:$dir")(
       (0 until PqM).map(m =>
-        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")))).toSeq)
+        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")))).toSeq) {
+      (ss, model) =>
+        import ss.implicits._
+        model.zipWithIndex.flatMap { case (cb, m) =>
+          cb.map { case (cid, a) => (m, cid, a.toSeq) }
+        }.toDF("sub", "cid", "cent")
+    } { df =>
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    }
   }
 
   /** The PQ index: one row per vector with its coarse cell AND M code
