@@ -535,6 +535,28 @@ object SimilarityQueries {
     q.select(col("vec_id"), assignExpr(cents).as("cell"))
   }
 
+  /** Trained-cell assignment for ARBITRARY arriving `(vec_id, embedding)`
+    * rows — the incremental-index path: a new vector joins the layout in
+    * the cell the ALREADY-TRAINED codebook puts it in (same quantization,
+    * same argmax-with-id-tie-break as the corpus assignment), no retrain.
+    * [[graft.sources.VectorLayout.append]] rides this.
+    */
+  private[graft] def assignVectors(s: SparkSession, dir: String,
+                                   vecs: DataFrame): DataFrame = {
+    val (_, cents) = trainedModel(s, dir)
+    vecs.withColumn("qv",
+        transform(V.vecD(col("embedding")), x => floor(x * QuantScale).cast("long")))
+      .withColumn("cell", assignExpr(cents))
+      .drop("qv")
+  }
+
+  /** The trained coarse codebook, exposed model-sized (K rows of
+    * quantized centroid longs) for layout probes to rank against.
+    */
+  private[graft] def trainedCentroids(s: SparkSession,
+                                      dir: String): Seq[(Long, Array[Long])] =
+    trainedModel(s, dir)._2
+
   def kmeansHistogram(s: SparkSession, dir: String): DataFrame =
     kmeansCells(s, dir).groupBy("cell").agg(count("*").as("n_vecs"))
 

@@ -69,4 +69,29 @@ class VectorStreamSpec extends SparkSpec {
       s"release(outer) must also free the streaming clone's cache entries; " +
         s"still persisted: ${leaked.map(_.name).mkString(", ")}")
   }
+
+  test("layout-backed streaming probe matches the batch probe over the on-disk index") {
+    val layout = Files.createTempDirectory("graft-vql").toString + "/vectors"
+    graft.sources.VectorLayout.materialize(spark, Sf, layout)
+    val qdir = Files.createTempDirectory("graft-vql-q")
+    val out = Files.createTempDirectory("graft-vql-out").toString + "/results"
+    val ckpt = Files.createTempDirectory("graft-vql-ckpt").toString + "/ckpt"
+
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").between(20, 22))
+      .select(col("vec_id"), col("embedding"))
+    writeOneFile(queries, qdir, "q1.parquet")
+
+    val q = VectorStream.probeLayoutSink(
+      VectorStream.read(spark, qdir.toString), Sf, layout, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = VectorStream.results(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = graft.sources.VectorLayout.probeQuerySet(spark, Sf, layout,
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"layout-backed stream drifted: ${streamed.size} vs ${batch.size} rows")
+    CacheLife.release(spark)
+  }
 }
