@@ -9,18 +9,18 @@ package graft
   * an order-dependent double sum can hash-match once and still flap
   * between cluster runs.
   *
-  * The two sketch queries are excluded BY DESIGN: HLL registers merge
-  * commutatively but approximate-quantile summaries are merge-order
-  * sensitive — which is exactly why they are registered rows-only
-  * instead of hash-checked (SketchBoundsSpec holds their error
-  * contracts).
+  * The two sketch queries are INCLUDED since their error-contract-eval
+  * rewrite: raw approximate-quantile summaries are merge-order
+  * sensitive, but the registered outputs are now exact companions plus
+  * in-bound booleans — the sketch's partitioning wiggle stays inside
+  * the bound, so the OUTPUT is partition-order independent (and a
+  * sketch wiggling OUT of bound under a repartitioning is exactly what
+  * this spec should catch).
   */
 class DeterminismSpec extends SparkSpec {
 
-  private val mergeOrderSensitive = Set("rel_approx_quantiles", "rel_approx_distinct")
-
   test("every hash-checked query is identical under 5 vs 32 shuffle partitions") {
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(mergeOrderSensitive)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     def run(name: String, parts: Int): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       try SparkEntry.queries(name)(spark, Sf).collect().map(_.toString).sorted.toSeq

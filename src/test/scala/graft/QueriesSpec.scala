@@ -30,9 +30,8 @@ class QueriesSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
-    // sketches are algorithm-specific → deliberately rows-only
-    val rowsOnly = Set("rel_approx_distinct", "rel_approx_quantiles")
-    assert((q -- o) == rowsOnly, s"unexpected rows-only queries: ${q -- o -- rowsOnly}")
+    // since the sketch evals gained oracles, EVERY query is hash-checked
+    assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("dedup pipeline: jaccard-verified pairs are a subset of candidates") {
