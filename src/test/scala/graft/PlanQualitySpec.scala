@@ -66,7 +66,8 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("tfidf df is an aggregate + broadcast join, never a vocab-partitioned window") {
-    val p = plan(TextQueries.tfidf(spark, Sf))
+    val df = TextQueries.tfidf(spark, Sf)
+    val p = plan(df)
     // a `count(*) over (partition by token)` df would buffer each
     // token's full posting list in one WindowExec task at corpus scale
     assert(!p.contains("Window"), s"df must not ride a window:\n$p")
@@ -75,6 +76,29 @@ class PlanQualitySpec extends SparkSpec {
     val exchange = p.indexOf("Exchange")
     assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
       s"expected a partial aggregate below the exchange:\n$p")
+    // the (doc_id, token) tf shuffle must run ONCE, in the tf store
+    // build — never inside the query itself, where the probe side and
+    // the df aggregate would each run their own copy (ReuseExchange
+    // can't merge them: pruning drops the count off the df side, so the
+    // subtrees aren't canonically equal — hence the materialized store).
+    // Walk the EXECUTED adaptive plan (into query stages, NOT into
+    // cached relations' stored build plans, which print their own
+    // exchange) and assert no live shuffle partitions by doc_id.
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def liveShuffles(pl: SparkPlan): Seq[String] = pl match {
+      case a: AdaptiveSparkPlanExec => liveShuffles(a.executedPlan)
+      case q: QueryStageExec => liveShuffles(q.plan)
+      case sh: ShuffleExchangeExec =>
+        sh.outputPartitioning.toString +: sh.children.flatMap(liveShuffles)
+      case other => other.children.flatMap(liveShuffles)
+    }
+    val shuffles = liveShuffles(df.queryExecution.executedPlan)
+    assert(!shuffles.exists(_.contains("doc_id")),
+      s"the tf (doc_id, token) shuffle must happen in the store build, " +
+        s"not per consumer; live shuffles: $shuffles")
     CacheLife.release(spark) // tfidf reads the cached token store
   }
 
