@@ -9,10 +9,15 @@ import org.apache.spark.sql.types._
   * frame-sample / feature-extract operators.
   *
   * The Spark-side plumbing is real — schema, partition-aware batch
-  * execution, metadata pushdown — while the codec inner loops are
-  * DETERMINISTIC STUBS (this environment ships no image/audio codecs):
-  * every `stub*` function derives its output from the payload bytes so
-  * tests are exact; swapping in a real codec changes only that function.
+  * execution, metadata pushdown. The IMAGE modality decodes REAL bytes
+  * end-to-end: image payloads are genuine binary PGM containers
+  * ([[Codecs]] — dependency-free netpbm P5) whose pixels are the
+  * arithmetic byte stream the DuckDB oracle recomputes, so decode,
+  * featurize, and resize all parse/emit an actual format while staying
+  * oracle-exact. The audio/video codec inner loops remain DETERMINISTIC
+  * STUBS (this environment ships no wav/mp4 codecs): each `stub*`
+  * function derives its output from the payload bytes so tests are
+  * exact; swapping in a real codec changes only that function.
   *
   * 100 TB design:
   *   - payloads live in parquet binary columns partitioned by (kind,
@@ -72,30 +77,48 @@ object Multimodal {
   private[graft] def mediaFor(id: Long): Media = {
     val kind = Seq("image", "audio", "video")((id % 3).toInt)
     Media(id, kind,
-      format = Seq("png", "wav", "mp4")((id % 3).toInt),
+      format = Seq("pgm", "wav", "mp4")((id % 3).toInt),
       width = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32,
       height = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32,
       sample_rate = if (kind == "audio") 16000 else 0,
       duration_ms = if (kind == "image") 0L else 1000L + id * 40L,
-      payload = stubPayload(id))
+      // images carry a REAL encoded raster (P5 PGM of the arithmetic
+      // pixels, as a 1-row image); audio/video stay raw arithmetic
+      // bytes — their codecs are the declared stubs
+      payload = if (kind == "image") {
+        val px = stubPayload(id)
+        Codecs.encodePgm(px.length, 1, px)
+      } else stubPayload(id))
   }
 
-  // ??? real codec goes here — an arithmetic byte stream (not a seeded
-  // RNG) keeps tests exact AND lets the DuckDB oracle recompute the
-  // same bytes in SQL: byte i = (id·31 + i·7) mod 256.
+  // ??? real codecs for wav/mp4 go here — an arithmetic byte stream
+  // (not a seeded RNG) keeps tests exact AND lets the DuckDB oracle
+  // recompute the same bytes in SQL: byte i = (id·31 + i·7) mod 256.
+  // For IMAGES the arithmetic bytes are the PIXELS, wrapped in a real
+  // PGM container by mediaFor and decoded by a real parser in
+  // imageFeatures — so the oracle reproduces the pixel arithmetic while
+  // Spark genuinely round-trips the format.
   private[graft] def stubPayload(id: Long): Array[Byte] =
     Array.tabulate(256 + (id % 64).toInt)(i => ((id * 31 + i * 7) % 256).toByte)
 
   /** Decode + featurize images: batch-shaped mapPartitions (one codec
-    * init per partition, like mapInPandas' per-batch init). The decode
-    * itself is the stub: byte statistics + a byte-window embedding.
+    * init per partition, like mapInPandas' per-batch init). PGM
+    * payloads go through the REAL parser ([[Codecs.decodePgm]] — header
+    * + raster, end to end); other image formats would fall back to the
+    * declared byte-stub (??? real codecs absent in this environment).
+    * The reported width/height stay the CATALOG metadata (the decoded
+    * raster's own dims are the container's business — CodecSpec asserts
+    * they match what was encoded).
     */
   def imageFeatures(media: Dataset[Media], dim: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { it =>
       // per-partition "codec init" happens here (amortized)
       it.map { m =>
-        val px = m.payload // ??? real: decode(m.format, m.payload)
+        val px = m.format match {
+          case "pgm" => Codecs.decodePgm(m.payload).pixels
+          case _ => m.payload // ??? real decode(m.format, m.payload)
+        }
         val mean = px.map(b => (b & 0xff).toDouble).sum / px.length
         // /256 (not /255): byte/256 is an exact dyadic in BOTH float and
         // double, so the DuckDB oracle's double arithmetic reproduces
@@ -107,14 +130,19 @@ object Multimodal {
   }
 
   /** Resize: payload-to-payload transform keeping metadata consistent.
-    * Stub: byte decimation standing in for pixel resampling.
+    * PGM images get a REAL nearest-neighbor resample (decode → sample
+    * pixels → re-encode, still a valid PGM); other visual formats keep
+    * the byte-decimation stub.
     */
   def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         if (m.kind == "audio") m
-        else {
+        else if (m.format == "pgm") {
+          m.copy(width = w, height = h,
+            payload = Codecs.resamplePgm(Codecs.decodePgm(m.payload), w, h))
+        } else {
           val scale = math.max(1, m.payload.length / math.max(1, (w * h) / 64))
           val resized = m.payload.grouped(scale).map(_.head).toArray // ??? real resample
           m.copy(width = w, height = h, payload = resized)
@@ -159,7 +187,7 @@ object Multimodal {
     graft.Tables.documents(spark, dir).select(
       id.as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")), kindIdx).as("kind"),
-      element_at(typedLit(Seq("png", "wav", "mp4")), kindIdx).as("format"),
+      element_at(typedLit(Seq("pgm", "wav", "mp4")), kindIdx).as("format"),
       when(kindIdx === 2, lit(0))
         .otherwise((lit(64L) + pmod(id, lit(4L)) * 32L).cast("int")).as("width"),
       when(kindIdx === 2, lit(0))
