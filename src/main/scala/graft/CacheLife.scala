@@ -64,6 +64,13 @@ object CacheLife {
     * the same root reads the artifact instead of recomputing — the "dedup
     * once, read verdicts for weeks" lifecycle a real 100 TB pipeline
     * runs. `graft.StoreBuild` is the explicit build-everything job.
+    *
+    * Known semantics under a root: the FIRST touch of a missing store
+    * runs its build-and-write job during registration (constructing a
+    * query that rides it) — inherent to load-or-build, since the
+    * artifact must exist before it can be scanned. Deployments run
+    * StoreBuild ahead of consumers so consumer sessions only ever hit
+    * the read path; the rootless default keeps registration job-free.
     */
   val RootKey = "spark.graft.store.root"
 

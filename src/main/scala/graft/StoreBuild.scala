@@ -1,32 +1,51 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** The explicit index-build job (round-6 judge top ask made a runnable
   * entry point): materialize EVERY shared curation store — LSH bands,
-  * candidate pairs, shingle/token stores, cluster labels, funnel flags,
-  * IVF cells, the quantized corpus, trained k-means + PQ codebooks, PQ
-  * codes — as parquet layouts under a store root. A later session (days
-  * later, different driver) points [[CacheLife.RootKey]] at the same
-  * root and answers every curation query by READING, with zero
-  * retraining and zero re-joining (CurationStoreSpec proves it): the
-  * "dedup once, read verdicts for weeks" lifecycle of a real 100 TB
-  * pipeline, where this job is the scheduled build and everything else
-  * is a consumer.
+  * candidate pairs, shingle/token/tf/vocab stores, cluster labels,
+  * funnel flags, IVF cells, the quantized corpus, trained k-means + PQ
+  * codebooks, PQ codes — as parquet layouts under a store root, plus
+  * the cell-partitioned ANN serving layout
+  * ([[graft.sources.VectorLayout]], with its drift-baseline histogram).
+  * A later session (days later, different driver) points
+  * [[CacheLife.RootKey]] at the same root and answers every curation
+  * query by READING, with zero retraining and zero re-joining
+  * (CurationStoreSpec proves it): the "dedup once, read verdicts for
+  * weeks" lifecycle of a real 100 TB pipeline, where this job is the
+  * scheduled build and everything else is a consumer.
   *
   * Usage: `runMain graft.StoreBuild <sfDir> <storeRoot>`
   */
 object StoreBuild {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, root) = (args(0), args(1))
-    val spark = Sessions.local()
+
+  /** Directory of the ANN serving layout under a store root. */
+  def vectorLayoutDir(root: String): String =
+    root.stripSuffix("/") + "/sim.vector-layout"
+
+  /** Run every builder against `root`; returns (name, seconds) lines. */
+  def buildAll(spark: SparkSession, sfDir: String,
+               root: String): Seq[(String, Double)] = {
     spark.conf.set(CacheLife.RootKey, root)
     val builders =
       operators.DedupQueries.indexBuilders(spark, sfDir) ++
       operators.SimilarityQueries.indexBuilders(spark, sfDir) ++
-      operators.TextQueries.indexBuilders(spark, sfDir)
-    builders.foreach { case (name, run) =>
+      operators.TextQueries.indexBuilders(spark, sfDir) ++
+      Seq("sim.vector_layout" -> (() =>
+        sources.VectorLayout.materialize(spark, sfDir, vectorLayoutDir(root))))
+    builders.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()
-      println(f"[store] $name -> $root (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, root) = (args(0), args(1))
+    val spark = Sessions.local()
+    buildAll(spark, sfDir, root).foreach { case (name, sec) =>
+      println(f"[store] $name -> $root ($sec%.2f s)")
     }
     CacheLife.release(spark)
     spark.stop()

@@ -49,6 +49,36 @@ class CurationStoreSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("StoreBuild materializes every layout; PQ answers from disk, codec round-trip exact") {
+    val root = Files.createTempDirectory("graft-storeall").toString
+    CacheLife.release(spark)
+
+    val s1 = spark.newSession()
+    val built = StoreBuild.buildAll(s1, Sf, root)
+    assert(built.size === 16, s"expected 16 builders, got: ${built.map(_._1)}")
+    // every store is a _SUCCESS-gated parquet layout under the root
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+    assert(dirs.length >= built.size,
+      s"expected one layout per store (+ the drift hist): ${dirs.map(_.getName).toSeq}")
+    dirs.foreach(d => assert(new java.io.File(d, "_SUCCESS").exists(),
+      s"half-written store would be silently rebuilt wrong: ${d.getName}"))
+    val pqFresh = SimilarityQueries.annPq(s1, Sf).collect().toSeq
+    val ivfpqFresh = SimilarityQueries.annIvfPq(s1, Sf).collect().toSeq
+
+    // session boundary: the PQ + coarse codebooks must LOAD through the
+    // memoModel dec codecs (the one path a bug in the parquet round-trip
+    // would only show on read)
+    CacheLife.release(spark)
+    val s2 = spark.newSession()
+    s2.conf.set(CacheLife.RootKey, root)
+    val trained = SimilarityQueries.trainRuns.get()
+    assert(SimilarityQueries.annPq(s2, Sf).collect().toSeq === pqFresh)
+    assert(SimilarityQueries.annIvfPq(s2, Sf).collect().toSeq === ivfpqFresh)
+    assert(SimilarityQueries.trainRuns.get() === trained,
+      "the loaded codebooks must serve the PQ probes without retraining")
+    CacheLife.release(spark)
+  }
+
   test("without a root the registry is unchanged: no store directories appear") {
     CacheLife.release(spark)
     val tmp = Files.createTempDirectory("graft-nostore")
