@@ -9,12 +9,19 @@ import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
   * pipeline costs one candidate generation, one cluster fixpoint, one
   * trained model.
   *
-  * `sbt "runMain graft.CurationDemo [sfDir]"`
+  * `sbt "runMain graft.CurationDemo [sfDir] [storeRoot]"`
+  *
+  * With the optional second arg, every shared store loads-or-builds
+  * under that root instead of session memory ([[CacheLife.RootKey]]):
+  * run [[StoreBuild]] first and this demo answers every stage from the
+  * on-disk artifacts with zero retraining — the consumer half of the
+  * build-once / read-for-weeks lifecycle.
   */
 object CurationDemo {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    args.lift(1).foreach(root => spark.conf.set(CacheLife.RootKey, root))
     def show(title: String, name: String, n: Int = 8): Unit = {
       println(s"\n=== $title  [$name]")
       SparkEntry.queries(name)(spark, sf).show(n, truncate = false)
