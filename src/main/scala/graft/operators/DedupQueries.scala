@@ -221,12 +221,34 @@ object DedupQueries {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
+    val init = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
     // round 0: every node is its own frontier (its label just "changed"
     // from nothing); afterwards the frontier is the changed subset
-    var frontier = labels
+    propagateLabels(edges, init, init)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** The delta-iteration label-propagation fixpoint over a symmetric
+    * edge set, from an ARBITRARY warm-start state — factored out so the
+    * incremental index ([[graft.sources.DedupLayout.refreshLabels]])
+    * can resume from stored labels with only the new edges' endpoints
+    * as the frontier. Min-label propagation is monotone from any state
+    * ≥ the fixpoint, so a warm start whose frontier contains every node
+    * that COULD change (the new edges' endpoints) converges to the same
+    * components as a cold run — including cross-cluster merges, where
+    * the smaller cluster-min flows across the bridge and the changed
+    * nodes re-enter the frontier hop by hop (DedupLayoutSpec unit-tests
+    * exactly that shape).
+    *
+    * `edges` and `init` must be eagerly checkpointed by the caller;
+    * `frontier0` rows must carry each node's CURRENT label.
+    */
+  private[graft] def propagateLabels(edges: DataFrame, init: DataFrame,
+                                     frontier0: DataFrame): DataFrame = {
+    var labels = init
+    var frontier = frontier0
     var changed = 1L
     var iter = 0
     val MaxIters = 50
@@ -255,7 +277,7 @@ object DedupQueries {
     // >50-hop duplicate chain would split one cluster into several)
     if (changed > 0) throw new IllegalStateException(
       s"connected components did not converge in $MaxIters iterations ($changed labels still changing)")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    labels
   }
 
   // ---- Corpus after dedup: what a curator actually ships ----

@@ -28,8 +28,10 @@ class DedupLayoutSpec extends SparkSpec {
     // because batch2 joins bands that already include batch1
     val m = col("doc_id") % 5
     DedupLayout.materialize(spark, docs.filter(m < 3), inc)
-    DedupLayout.append(spark, docs.filter(m === 3), inc)
-    DedupLayout.append(spark, docs.filter(m === 4), inc)
+    val p1 = DedupLayout.append(spark, docs.filter(m === 3), inc)
+    DedupLayout.refreshLabels(spark, p1, inc)
+    val p2 = DedupLayout.append(spark, docs.filter(m === 4), inc)
+    DedupLayout.refreshLabels(spark, p2, inc)
 
     DedupLayout.materialize(spark, docs, scratch)
 
@@ -52,6 +54,38 @@ class DedupLayoutSpec extends SparkSpec {
     // the extended band/shingle stores cover the whole corpus
     assert(DedupLayout.shingles(spark, inc).select("doc_id").distinct().count()
       === docs.count())
+
+    // warm-started labels equal the cold fixpoint AND the registered
+    // oracle-checked clusters over the full corpus
+    def labelSet(root: String) = DedupLayout.labels(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val warm = labelSet(inc)
+    assert(warm === labelSet(scratch),
+      "warm-started incremental labels drifted from the cold fixpoint")
+    val regLabels = DedupQueries.clusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warm === regLabels,
+      "incremental labels must equal the registered dedup_clusters")
     CacheLife.release(spark)
+  }
+
+  test("warm-start propagation merges two stored clusters across a bridge edge") {
+    import spark.implicits._
+    // stored state: components {1,2} (label 1) and {10,11} (label 10);
+    // a new edge 2—10 must relabel the whole second cluster to 1, with
+    // ONLY the bridge endpoints as the starting frontier
+    val oldPairs = Seq((1L, 2L), (10L, 11L))
+    val bridge = Seq((2L, 10L))
+    val all = (oldPairs ++ bridge).toDF("doc_a", "doc_b").localCheckpoint()
+    val edges = all.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(all.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val init = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "label").localCheckpoint()
+    val frontier0 = init.filter(col("node").isin(2L, 10L))
+    val labels = DedupQueries.propagateLabels(edges, init, frontier0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L),
+      s"the bridge must merge both clusters to label 1, got $labels")
   }
 }
