@@ -110,13 +110,16 @@ object DedupLayout {
 
   /** Warm-start incremental clustering: resume the label-propagation
     * fixpoint from the STORED labels, with only the new edges'
-    * endpoints as the frontier — per-refresh work scales with the
-    * changed neighborhood, not the graph (the cold fixpoint's round 0
-    * is every node). Handles cluster MERGES: a bridge pair lets the
-    * smaller cluster-min flow across, and each changed node re-enters
-    * the frontier until the old cluster interior is relabeled
-    * (monotone min-propagation from any state ≥ the fixpoint converges
-    * to the same components as a cold run).
+    * endpoints as the frontier — per-iteration JOIN work scales with
+    * the changed neighborhood, not the graph (the cold fixpoint's
+    * round 0 is every node). Each refresh still reads the pair store
+    * once to build the symmetric edge view; at deployment that table
+    * is written partitioned by src so the frontier join prunes to the
+    * touched partitions instead of scanning. Handles cluster MERGES: a
+    * bridge pair lets the smaller cluster-min flow across, and each
+    * changed node re-enters the frontier until the old cluster
+    * interior is relabeled (monotone min-propagation from any state ≥
+    * the fixpoint converges to the same components as a cold run).
     */
   def refreshLabels(spark: SparkSession, newPairs: DataFrame,
                     root: String): Unit = {
