@@ -46,6 +46,31 @@ object DedupLayout {
   private def pairsDir(root: String) = root.stripSuffix("/") + "/pairs"
   private def labelsDir(root: String) = root.stripSuffix("/") + "/labels"
 
+  /** Every growing store is partitioned by the batch that wrote it, and
+    * each batch writes with DYNAMIC partition overwrite: a redelivered
+    * batch replaces its own partition with byte-identical content (the
+    * build is deterministic), so the at-least-once delivery of
+    * `foreachBatch` becomes exactly-once on disk — the
+    * [[graft.streaming.CandleStream]] warehouse idiom applied to the
+    * index. The base build owns batch -1.
+    */
+  private val BatchCol = "__batch_id"
+  private val BaseBatch = -1L
+
+  /** Dynamic overwrite: replaces ONLY this batch's partition. */
+  private def writeBatch(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn(BatchCol, lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(BatchCol)
+      .parquet(dir)
+
+  /** Static overwrite: a fresh base build wipes every earlier batch. */
+  private def writeBase(df: DataFrame, dir: String): Unit =
+    df.withColumn(BatchCol, lit(BaseBatch))
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(dir)
+
   private def shingled(spark: SparkSession, docs: DataFrame): DataFrame =
     Tables.spread(spark, docs).select(col("doc_id"),
       call_function("graft_shingles", T.tokens(col("text")),
@@ -55,14 +80,10 @@ object DedupLayout {
     * capped self-join candidate pairs, and the converged cluster labels.
     */
   def materialize(spark: SparkSession, docs: DataFrame, root: String): Unit = {
-    val sh = shingled(spark, docs)
-    sh.write.mode("overwrite").parquet(shinglesDir(root))
-    val bands = DedupQueries.lshBandsOver(
-      spark.read.parquet(shinglesDir(root)))
-    bands.write.mode("overwrite").parquet(bandsDir(root))
-    DedupQueries.bandPairsCapped(spark.read.parquet(bandsDir(root)),
-        DedupQueries.MaxBucket)
-      .write.mode("overwrite").parquet(pairsDir(root))
+    writeBase(shingled(spark, docs), shinglesDir(root))
+    writeBase(DedupQueries.lshBandsOver(shingles(spark, root)), bandsDir(root))
+    writeBase(DedupQueries.bandPairsCapped(bands(spark, root),
+      DedupQueries.MaxBucket), pairsDir(root))
     val edges = symmetricEdges(spark, root)
     val init = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -88,14 +109,22 @@ object DedupLayout {
     * band key, emitted id-ordered and deduplicated — exactly the pairs
     * a from-scratch rebuild would add. Returns the new pairs (eagerly
     * materialized) so [[refreshLabels]] can seed its frontier.
+    *
+    * `batchId` must be MONOTONICALLY increasing across appends (a
+    * streaming sink passes the micro-batch id, which is; a batch
+    * caller numbers its loads). The batch's pair mining joins ONLY the
+    * band-store PREFIX `__batch_id < batchId` — the state as of this
+    * batch's first attempt — so recomputing any batch at any time
+    * (redelivery, or a full replay from a wiped checkpoint that runs
+    * while later partitions still exist) rewrites its partition
+    * byte-identically instead of double-mining later batches' pairs.
     */
-  def append(spark: SparkSession, arrivals: DataFrame,
-             root: String): DataFrame = {
-    val newSh = shingled(spark, arrivals)
-    newSh.write.mode("append").parquet(shinglesDir(root))
+  def append(spark: SparkSession, arrivals: DataFrame, root: String,
+             batchId: Long): DataFrame = {
+    val newSh = shingled(spark, arrivals).localCheckpoint()
     val newBands = DedupQueries.lshBandsOver(newSh)
-      .localCheckpoint() // the rectangle join + store append both read it
-    val existing = spark.read.parquet(bandsDir(root))
+      .localCheckpoint() // the rectangle join + store write both read it
+    val existing = bands(spark, root, beforeBatch = Some(batchId))
     val newPairs = newBands.as("n")
       .join(existing.unionByName(newBands).as("u"), Seq("band", "key"))
       .filter(col("n.doc_id") =!= col("u.doc_id"))
@@ -103,8 +132,9 @@ object DedupLayout {
         greatest(col("n.doc_id"), col("u.doc_id")).as("doc_b"))
       .distinct()
       .localCheckpoint()
-    newPairs.write.mode("append").parquet(pairsDir(root))
-    newBands.write.mode("append").parquet(bandsDir(root))
+    writeBatch(newSh, batchId, shinglesDir(root))
+    writeBatch(newPairs, batchId, pairsDir(root))
+    writeBatch(newBands, batchId, bandsDir(root))
     newPairs
   }
 
@@ -139,12 +169,21 @@ object DedupLayout {
   def labels(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(labelsDir(root))
 
-  def pairs(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(pairsDir(root))
+  private def readStore(spark: SparkSession, dir: String,
+                        beforeBatch: Option[Long]): DataFrame = {
+    val t = spark.read.parquet(dir)
+    // the prefix filter is on the partition column: metadata pruning,
+    // the later partitions' files are never listed into the scan
+    beforeBatch.fold(t)(b => t.filter(col(BatchCol) < b)).drop(BatchCol)
+  }
 
-  def bands(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(bandsDir(root))
+  def pairs(spark: SparkSession, root: String): DataFrame =
+    readStore(spark, pairsDir(root), None)
+
+  def bands(spark: SparkSession, root: String,
+            beforeBatch: Option[Long] = None): DataFrame =
+    readStore(spark, bandsDir(root), beforeBatch)
 
   def shingles(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(shinglesDir(root))
+    readStore(spark, shinglesDir(root), None)
 }

@@ -28,9 +28,9 @@ class DedupLayoutSpec extends SparkSpec {
     // because batch2 joins bands that already include batch1
     val m = col("doc_id") % 5
     DedupLayout.materialize(spark, docs.filter(m < 3), inc)
-    val p1 = DedupLayout.append(spark, docs.filter(m === 3), inc)
+    val p1 = DedupLayout.append(spark, docs.filter(m === 3), inc, batchId = 0L)
     DedupLayout.refreshLabels(spark, p1, inc)
-    val p2 = DedupLayout.append(spark, docs.filter(m === 4), inc)
+    val p2 = DedupLayout.append(spark, docs.filter(m === 4), inc, batchId = 1L)
     DedupLayout.refreshLabels(spark, p2, inc)
 
     DedupLayout.materialize(spark, docs, scratch)
