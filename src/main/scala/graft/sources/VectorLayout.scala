@@ -32,6 +32,18 @@ import graft.operators.SimilarityQueries
   */
 object VectorLayout {
 
+  /** Second-level partition column: the batch that wrote each vector.
+    * Cells stay the FIRST directory level — probe pruning lists
+    * `cell=` dirs exactly as before — while each append owns a
+    * `__batch_id=` subdirectory it can dynamic-overwrite, making
+    * redelivery and wiped-checkpoint replay byte-idempotent (the
+    * assignment depends only on the trained model, never on prior
+    * layout state, so a recomputed batch is always identical). The
+    * base build owns batch -1.
+    */
+  private val BatchCol = "__batch_id"
+  private val BaseBatch = -1L
+
   /** One-time rewrite of the whole corpus. */
   def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit =
     materializeWhere(spark, sfDir, outDir, lit(true))
@@ -45,9 +57,10 @@ object VectorLayout {
                        pred: Column): Unit = {
     Tables.embeddings(spark, sfDir).filter(pred)
       .join(SimilarityQueries.kmeansCells(spark, sfDir), Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        lit(BaseBatch).as(BatchCol))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+      .write.mode("overwrite").partitionBy("cell", BatchCol).parquet(outDir)
     vectors(spark, outDir)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_trained"))
@@ -56,19 +69,26 @@ object VectorLayout {
 
   /** Append arriving `(vec_id, embedding)` rows into their TRAINED
     * cells' partitions — the grow-the-index path. Writes only the
-    * touched `cell=` directories; the drift baseline is deliberately
-    * NOT updated (drift is measured against the trained snapshot).
+    * touched `cell=`/`__batch_id=` directories; re-running a batch id
+    * overwrites its own subdirectories with identical bytes. The drift
+    * baseline is deliberately NOT updated (drift is measured against
+    * the trained snapshot).
     */
   def append(spark: SparkSession, sfDir: String, outDir: String,
-             arrivals: DataFrame): Unit =
+             arrivals: DataFrame, batchId: Long): Unit =
     SimilarityQueries
       .assignVectors(spark, sfDir, arrivals.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        lit(batchId).as(BatchCol))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(outDir)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("cell", BatchCol)
+      .parquet(outDir)
 
   def vectors(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir).drop(BatchCol)
 
   private def histPath(outDir: String): String =
     outDir.stripSuffix("/") + "__trained_hist"

@@ -75,6 +75,28 @@ object VectorStream {
     * exactly-once idiom as [[probeSink]]: per-batch dynamic partition
     * overwrite, deterministic probe, replay changes nothing.
     */
+  /** Streaming INGEST of arriving vectors into the on-disk layout —
+    * with [[probeLayoutSink]] this closes both directions of the ANN
+    * serving loop: embeddings stream IN to their trained cells'
+    * partitions, queries stream IN against the same layout. Each
+    * micro-batch rides [[VectorLayout.append]] with its batch id, whose
+    * (cell, batch) dynamic partition overwrite makes redelivery and
+    * wiped-checkpoint replay byte-idempotent (the trained assignment
+    * never depends on prior layout state). Watch
+    * [[VectorLayout.occupancyDrift]] between drains for the retrain
+    * signal.
+    */
+  def ingestSink(vectors: DataFrame, sfDir: String, layoutDir: String,
+                 checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorLayout.append(batch.sparkSession, sfDir, layoutDir,
+          batch, batchId)
+        ()
+      }
+      .start()
+
   def probeLayoutSink(queries: DataFrame, sfDir: String, layoutDir: String,
                       outDir: String, checkpoint: String): StreamingQuery =
     queries.writeStream

@@ -26,7 +26,8 @@ class IncrementalLayoutSpec extends SparkSpec {
     VectorLayout.materializeWhere(spark, Sf, base, !hold)
     VectorLayout.materialize(spark, Sf, full)
     VectorLayout.append(spark, Sf, base,
-      Tables.embeddings(spark, Sf).filter(hold).select("vec_id", "embedding"))
+      Tables.embeddings(spark, Sf).filter(hold).select("vec_id", "embedding"),
+      batchId = 0L)
 
     val qvs = Tables.embeddings(spark, Sf)
       .filter(col("vec_id") < graft.operators.SimilarityQueries.NBatchQ)
@@ -54,7 +55,7 @@ class IncrementalLayoutSpec extends SparkSpec {
       .filter(col("vec_id") === graft.operators.SimilarityQueries.QueryVecId)
       .select(explode(sequence(lit(1000000L), lit(1000400L))).as("vec_id"),
         col("embedding"))
-    VectorLayout.append(spark, Sf, base, hot)
+    VectorLayout.append(spark, Sf, base, hot, batchId = 1L)
     val loud = VectorLayout.occupancyDrift(spark, base).head
     assert(loud.getAs[Boolean]("retrain"),
       s"a hot cell past ${VectorLayout.DriftFactor}x must flip the retrain flag: $loud")

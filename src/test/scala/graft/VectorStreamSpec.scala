@@ -70,6 +70,42 @@ class VectorStreamSpec extends SparkSpec {
         s"still persisted: ${leaked.map(_.name).mkString(", ")}")
   }
 
+  test("streamed vector ingest grows the layout to rebuild parity; replay adds nothing") {
+    val tmp = Files.createTempDirectory("graft-vi").toString
+    val (base, full) = (s"$tmp/base", s"$tmp/full")
+    val hold = col("vec_id") % 7 === 5
+    graft.sources.VectorLayout.materializeWhere(spark, Sf, base, !hold)
+    graft.sources.VectorLayout.materialize(spark, Sf, full)
+
+    val arrivals = Tables.embeddings(spark, Sf).filter(hold)
+      .select(col("vec_id"), col("embedding"))
+    val adir = Files.createTempDirectory("graft-vi-a")
+    writeOneFile(arrivals.filter(col("vec_id") < 250), adir, "a1.parquet")
+    writeOneFile(arrivals.filter(col("vec_id") >= 250), adir, "a2.parquet")
+
+    def drain(checkpoint: String): Unit = {
+      val q = VectorStream.ingestSink(
+        VectorStream.read(spark, adir.toString), Sf, base, checkpoint)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(Files.createTempDirectory("graft-vi-ck").toString + "/ck")
+
+    def layoutRows(dir: String) = graft.sources.VectorLayout.vectors(spark, dir)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val streamed = layoutRows(base)
+    assert(streamed.toSet === layoutRows(full).toSet,
+      "streamed layout drifted from the from-scratch rebuild")
+    assert(streamed.size === streamed.toSet.size, "duplicate vectors in the layout")
+
+    // replay from a wiped checkpoint: same files, same batch ids, each
+    // overwriting its own (cell, batch) partitions — nothing changes
+    drain(Files.createTempDirectory("graft-vi-ck2").toString + "/ck")
+    assert(layoutRows(base).sorted === streamed.sorted,
+      "replay with a fresh checkpoint changed the layout")
+    CacheLife.release(spark)
+  }
+
   test("layout-backed streaming probe matches the batch probe over the on-disk index") {
     val layout = Files.createTempDirectory("graft-vql").toString + "/vectors"
     graft.sources.VectorLayout.materialize(spark, Sf, layout)
