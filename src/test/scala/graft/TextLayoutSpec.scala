@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextQueries
+import graft.sources.TextLayout
+
+/** The incremental token store: arrivals tokenize once into their own
+  * batch partition, the re-derived aggregates must equal the
+  * registered corpus-wide queries, and re-running a batch must change
+  * nothing (count-checked).
+  */
+class TextLayoutSpec extends SparkSpec {
+
+  test("appended batches re-derive the registered vocabulary exactly; re-append is idempotent") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-tl").toString
+    val m = col("doc_id") % 4
+
+    TextLayout.materialize(spark, docs.filter(m < 2), root)
+    TextLayout.append(spark, docs.filter(m === 2), root, batchId = 0L)
+    TextLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+
+    // the log covers exactly the corpus token multiset
+    val total = TextLayout.tokens(spark, root).count()
+    val want = docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    assert(total === want, s"token log holds $total rows, corpus tokenizes to $want")
+
+    // re-derived vocabulary == the registered (oracle-checked) query
+    val derived = TextLayout.vocab(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val registered = TextQueries.tokenFreq(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(derived === registered,
+      "vocabulary re-derived from the log drifted from text_token_freq")
+
+    // and the tf table matches the corpus-wide build
+    val tf = TextLayout.termFreq(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tf.nonEmpty)
+
+    // idempotence: re-running batch 1 overwrites its own partition
+    TextLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    assert(TextLayout.tokens(spark, root).count() === total,
+      "re-appending a batch must not grow the log")
+    CacheLife.release(spark)
+  }
+}
