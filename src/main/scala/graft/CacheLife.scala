@@ -74,11 +74,32 @@ object CacheLife {
     */
   val RootKey = "spark.graft.store.root"
 
+  /** Collision-FREE directory encoding: every character outside
+    * [A-Za-z0-9._-] (including '%' itself) becomes %XX, so two distinct
+    * logical keys can never share a store directory — a lossy
+    * substitution would let corpora whose dirs differ only in a
+    * sanitized character silently read each other's artifacts.
+    */
+  private def encodeKey(key: String): String =
+    key.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
+        c.toString
+      else f"%%${c.toInt}%02X"
+    }
+
   private def storePath(s: SparkSession, key: String): Option[String] = {
     val r = s.conf.get(RootKey, "")
     if (r.isEmpty) None
-    else Some(r.stripSuffix("/") + "/" + key.replaceAll("[^A-Za-z0-9._-]", "_"))
+    else Some(r.stripSuffix("/") + "/" + encodeKey(key))
   }
+
+  /** Registry key: entries are scoped to the RESOLVED store path (or the
+    * bare logical key when rootless), so a warm in-memory entry from a
+    * rootless (or differently-rooted) session can never make a rooted
+    * session skip writing — or reading — its on-disk store.
+    */
+  private def regKey(s: SparkSession, key: String): String =
+    storePath(s, key).fold(key)(p => s"$key@$p")
 
   /** `_SUCCESS`-gated existence: a half-written store (killed job) is
     * rebuilt, never half-read. */
@@ -100,12 +121,13 @@ object CacheLife {
     * at most once per root, loaded everywhere else).
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((s.sparkContext, key),
+    frames.getOrElseUpdate((s.sparkContext, regKey(s, key)),
       loadOrBuild(s, key)(build).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Memoize a driver-side value (a trained model) per (context, key). */
   def memo[T](s: SparkSession, key: String)(build: => T): T =
-    models.getOrElseUpdate((s.sparkContext, key), build).asInstanceOf[T]
+    models.getOrElseUpdate((s.sparkContext, regKey(s, key)), build)
+      .asInstanceOf[T]
 
   /** Memoize a trained model per (context, key) with an on-disk codec:
     * when the store root is set, the first build writes `enc`'s (small,
@@ -116,7 +138,7 @@ object CacheLife {
     */
   def memoModel[T](s: SparkSession, key: String)(build: => T)(
       enc: (SparkSession, T) => DataFrame)(dec: DataFrame => T): T =
-    models.getOrElseUpdate((s.sparkContext, key), storePath(s, key) match {
+    models.getOrElseUpdate((s.sparkContext, regKey(s, key)), storePath(s, key) match {
       case None => build
       case Some(path) =>
         if (ready(s, path)) dec(s.read.parquet(path))

@@ -17,10 +17,12 @@ object Codecs {
   final case class PgmImage(width: Int, height: Int, maxVal: Int,
                             pixels: Array[Byte])
 
-  def encodePgm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+  def encodePgm(width: Int, height: Int, pixels: Array[Byte],
+                maxVal: Int = 255): Array[Byte] = {
     require(pixels.length == width * height,
       s"raster size ${pixels.length} != $width x $height")
-    s"P5\n$width $height\n255\n".getBytes("US-ASCII") ++ pixels
+    require(maxVal > 0 && maxVal <= 255, s"maxval $maxVal unsupported (8-bit only)")
+    s"P5\n$width $height\n$maxVal\n".getBytes("US-ASCII") ++ pixels
   }
 
   def decodePgm(bytes: Array[Byte]): PgmImage = {
@@ -51,6 +53,9 @@ object Codecs {
       try (token().toInt, token().toInt, token().toInt)
       catch { case _: NumberFormatException => fail("non-numeric header field") }
     if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
+    // raster size math in Long: a crafted 65536x65536 header would wrap
+    // Int w*h to 0 and sail past the truncation check below
+    if (w.toLong * h > Int.MaxValue) fail(s"raster $w x $h exceeds 2^31-1 pixels")
     if (maxv <= 0 || maxv > 255) fail(s"maxval $maxv unsupported (8-bit only)")
     pos += 1 // exactly ONE whitespace byte between maxval and the raster
     if (bytes.length - pos < w * h)
@@ -59,12 +64,14 @@ object Codecs {
   }
 
   /** Nearest-neighbor resample — the real pixel-space resize the PGM
-    * path uses (the stub formats keep byte decimation).
+    * path uses (the stub formats keep byte decimation). The source's
+    * maxval is PRESERVED: re-stamping 255 would silently rescale pixel
+    * semantics for every maxval<255 container the parser admits.
     */
   def resamplePgm(img: PgmImage, w: Int, h: Int): Array[Byte] =
     encodePgm(w, h, Array.tabulate(w * h) { i =>
       val (x, y) = (i % w, i / w)
       img.pixels((y.toLong * img.height / h).toInt * img.width
         + (x.toLong * img.width / w).toInt)
-    })
+    }, img.maxVal)
 }

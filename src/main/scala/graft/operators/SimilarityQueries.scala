@@ -856,13 +856,11 @@ object SimilarityQueries {
     // while plan construction stays job-free.
     val occupancy = withVec.groupBy("cell").agg(count(lit(1)).as("__cell_n"))
     val guarded = withVec.join(broadcast(occupancy), Seq("cell"))
-      .filter(when(col("__cell_n") > maxCell,
-        raise_error(concat(
-          lit("semantic dedup: largest cell holds "), col("__cell_n"),
-          lit(s" vectors (bound $maxCell) — the within-cell pair join would do " +
-            "|cell|^2/2 comparisons; retrain with a larger codebook (more " +
-            "cells) so cell occupancy stays bounded"))).cast("boolean"))
-        .otherwise(lit(true)))
+      .filter(Guards.refusalFilter(col("__cell_n"), maxCell, concat(
+        lit("semantic dedup: largest cell holds "), col("__cell_n"),
+        lit(s" vectors (bound $maxCell) — the within-cell pair join would do " +
+          "|cell|^2/2 comparisons; retrain with a larger codebook (more " +
+          "cells) so cell occupancy stays bounded"))))
       .drop("__cell_n")
     val a = guarded.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
     val b = guarded.select(col("cell"), col("vec_id").as("idb"), col("v").as("vb"))

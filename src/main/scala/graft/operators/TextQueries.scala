@@ -95,12 +95,26 @@ object TextQueries {
     * pass in the slowest registered query).
     */
   def tokenFreq(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"text.vocab:$dir")(
-      tokStore(s, dir)
-        .groupBy("token")
-        .agg(count("*").as("cnt"))
-        .orderBy(col("cnt").desc, col("token").asc)
-        .limit(100))
+    graft.CacheLife.cached(s, s"text.vocab:$dir")(vocabOver(tokStore(s, dir)))
+
+  /** Top-k vocabulary over ANY exploded (doc_id, token) frame — ONE
+    * home for the cutoff/tie-break rule, shared with the incremental
+    * [[graft.sources.TextLayout]] so the two can't silently diverge.
+    */
+  private[graft] def vocabOver(tokens: DataFrame, k: Int = 100): DataFrame =
+    tokens
+      .groupBy("token")
+      .agg(count("*").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** The per-(doc, token) term-frequency table over a given vocabulary —
+    * shared with [[graft.sources.TextLayout]] like [[vocabOver]].
+    */
+  private[graft] def tfOver(tokens: DataFrame, vocab: DataFrame): DataFrame =
+    tokens
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+      .groupBy("doc_id", "token").agg(count("*").as("tf"))
 
   // ---- Source scorecard: the per-feed curation dashboard ----
   // One row per source: volume, mean quality, mean length, English
@@ -197,14 +211,11 @@ object TextQueries {
     // while plan construction stays job-free.
     val dom = hist.agg(count(lit(1)).as("__dom"))
     val guarded = hist.crossJoin(broadcast(dom))
-      .filter(when(col("__dom") > maxDomain,
-        raise_error(concat(
-          lit("curriculum: quality domain holds "), col("__dom"),
-          lit(s" distinct values (bound $maxDomain) — the cumulative window " +
-            "is sound only over a bounded discrete domain; re-discretize the " +
-            "quality signal (round to fixed precision) before the quantile walk")))
-          .cast("boolean"))
-        .otherwise(lit(true)))
+      .filter(Guards.refusalFilter(col("__dom"), maxDomain, concat(
+        lit("curriculum: quality domain holds "), col("__dom"),
+        lit(s" distinct values (bound $maxDomain) — the cumulative window " +
+          "is sound only over a bounded discrete domain; re-discretize the " +
+          "quality signal (round to fixed precision) before the quantile walk"))))
       .drop("__dom")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("quality")
@@ -296,9 +307,7 @@ object TextQueries {
   // (doc_id, token) exchange survives in the executed query).
   private def tfStore(s: SparkSession, dir: String): DataFrame =
     graft.CacheLife.cached(s, s"text.tf:$dir")(
-      tokStore(s, dir)
-        .join(broadcast(tokenFreq(s, dir).select(col("token"))), Seq("token"))
-        .groupBy("doc_id", "token").agg(count("*").as("tf")))
+      tfOver(tokStore(s, dir), tokenFreq(s, dir)))
 
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val tf = tfStore(s, dir)

@@ -45,6 +45,8 @@ object DedupLayout {
   private def shinglesDir(root: String) = root.stripSuffix("/") + "/shingles"
   private def pairsDir(root: String) = root.stripSuffix("/") + "/pairs"
   private def labelsDir(root: String) = root.stripSuffix("/") + "/labels"
+  private def labelsMetaDir(root: String) =
+    root.stripSuffix("/") + "/labels__covered"
 
   /** Every growing store is partitioned by the batch that wrote it, and
     * each batch writes with DYNAMIC partition overwrite: a redelivered
@@ -88,7 +90,8 @@ object DedupLayout {
     val init = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    writeLabels(DedupQueries.propagateLabels(edges, init, init), root)
+    writeLabels(DedupQueries.propagateLabels(edges, init, init),
+      coveredBatch = BaseBatch, root)
   }
 
   private def symmetricEdges(spark: SparkSession, root: String): DataFrame = {
@@ -98,17 +101,29 @@ object DedupLayout {
       .localCheckpoint()
   }
 
-  private def writeLabels(labels: DataFrame, root: String): Unit =
+  /** Labels land with a WATERMARK: the highest pair batch they cover.
+    * [[refreshLabels]] derives its frontier from everything after it,
+    * so no caller can hand it a too-small delta and get silently wrong
+    * clusters.
+    */
+  private def writeLabels(labels: DataFrame, coveredBatch: Long,
+                          root: String): Unit = {
     // the propagation result is eagerly checkpointed, so overwriting the
     // store it was warm-started from cannot read-while-write
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .write.mode("overwrite").parquet(labelsDir(root))
+    val s = labels.sparkSession
+    import s.implicits._
+    Seq(coveredBatch).toDF("covered_batch").coalesce(1)
+      .write.mode("overwrite").parquet(labelsMetaDir(root))
+  }
 
   /** Grow the index with an arrival batch (doc_id, text): new
     * candidates are every (arrival, existing-or-arrival) pair sharing a
     * band key, emitted id-ordered and deduplicated — exactly the pairs
     * a from-scratch rebuild would add. Returns the new pairs (eagerly
-    * materialized) so [[refreshLabels]] can seed its frontier.
+    * materialized) for observability; [[refreshLabels]] derives its own
+    * frontier from the store's batch watermark.
     *
     * `batchId` must be MONOTONICALLY increasing across appends (a
     * streaming sink passes the micro-batch id, which is; a batch
@@ -139,20 +154,31 @@ object DedupLayout {
   }
 
   /** Warm-start incremental clustering: resume the label-propagation
-    * fixpoint from the STORED labels, with only the new edges'
-    * endpoints as the frontier — per-iteration JOIN work scales with
-    * the changed neighborhood, not the graph (the cold fixpoint's
-    * round 0 is every node). Each refresh still reads the pair store
-    * once to build the symmetric edge view; at deployment that table
-    * is written partitioned by src so the frontier join prunes to the
-    * touched partitions instead of scanning. Handles cluster MERGES: a
-    * bridge pair lets the smaller cluster-min flow across, and each
-    * changed node re-enters the frontier until the old cluster
-    * interior is relabeled (monotone min-propagation from any state ≥
-    * the fixpoint converges to the same components as a cold run).
+    * fixpoint from the STORED labels. The frontier is derived
+    * STRUCTURALLY — every pair batch after the labels' covered
+    * watermark contributes its endpoints — so correctness never
+    * depends on a caller assembling the right delta (round-7 review
+    * finding: a caller passing only the LAST append's pairs after two
+    * appends would get silently wrong clusters). Per-iteration JOIN
+    * work scales with the changed neighborhood, not the graph (the
+    * cold fixpoint's round 0 is every node). Each refresh still reads
+    * the pair store once to build the symmetric edge view; at
+    * deployment that table is written partitioned by src so the
+    * frontier join prunes to the touched partitions instead of
+    * scanning. Handles cluster MERGES: a bridge pair lets the smaller
+    * cluster-min flow across, and each changed node re-enters the
+    * frontier until the old cluster interior is relabeled (monotone
+    * min-propagation from any state ≥ the fixpoint converges to the
+    * same components as a cold run). A refresh with nothing new is a
+    * no-op.
     */
-  def refreshLabels(spark: SparkSession, newPairs: DataFrame,
-                    root: String): Unit = {
+  def refreshLabels(spark: SparkSession, root: String): Unit = {
+    val covered = spark.read.parquet(labelsMetaDir(root)).head.getLong(0)
+    val maxBatch = spark.read.parquet(pairsDir(root))
+      .agg(max(col(BatchCol).cast("long"))).head.getLong(0)
+    if (maxBatch <= covered) return
+    val newPairs = readStore(spark, pairsDir(root), None,
+      afterBatch = Some(covered)).localCheckpoint()
     val edges = symmetricEdges(spark, root)
     val old = labels(spark, root)
       .select(col("doc_id").as("node"), col("cluster_id").as("label"))
@@ -163,18 +189,21 @@ object DedupLayout {
     val touched = newPairs.select(col("doc_a").as("node"))
       .union(newPairs.select(col("doc_b").as("node"))).distinct()
     val frontier0 = init.join(touched, Seq("node"))
-    writeLabels(DedupQueries.propagateLabels(edges, init, frontier0), root)
+    writeLabels(DedupQueries.propagateLabels(edges, init, frontier0),
+      coveredBatch = maxBatch, root)
   }
 
   def labels(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(labelsDir(root))
 
   private def readStore(spark: SparkSession, dir: String,
-                        beforeBatch: Option[Long]): DataFrame = {
+                        beforeBatch: Option[Long],
+                        afterBatch: Option[Long] = None): DataFrame = {
     val t = spark.read.parquet(dir)
-    // the prefix filter is on the partition column: metadata pruning,
-    // the later partitions' files are never listed into the scan
-    beforeBatch.fold(t)(b => t.filter(col(BatchCol) < b)).drop(BatchCol)
+    // batch filters ride the partition column: metadata pruning, the
+    // excluded partitions' files are never listed into the scan
+    val lo = afterBatch.fold(t)(b => t.filter(col(BatchCol) > b))
+    beforeBatch.fold(lo)(b => lo.filter(col(BatchCol) < b)).drop(BatchCol)
   }
 
   def pairs(spark: SparkSession, root: String): DataFrame =

@@ -52,21 +52,20 @@ object TextLayout {
   def tokens(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(tokensDir(root)).drop(BatchCol)
 
-  /** The top-100 vocabulary re-derived from the log — same semantics
-    * (count desc, token asc tie-break) as the registered
-    * `text_token_freq`, which TextLayoutSpec holds it equal to.
+  /** The top-100 vocabulary re-derived from the log — the SAME
+    * cutoff/tie-break code as the registered `text_token_freq`
+    * ([[graft.operators.TextQueries.vocabOver]]), which TextLayoutSpec
+    * holds it equal to.
     */
   def vocab(spark: SparkSession, root: String, k: Int = 100): DataFrame =
-    tokens(spark, root)
-      .groupBy("token").agg(count("*").as("cnt"))
-      .orderBy(col("cnt").desc, col("token").asc)
-      .limit(k)
+    graft.operators.TextQueries.vocabOver(tokens(spark, root), k)
 
   /** Per-(doc, token) term frequencies over the vocabulary — the tf
-    * table, re-derived.
+    * table, re-derived through the shared
+    * [[graft.operators.TextQueries.tfOver]].
     */
-  def termFreq(spark: SparkSession, root: String): DataFrame =
-    tokens(spark, root)
-      .join(broadcast(vocab(spark, root).select("token")), Seq("token"))
-      .groupBy("doc_id", "token").agg(count("*").as("tf"))
+  def termFreq(spark: SparkSession, root: String): DataFrame = {
+    val t = tokens(spark, root)
+    graft.operators.TextQueries.tfOver(t, graft.operators.TextQueries.vocabOver(t))
+  }
 }

@@ -24,9 +24,11 @@ import graft.sources.DedupLayout
   * included).
   *
   * Cluster labels are a DERIVED artifact: refresh them after a drain
-  * (or on a schedule) via [[DedupLayout.refreshLabels]] over the
-  * accumulated pairs — per-batch label refresh would serialize the
-  * fixpoint into the hot ingest path for no freshness a curator needs.
+  * (or on a schedule) via [[DedupLayout.refreshLabels]] — it reads the
+  * labels' covered-batch watermark and warm-starts from every pair
+  * batch after it, so the call needs no delta from the stream.
+  * Per-batch label refresh would serialize the fixpoint into the hot
+  * ingest path for no freshness a curator needs.
   */
 object DedupStream {
 

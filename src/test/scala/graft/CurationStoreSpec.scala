@@ -44,7 +44,7 @@ class CurationStoreSpec extends SparkSpec {
     // and the label store really is read from the root, not recomputed:
     // the memoized clusters frame plans as a scan of the store layout
     val p = DedupQueries.clusters(s2, Sf).queryExecution.executedPlan.toString
-    assert(p.contains("dedup.clusters_"),
+    assert(p.contains("dedup.clusters%3A"),
       s"clusters must scan the on-disk store layout:\n$p")
     CacheLife.release(spark)
   }
@@ -76,6 +76,23 @@ class CurationStoreSpec extends SparkSpec {
     assert(SimilarityQueries.annIvfPq(s2, Sf).collect().toSeq === ivfpqFresh)
     assert(SimilarityQueries.trainRuns.get() === trained,
       "the loaded codebooks must serve the PQ probes without retraining")
+    CacheLife.release(spark)
+  }
+
+  test("a warm rootless memo never masks a rooted store build") {
+    CacheLife.release(spark)
+    // rootless touch: model + quantized corpus memoize in session memory
+    SimilarityQueries.kmeansHistogram(spark, Sf).count()
+    // a rooted session on the SAME context must still build its store —
+    // registry entries are scoped to the resolved store path (round-7
+    // review: a (context, key)-only memo silently skipped the write,
+    // leaving StoreBuild claiming artifacts that never landed)
+    val root = Files.createTempDirectory("graft-rootmask").toString
+    val s1 = spark.newSession()
+    s1.conf.set(CacheLife.RootKey, root)
+    SimilarityQueries.kmeansHistogram(s1, Sf).count()
+    assert(new java.io.File(root).listFiles().nonEmpty,
+      "the rooted session must write its store despite the warm rootless memo")
     CacheLife.release(spark)
   }
 

@@ -28,10 +28,13 @@ class DedupLayoutSpec extends SparkSpec {
     // because batch2 joins bands that already include batch1
     val m = col("doc_id") % 5
     DedupLayout.materialize(spark, docs.filter(m < 3), inc)
-    val p1 = DedupLayout.append(spark, docs.filter(m === 3), inc, batchId = 0L)
-    DedupLayout.refreshLabels(spark, p1, inc)
-    val p2 = DedupLayout.append(spark, docs.filter(m === 4), inc, batchId = 1L)
-    DedupLayout.refreshLabels(spark, p2, inc)
+    DedupLayout.append(spark, docs.filter(m === 3), inc, batchId = 0L)
+    DedupLayout.append(spark, docs.filter(m === 4), inc, batchId = 1L)
+    // ONE refresh covering BOTH appended batches (the round-7 review
+    // trap: a frontier built from only the last batch's pairs would
+    // silently mislabel batch-0 docs) — the watermark derives the full
+    // delta structurally
+    DedupLayout.refreshLabels(spark, inc)
 
     DedupLayout.materialize(spark, docs, scratch)
 
@@ -66,6 +69,10 @@ class DedupLayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(warm === regLabels,
       "incremental labels must equal the registered dedup_clusters")
+
+    // a refresh with nothing new is a watermark no-op
+    DedupLayout.refreshLabels(spark, inc)
+    assert(labelSet(inc) === warm)
     CacheLife.release(spark)
   }
 

@@ -61,8 +61,9 @@ class DedupStreamSpec extends SparkSpec {
     assert(replayed.sorted === streamed.sorted,
       "replay with a wiped checkpoint changed the store")
 
-    // labels refresh over the streamed pairs equals the cold fixpoint
-    DedupLayout.refreshLabels(spark, DedupLayout.pairs(spark, inc), inc)
+    // a single post-drain refresh (watermark-driven: both micro-batches
+    // are after the base labels' covered batch) equals the cold fixpoint
+    DedupLayout.refreshLabels(spark, inc)
     val warm = DedupLayout.labels(spark, inc).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cold = DedupLayout.labels(spark, scratch).collect()

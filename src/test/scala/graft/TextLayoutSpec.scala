@@ -36,10 +36,18 @@ class TextLayoutSpec extends SparkSpec {
     assert(derived === registered,
       "vocabulary re-derived from the log drifted from text_token_freq")
 
-    // and the tf table matches the corpus-wide build
+    // and the tf table matches an independent corpus-wide recomputation
+    // over the registered vocabulary, value for value
     val tf = TextLayout.termFreq(spark, root).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(tf.nonEmpty)
+    val expectedTf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .join(broadcast(TextQueries.tokenFreq(spark, Sf).select("token")), Seq("token"))
+      .groupBy("doc_id", "token").agg(count("*").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tf === expectedTf,
+      "re-derived tf table drifted from the corpus-wide recomputation")
 
     // idempotence: re-running batch 1 overwrites its own partition
     TextLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
