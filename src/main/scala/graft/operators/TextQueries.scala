@@ -550,7 +550,26 @@ object TextQueries {
       .select("doc_id", "source", "rate_permille")
   }
 
+  // ---- Export manifest: the one per-doc table a training run reads ----
+  // The capstone composition of the curation verdicts: only DEDUP
+  // SURVIVORS export, each with its train/val/test split (the
+  // md5-bucket assignment behind text_split_report — growth-stable, a
+  // doc's split never changes when other docs arrive) and its
+  // curriculum phase. Shape at scale: two doc_id equi-joins over the
+  // CacheLife-memoized cluster labels and the quality-derived phase
+  // table plus a per-row split expression — composing the verdicts
+  // costs joins on memoized stores, never new corpus passes.
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 100)
+    val split = Tables.documents(s, dir).select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    DedupQueries.survivors(s, dir)
+      .join(split, Seq("doc_id"))
+      .join(curriculum(s, dir).select(col("doc_id"), col("phase")), Seq("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_export_manifest" -> (exportManifest _),
     "text_sample_mix" -> (sampleMix _),
     "text_split_report" -> (splitReport _),
     "text_corpus_funnel" -> (corpusFunnel _),
@@ -656,6 +675,37 @@ object TextQueries {
           |FROM (SELECT source,
           |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)
           |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+    "text_export_manifest" -> {
+      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+      val alphaR = O.charClassRatio("text", "[a-z ]")
+      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+      val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
+      // extends the shared recursive cluster CTE chain (lab) with the
+      // survivor verdict, the split expression, and the curriculum
+      // thresholds — fresh CTE names (m*) to avoid the chain's t/sh/c
+      s"""${DedupQueries.oClusterCtes},
+         |surv AS (SELECT d.doc_id,
+         |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'representative' END AS kept_as
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |  WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)),
+         |mq AS (SELECT doc_id, $qual AS quality FROM documents),
+         |mh AS (SELECT quality, COUNT(*) AS n FROM mq GROUP BY 1),
+         |mc AS (SELECT quality, SUM(n) OVER (ORDER BY quality
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mh),
+         |mtot AS (SELECT COUNT(*) AS nt FROM mq),
+         |mth AS (SELECT min(CASE WHEN cum >= 0.25 * nt THEN quality END) AS t25,
+         |  min(CASE WHEN cum >= 0.50 * nt THEN quality END) AS t50,
+         |  min(CASE WHEN cum >= 0.75 * nt THEN quality END) AS t75 FROM mc, mtot),
+         |cur AS (SELECT doc_id,
+         |  ((quality >= t25)::INT + (quality >= t50)::INT + (quality >= t75)::INT) AS phase
+         |  FROM mq, mth)
+         |SELECT surv.doc_id, surv.kept_as, spl.split, cur.phase
+         |FROM surv JOIN spl USING (doc_id) JOIN cur USING (doc_id)""".stripMargin.replace("\n", " ")
+    },
     "text_curriculum" -> {
       val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
       val alphaR = O.charClassRatio("text", "[a-z ]")

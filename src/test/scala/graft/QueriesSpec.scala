@@ -240,6 +240,21 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("export manifest rows are exactly the survivors, each with a valid split and phase") {
+    val manifest = TextQueries.exportManifest(spark, Sf).collect()
+    val survivors = DedupQueries.survivors(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(manifest.map(_.getLong(0)).toSet === survivors,
+      "the manifest must export every survivor exactly once, and nothing else")
+    assert(manifest.length === survivors.size)
+    manifest.foreach { r =>
+      assert(Set("unique", "representative")(r.getString(1)), r.toString)
+      assert(Set("train", "val", "test")(r.getString(2)), r.toString)
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 3, r.toString)
+    }
+    CacheLife.release(spark)
+  }
+
   test("semantic dedup keeps each cell's min id and drops only documented vectors") {
     val rows = SimilarityQueries.semanticDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
