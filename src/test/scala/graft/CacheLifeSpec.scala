@@ -54,4 +54,77 @@ class CacheLifeSpec extends SparkSpec {
     CacheLife.release(spark) // second call is a no-op, must not throw
     assert(persistedCount === 0)
   }
+
+  test("encodeKey is injective: UTF-8 byte-wise, two fixed hex digits per byte") {
+    // the round-7 advice collision: char-wise %XX was variable-width
+    // above 0xFF, so «+"C" and ઼ both encoded to "%ABC"
+    assert(CacheLife.encodeKey("«" + "C") !== CacheLife.encodeKey("઼"))
+    assert(CacheLife.encodeKey("a.b_c-9") === "a.b_c-9")
+    assert(CacheLife.encodeKey("a/b%c") === "a%2Fb%25c")
+  }
+
+  test("a half-written store (no _SUCCESS) is swept and rebuilt, never merged into") {
+    val root = java.nio.file.Files.createTempDirectory("graft-halfstore").toString
+    val s = spark.newSession()
+    s.conf.set(CacheLife.RootKey, root)
+    import s.implicits._
+    val key = "race.half"
+    val dir = new java.io.File(root, CacheLife.encodeKey(key))
+    dir.mkdirs() // simulate a killed builder: files present, no _SUCCESS
+    java.nio.file.Files.writeString(new java.io.File(dir, "part-junk").toPath, "junk")
+    var builds = 0
+    val out = CacheLife.loadOrBuild(s, key) { builds += 1; Seq(1L, 2L).toDF("v") }
+    assert(builds === 1 && out.count() === 2)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(!new java.io.File(dir, "part-junk").exists(),
+      "the half-written leftover must be swept, not merged with fresh files")
+    CacheLife.release(spark)
+  }
+
+  test("a completed store is never overwritten by a later builder") {
+    val root = java.nio.file.Files.createTempDirectory("graft-keepstore").toString
+    val s = spark.newSession()
+    s.conf.set(CacheLife.RootKey, root)
+    import s.implicits._
+    val key = "race.keep"
+    assert(CacheLife.loadOrBuild(s, key)(Seq(1L, 2L, 3L).toDF("v")).count() === 3)
+    val again = CacheLife.loadOrBuild(s, key) {
+      fail("a ready store must load, not rebuild"); null
+    }
+    assert(again.count() === 3)
+    CacheLife.release(spark)
+  }
+
+  test("two concurrent builders publish exactly one store, no temp leftovers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-racestore").toString
+    val s = spark.newSession()
+    s.conf.set(CacheLife.RootKey, root)
+    import s.implicits._
+    val key = "race.pair"
+    // both builders must be PAST the ready-check before either publishes —
+    // the exact interleaving the write-temp-then-rename closes
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def build = {
+      gate.countDown()
+      assert(gate.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "both builders must enter the race window")
+      Seq(10L, 20L, 30L).toDF("v")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val counts = Await.result(
+      Future.sequence(Seq(
+        Future(CacheLife.loadOrBuild(s, key)(build).collect().map(_.getLong(0)).sorted.toSeq),
+        Future(CacheLife.loadOrBuild(s, key)(build).collect().map(_.getLong(0)).sorted.toSeq))),
+      2.minutes)
+    assert(counts.forall(_ === Seq(10L, 20L, 30L)),
+      s"both racers must read one consistent store: $counts")
+    val names = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(names.count(_ == CacheLife.encodeKey(key)) === 1)
+    assert(!names.exists(_.contains(".build-")),
+      s"the losing builder must discard its temp dir: $names")
+    CacheLife.release(spark)
+  }
 }
