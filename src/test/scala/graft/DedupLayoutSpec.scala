@@ -76,6 +76,80 @@ class DedupLayoutSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("a warm refresh prunes the edge scan to the affected components' buckets") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-dl-prune").toString
+    val m = col("doc_id") % 5
+    DedupLayout.materialize(spark, docs.filter(m < 4), root)
+    val newPairs = DedupLayout.append(spark, docs.filter(m === 4), root, batchId = 0L)
+
+    // the bucket list is derived from the touched components — for a
+    // 1/5-corpus arrival it must be a strict subset of the bucket space
+    val buckets = DedupLayout.frontierBuckets(spark, root, newPairs)
+    assert(buckets.nonEmpty && buckets.size < DedupLayout.EdgeBuckets,
+      s"a small frontier must not demand every bucket: ${buckets.size}/${DedupLayout.EdgeBuckets}")
+
+    // and the pruned view reaches the scan as PartitionFilters on
+    // src_bucket — metadata pruning, not a post-scan row filter
+    val pruned = DedupLayout.edgesView(spark, root, Some(buckets))
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("src_bucket")),
+      s"expected src_bucket PartitionFilters:\n$plan")
+    CacheLife.release(spark)
+  }
+
+  test("append guard: same-id replay succeeds, new-id replay raises") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-dl-guard2").toString
+    val m = col("doc_id") % 5
+    DedupLayout.materialize(spark, docs.filter(m < 4), root)
+    DedupLayout.append(spark, docs.filter(m === 4), root, batchId = 0L)
+    val before = DedupLayout.pairs(spark, root).count()
+
+    DedupLayout.append(spark, docs.filter(m === 4), root, batchId = 0L)
+    assert(DedupLayout.pairs(spark, root).count() === before,
+      "same-batch-id replay must leave the store unchanged")
+
+    val e = intercept[Exception] {
+      DedupLayout.append(spark, docs.filter(m === 4), root, batchId = 1L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("already exists in the index prefix")),
+      s"expected the replay refusal, got: ${messages(e).mkString(" | ")}")
+    CacheLife.release(spark)
+  }
+
+  test("pure-streaming bootstrap: appends onto an EMPTY root converge to the rebuild") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-dl-boot").toString
+    val scratch = Files.createTempDirectory("graft-dl-boot-full").toString
+    val m = col("doc_id") % 3
+
+    // NO materialize: the first append is the base the next batches join
+    DedupLayout.append(spark, docs.filter(m === 0), root, batchId = 0L)
+    DedupLayout.append(spark, docs.filter(m === 1), root, batchId = 1L)
+    DedupLayout.append(spark, docs.filter(m === 2), root, batchId = 2L)
+    // no labels store yet either: refresh must cold-build, not die
+    DedupLayout.refreshLabels(spark, root)
+
+    DedupLayout.materialize(spark, docs, scratch)
+    assert(pairSet(root) === pairSet(scratch),
+      "bootstrap-grown pairs drifted from the from-scratch build")
+    def labelSet(r: String) = DedupLayout.labels(spark, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(labelSet(root) === labelSet(scratch),
+      "bootstrap labels drifted from the cold fixpoint")
+
+    // a second refresh is a watermark no-op; a later append + refresh
+    // takes the WARM path over the bootstrapped state
+    DedupLayout.refreshLabels(spark, root)
+    assert(labelSet(root) === labelSet(scratch))
+    CacheLife.release(spark)
+  }
+
   test("warm-start propagation merges two stored clusters across a bridge edge") {
     import spark.implicits._
     // stored state: components {1,2} (label 1) and {10,11} (label 10);
