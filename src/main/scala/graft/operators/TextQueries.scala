@@ -102,11 +102,15 @@ object TextQueries {
     * [[graft.sources.TextLayout]] so the two can't silently diverge.
     */
   private[graft] def vocabOver(tokens: DataFrame, k: Int = 100): DataFrame =
-    tokens
-      .groupBy("token")
-      .agg(count("*").as("cnt"))
-      .orderBy(col("cnt").desc, col("token").asc)
-      .limit(k)
+    vocabFromCounts(tokens.groupBy("token").agg(count("*").as("cnt")), k)
+
+  /** The SAME cutoff/tie-break over a pre-aggregated (token, cnt)
+    * frame — the entry [[graft.sources.TextLayout]] uses to re-derive
+    * the vocabulary from per-batch count partials instead of the raw
+    * token log.
+    */
+  private[graft] def vocabFromCounts(counts: DataFrame, k: Int = 100): DataFrame =
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
 
   /** The per-(doc, token) term-frequency table over a given vocabulary —
     * shared with [[graft.sources.TextLayout]] like [[vocabOver]].

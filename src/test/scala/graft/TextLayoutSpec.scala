@@ -49,10 +49,35 @@ class TextLayoutSpec extends SparkSpec {
     assert(tf === expectedTf,
       "re-derived tf table drifted from the corpus-wide recomputation")
 
-    // idempotence: re-running batch 1 overwrites its own partition
+    // idempotence: re-running batch 1 overwrites its own partition —
+    // in BOTH logs
     TextLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
     assert(TextLayout.tokens(spark, root).count() === total,
       "re-appending a batch must not grow the log")
+    assert(TextLayout.tokenCounts(spark, root).agg(sum("tf")).head.getLong(0) === total,
+      "re-appending a batch must not grow the count partials")
+
+    // the partials carry the same multiset at a strictly smaller row
+    // count — the re-aggregate input shrink the partials exist for
+    val partialRows = TextLayout.tokenCounts(spark, root).count()
+    assert(partialRows < total,
+      s"partials must be smaller than the raw log: $partialRows vs $total")
+    CacheLife.release(spark)
+  }
+
+  test("append refuses a doc_id replayed under a NEW batch id") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-tl-guard").toString
+    val m = col("doc_id") % 4
+    TextLayout.materialize(spark, docs.filter(m < 3), root)
+    TextLayout.append(spark, docs.filter(m === 3), root, batchId = 0L)
+    val e = intercept[Exception] {
+      TextLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("already exists in the token-log prefix")),
+      s"expected the replay refusal, got: ${messages(e).mkString(" | ")}")
     CacheLife.release(spark)
   }
 }
