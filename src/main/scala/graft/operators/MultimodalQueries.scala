@@ -13,12 +13,14 @@ import graft.functions.{VectorOracle => VO}
   * function of doc_id, so DuckDB recomputes the identical logical
   * content in SQL while Spark runs the REAL multimodal plumbing
   * (typed Dataset, mapPartitions decode shape, flatMap frame
-  * explosion). Four queries cover the four operator shapes:
+  * explosion). Five queries cover the operator shapes:
   *
   *   - `multi_meta_stats`    — metadata-only aggregate (the payload
   *     column is never touched; MultimodalSpec asserts parquet prunes it);
   *   - `multi_image_features`— decode+featurize via mapPartitions
   *     (mean byte + embedding, serialized like sim_quantize_int8);
+  *   - `multi_audio_features`— the WAV twin: a REAL RIFF/PCM parse
+  *     whose fmt chunk supplies the reported sample rate;
   *   - `multi_topk_cosine`   — the stub embeddings fed through the
   *     sim_topk_cosine ANN shape (broadcast query vector +
   *     TakeOrderedAndProject);
@@ -60,6 +62,16 @@ object MultimodalQueries {
         concat_ws(",",
           transform(col("embedding"), x => (x * 256).cast("int"))).as("emb"))
 
+  // ---- Decode + featurize AUDIO: the WAV twin of imageFeatures.
+  // sample_rate is read from the CONTAINER's fmt chunk (the decode is
+  // load-bearing); the oracle emits the literal the encoder stamped ----
+  def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(media(s, dir)).toDF()
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        concat_ws(",",
+          transform(col("embedding"), x => (x * 256).cast("int"))).as("emb"))
+
   // ---- Stub embeddings through the brute-force ANN shape ----
   def topkCosine(s: SparkSession, dir: String): DataFrame = {
     val feats = Multimodal.imageFeatures(media(s, dir)).toDF()
@@ -87,6 +99,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multi_meta_stats" -> (metaStats _),
     "multi_image_features" -> (imageFeatures _),
+    "multi_audio_features" -> (audioFeatures _),
     "multi_topk_cosine" -> (topkCosine _),
     "multi_frames" -> (frames _),
   )
@@ -118,6 +131,12 @@ object MultimodalQueries {
        s"round(list_aggregate(list_transform(range(0, plen), i -> ${oByte("i")}), 'sum')::DOUBLE / plen, 6) AS mean_byte, " +
        s"array_to_string(list_transform(range(0, 64), d -> ${oByte("d")}), ',') AS emb " +
        "FROM m WHERE kind = 'image'"),
+    "multi_audio_features" ->
+      (s"WITH $oMedia SELECT media_id, CAST(16000 AS INTEGER) AS sample_rate, " +
+       "CAST(plen AS INTEGER) AS n_samples, " +
+       s"round(list_aggregate(list_transform(range(0, plen), i -> ${oByte("i")}), 'sum')::DOUBLE / plen, 6) AS mean_byte, " +
+       s"array_to_string(list_transform(range(0, 64), d -> ${oByte("d")}), ',') AS emb " +
+       "FROM m WHERE kind = 'audio'"),
     "multi_topk_cosine" ->
       (s"WITH $oMedia, f AS (SELECT media_id, $oEmb AS e FROM m WHERE kind = 'image'), " +
        s"q AS (SELECT e AS qe FROM f WHERE media_id = $QueryMediaId) " +

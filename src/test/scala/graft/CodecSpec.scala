@@ -72,6 +72,70 @@ class CodecSpec extends SparkSpec {
     assert(feats.head.embedding.toSeq === px.map(b => ((b & 0xff) / 256.0f)).toSeq)
   }
 
+  test("decodeWav parses a hand-authored container, unknown chunks skipped") {
+    // RIFF/WAVE with a LIST chunk BEFORE fmt/data — the spec-mandated
+    // skip path a minimal parser gets wrong
+    val data = Array[Byte](10, 20, 30, 40)
+    val full = Codecs.encodeWav(8000, 1, 8, data)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val withList = full.take(12) ++ list ++ full.drop(12)
+    // patch the riff size for the inserted chunk
+    val riffSize = (withList.length - 8).toLong
+    withList(4) = (riffSize & 0xff).toByte
+    withList(5) = ((riffSize >> 8) & 0xff).toByte
+    val w = Codecs.decodeWav(withList)
+    assert(w.sampleRate === 8000 && w.channels === 1 && w.bitsPerSample === 8)
+    assert(w.data.toSeq === data.toSeq)
+  }
+
+  test("encodeWav/decodeWav round-trips samples, rate, and width exactly") {
+    val data = Array.tabulate(321)(i => (i * 11 % 256).toByte) // odd length → pad byte
+    val w = Codecs.decodeWav(Codecs.encodeWav(16000, 1, 8, data))
+    assert(w.sampleRate === 16000 && w.channels === 1 && w.bitsPerSample === 8)
+    assert(w.data.toSeq === data.toSeq)
+    val s16 = Array.tabulate(64)(i => (i * 3).toByte)
+    val w2 = Codecs.decodeWav(Codecs.encodeWav(44100, 2, 16, s16))
+    assert(w2.sampleRate === 44100 && w2.channels === 2 && w2.bitsPerSample === 16)
+    assert(w2.data.toSeq === s16.toSeq)
+  }
+
+  test("malformed WAV containers are refused loudly") {
+    val good = Codecs.encodeWav(16000, 1, 8, Array.tabulate(16)(_.toByte))
+    intercept[IllegalArgumentException](Codecs.decodeWav("RIFX".getBytes ++ good.drop(4)))
+    intercept[IllegalArgumentException](Codecs.decodeWav(good.take(8) ++ "AIFF".getBytes ++ good.drop(12)))
+    intercept[IllegalArgumentException](Codecs.decodeWav(good.dropRight(1))) // truncated data
+    val nonPcm = good.clone(); nonPcm(20) = 3 // format code 3 = IEEE float
+    intercept[IllegalArgumentException](Codecs.decodeWav(nonPcm))
+    intercept[IllegalArgumentException](Codecs.decodeWav(good.take(36))) // no data chunk
+  }
+
+  test("corpus audio payloads are genuine WAV containers whose samples are the oracle arithmetic") {
+    Multimodal.corpus(spark, Sf).filter(_.kind == "audio").limit(5).collect()
+      .foreach { m =>
+        val w = Codecs.decodeWav(m.payload) // throws if not a real container
+        assert(w.sampleRate === 16000 && w.channels === 1 && w.bitsPerSample === 8)
+        assert(w.data.toSeq === Multimodal.stubPayload(m.media_id).toSeq,
+          s"decoded samples of media ${m.media_id} drifted from the oracle arithmetic")
+      }
+  }
+
+  test("a real WAV fixture row featurizes from DECODED samples, not container bytes") {
+    import spark.implicits._
+    val samples = Array.tabulate(32)(i => (i * 8).toByte)
+    val m = Multimodal.Media(100L, "audio", "wav", 0, 0, 22050, 2000L,
+      Codecs.encodeWav(22050, 1, 8, samples))
+    val feats = Multimodal.audioFeatures(Seq(m).toDS(), dim = 32).collect()
+    assert(feats.length === 1)
+    val want = samples.map(b => (b & 0xff).toDouble).sum / 32
+    assert(feats.head.mean_byte === want,
+      s"mean must come from the decoded samples: got ${feats.head.mean_byte}, want $want")
+    assert(feats.head.n_samples === 32)
+    assert(feats.head.sample_rate === 22050,
+      "the reported rate must come from the container's fmt chunk")
+    assert(feats.head.embedding.toSeq === samples.map(b => ((b & 0xff) / 256.0f)).toSeq)
+  }
+
   test("resize of a PGM is a real resample producing a valid container at the new dims") {
     import spark.implicits._
     val px = Array.tabulate(8 * 8)(i => i.toByte)
