@@ -542,13 +542,32 @@ object SimilarityQueries {
     * [[graft.sources.VectorLayout.append]] rides this.
     */
   private[graft] def assignVectors(s: SparkSession, dir: String,
-                                   vecs: DataFrame): DataFrame = {
-    val (_, cents) = trainedModel(s, dir)
+                                   vecs: DataFrame): DataFrame =
+    assignVectorsWith(trainedModel(s, dir)._2, vecs)
+
+  /** The same assignment against an EXPLICIT codebook — the entry the
+    * versioned layout uses once a retrain has replaced the session-
+    * memoized model with the codebook stored beside the layout.
+    */
+  private[graft] def assignVectorsWith(cents: Seq[(Long, Array[Long])],
+                                       vecs: DataFrame): DataFrame =
     vecs.withColumn("qv",
         transform(V.vecD(col("embedding")), x => floor(x * QuantScale).cast("long")))
       .withColumn("cell", assignExpr(cents))
       .drop("qv")
-  }
+
+  /** Run the Lloyd loop over an ARBITRARY `(vec_id, embedding)` frame —
+    * the retrain-on-the-grown-corpus entry
+    * ([[graft.sources.VectorLayout.retrainAndSwap]]): same quantization,
+    * same deterministic seed (vec_id 1..K) and iteration count as the
+    * session-memoized training, but over whatever corpus the caller
+    * hands it (base + appended arrivals), NOT memoized — a retrain is
+    * an explicit job, never an accidental cache fill.
+    */
+  private[graft] def trainCentroidsOver(vecs: DataFrame): Seq[(Long, Array[Long])] =
+    trainCentroids(vecs.select(col("vec_id"),
+      transform(V.vecD(col("embedding")),
+        x => floor(x * QuantScale).cast("long")).as("qv")).localCheckpoint())
 
   /** The trained coarse codebook, exposed model-sized (K rows of
     * quantized centroid longs) for layout probes to rank against.

@@ -106,6 +106,51 @@ class VectorStreamSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("a wiped-checkpoint replay reprobes the PINNED snapshot, not the grown layout") {
+    val layout = Files.createTempDirectory("graft-vqp").toString + "/vectors"
+    graft.sources.VectorLayout.materialize(spark, Sf, layout)
+    val qdir = Files.createTempDirectory("graft-vqp-q")
+    val out = Files.createTempDirectory("graft-vqp-out").toString + "/results"
+
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").between(20, 22))
+      .select(col("vec_id"), col("embedding"))
+    writeOneFile(queries, qdir, "q1.parquet")
+
+    def drain(outDir: String, checkpoint: String): Set[(Long, Long, Double, Int)] = {
+      val q = VectorStream.probeLayoutSink(
+        VectorStream.read(spark, qdir.toString), Sf, layout, outDir, checkpoint)
+      try q.processAllAvailable() finally q.stop()
+      VectorStream.results(spark, outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    val first = drain(out, Files.createTempDirectory("graft-vqp-ck").toString + "/ck")
+
+    // grow the layout with EXACT COPIES of query 20's vector under new
+    // ids — cos 1.0, so any probe over the grown layout must rank them
+    // at the top and change the result set
+    val clones = Tables.embeddings(spark, Sf).filter(col("vec_id") === 20)
+      .select(explode(sequence(lit(2000000L), lit(2000004L))).as("vec_id"),
+        col("embedding"))
+    graft.sources.VectorLayout.append(spark, Sf, layout, clones, batchId = 7L)
+
+    // wiped-checkpoint replay into the SAME output: the pinned snapshot
+    // (recorded at the first attempt, beside the results) keeps the
+    // replay byte-equal — round-7 advice: without the pin it would
+    // reprobe the grown layout and rewrite history
+    val replayed = drain(out, Files.createTempDirectory("graft-vqp-ck2").toString + "/ck")
+    assert(replayed === first,
+      "replay must reproduce the pinned snapshot, not the grown layout")
+
+    // whereas a FRESH stream (new results table, new pin) sees the clones
+    val fresh = drain(Files.createTempDirectory("graft-vqp-out2").toString + "/results",
+      Files.createTempDirectory("graft-vqp-ck3").toString + "/ck")
+    assert(fresh.exists { case (_, vid, _, _) => vid >= 2000000L },
+      "a fresh stream must probe the grown layout and surface the clones")
+    assert(fresh !== first)
+    CacheLife.release(spark)
+  }
+
   test("layout-backed streaming probe matches the batch probe over the on-disk index") {
     val layout = Files.createTempDirectory("graft-vql").toString + "/vectors"
     graft.sources.VectorLayout.materialize(spark, Sf, layout)
