@@ -88,32 +88,75 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String =
       xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    val scalePart =
-      if (scaleDir == "none") ""
+    // ONE scale pass per extra decade. Two points (sf/10, sf/100) turn
+    // the single 10× delta into a two-decade TREND per query (round-7
+    // judge stretch item: one ratio can hide a knee; two consecutive
+    // ratios that both track the data ratio back the 100× claims).
+    def scalePass(dir: String, suffix: String,
+                  baseline: Seq[(String, Double)]): (String, Map[String, Double]) =
+      if (dir == "none") ("", Map.empty)
       else {
-        val (smallBuilds, small, smallErrs) = runPass(spark, scaleDir, 1)
+        val (smallBuilds, small, smallErrs) = runPass(spark, dir, 1)
         // builders ride the ratio too — the O(n²) pair kernel lives in
         // a BUILD line, and that is exactly where super-linearity hides
         val smallMap = small.toMap ++
           smallBuilds.map { case (n, t) => s"build:$n" -> t }
-        val mains = results ++ builds.map { case (n, t) => s"build:$n" -> t }
-        val ratios = mains.collect {
+        val ratios = baseline.collect {
           case (name, t) if t >= 0 && smallMap.getOrElse(name, -1.0) > 0 =>
             name -> t / smallMap(name)
         }
-        s""","scale_dir":"$scaleDir","scale_queries":${jmap(small)},""" +
-          s""""scale_ratio":${jmap(ratios)},"scale_errors":${jarr(smallErrs)}"""
+        (s""","scale_dir$suffix":"$dir","scale_queries$suffix":${jmap(small)},""" +
+          s""""scale_ratio$suffix":${jmap(ratios)},"scale_errors$suffix":${jarr(smallErrs)}""",
+          smallMap)
       }
+    val mains = results ++ builds.map { case (n, t) => s"build:$n" -> t }
+    val (scalePart, smallMap) = scalePass(scaleDir, "", mains)
+    // second decade: ratio between the two SMALL passes (sf0.01/sf0.001)
+    val scaleDir2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR2",
+      if (scaleDir.endsWith("sf0.01")) "/root/testdata/sf0.001" else "none")
+    val (scalePart2, _) = scalePass(scaleDir2, "2",
+      smallMap.toSeq.sortBy(_._1))
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
         s""""errors":${jarr(errors)},""" +
         s""""index_build_total":${fmt(buildTotal)},"index_build":${jmap(builds)},""" +
-        s""""queries":${jmap(results)},"sf":"$sfDir"$scalePart}"""
+        s""""queries":${jmap(results)},"sf":"$sfDir"$scalePart$scalePart2}"""
+    // Per-round regression attribution (round-7 judge item #7: per-query
+    // times of past rounds were unrecoverable): before overwriting the
+    // local copy, diff against the previous one and print the top-5
+    // deltas each way. The tagged copy (SPARK_GRAFT_BENCH_TAG=r8 →
+    // BENCH_LOCAL_r8.json) is what gets committed per round.
+    val prevPath = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_LOCAL.json"))
+    if (Files.exists(prevPath)) {
+      val prev = Files.readString(prevPath)
+      val entry = """"([a-zA-Z0-9_:.]+)":(-?[0-9.]+)""".r
+      def queriesOf(js: String): Map[String, Double] = {
+        val start = js.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else entry.findAllMatchIn(js.substring(start + 11, js.indexOf('}', start)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val old = queriesOf(prev)
+      // sorted by (now - old) DESCENDING: worst regression first, biggest
+      // improvement last
+      val deltas = results.collect {
+        case (n, t) if t >= 0 && old.getOrElse(n, -1.0) >= 0 => (n, old(n), t)
+      }.sortBy { case (_, o, t) => o - t }
+      def row(x: (String, Double, Double)) =
+        f"  ${x._1}%-28s ${x._2}%8.3f -> ${x._3}%8.3f  (${x._3 - x._2}%+7.3f s)"
+      println(s"[bench] top-5 regressions vs $prevPath:")
+      deltas.take(5).foreach(d => println(row(d)))
+      println(s"[bench] top-5 improvements vs $prevPath:")
+      deltas.takeRight(5).reverse.foreach(d => println(row(d)))
+    }
     // stdout for the driver AND a file copy: the driver's log tail has
     // truncated this line two rounds running, hiding queries from the
     // per-round comparison.
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach(tag =>
+      Files.writeString(Paths.get(s"BENCH_LOCAL_$tag.json"), json))
     spark.stop()
   }
 }
