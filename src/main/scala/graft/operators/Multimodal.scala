@@ -9,16 +9,19 @@ import org.apache.spark.sql.types._
   * frame-sample / feature-extract operators.
   *
   * The Spark-side plumbing is real — schema, partition-aware batch
-  * execution, metadata pushdown. The IMAGE and AUDIO modalities decode
-  * REAL bytes end-to-end: image payloads are genuine binary PGM
-  * containers ([[Codecs]] — dependency-free netpbm P5) and audio
-  * payloads are genuine RIFF/WAVE PCM containers ([[Codecs.encodeWav]])
-  * whose pixels/samples are the arithmetic byte stream the DuckDB
-  * oracle recomputes, so decode, featurize, and resize all parse/emit
-  * an actual format while staying oracle-exact. The video codec inner
-  * loop remains a DETERMINISTIC STUB (this environment ships no mp4
-  * codec): it derives its output from the payload bytes so tests are
-  * exact; swapping in a real codec changes only that function.
+  * execution, metadata pushdown. ALL THREE modalities decode a REAL
+  * container end-to-end: image payloads are genuine binary PGM files
+  * ([[Codecs]] — dependency-free netpbm P5), audio payloads are
+  * genuine RIFF/WAVE PCM files ([[Codecs.encodeWav]]), and video
+  * payloads are genuine RIFF/AVI files ([[Codecs.encodeAvi]] — avih
+  * header + movi frame chunks) whose pixels/samples/frames are the
+  * arithmetic byte stream the DuckDB oracle recomputes — so decode,
+  * featurize, frame-sample, and resize all parse/emit actual formats
+  * while staying oracle-exact. The one DECLARED boundary left: the
+  * video frames ride a custom fourcc (`GRFT`) stream — the container
+  * walk is real, the inner frame codec is codec-defined (the same
+  * boundary an mp4/h264 pipeline has where the decoder is a licensed
+  * library; this environment ships none).
   *
   * 100 TB design:
   *   - payloads live in parquet binary columns partitioned by (kind,
@@ -38,7 +41,7 @@ object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType), // image | audio | video
-    StructField("format", StringType), // png | wav | mp4 | ...
+    StructField("format", StringType), // pgm | wav | avi | ...
     StructField("width", IntegerType), // images/video
     StructField("height", IntegerType),
     StructField("sample_rate", IntegerType), // audio
@@ -77,35 +80,48 @@ object Multimodal {
 
   private[graft] def mediaFor(id: Long): Media = {
     val kind = Seq("image", "audio", "video")((id % 3).toInt)
+    val w = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32
+    val h = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32
+    val duration = if (kind == "image") 0L else 1000L + id * 40L
     Media(id, kind,
-      format = Seq("pgm", "wav", "mp4")((id % 3).toInt),
-      width = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32,
-      height = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32,
+      format = Seq("pgm", "wav", "avi")((id % 3).toInt),
+      width = w, height = h,
       sample_rate = if (kind == "audio") 16000 else 0,
-      duration_ms = if (kind == "image") 0L else 1000L + id * 40L,
+      duration_ms = duration,
       // images carry a REAL encoded raster (P5 PGM of the arithmetic
       // pixels, as a 1-row image); audio carries a REAL RIFF/WAVE
       // container (the arithmetic bytes as 8-bit mono PCM at the
-      // catalog sample rate); video stays raw arithmetic bytes — its
-      // codec is the remaining declared stub
+      // catalog sample rate); video carries a REAL RIFF/AVI container
+      // whose movi chunks are the arithmetic frame slices at the fixed
+      // frame cadence
       payload = kind match {
         case "image" =>
           val px = stubPayload(id)
           Codecs.encodePgm(px.length, 1, px)
         case "audio" =>
           Codecs.encodeWav(16000, 1, 8, stubPayload(id))
-        case _ => stubPayload(id)
+        case _ =>
+          val stub = stubPayload(id)
+          val frames = (0 until math.max(1L, duration / FramePeriodMs).toInt)
+            .map { i =>
+              val off = ((i * FramePeriodMs) % math.max(1, stub.length - 16)).toInt
+              stub.slice(off, off + 16)
+            }
+          Codecs.encodeAvi(w, h, (FramePeriodMs * 1000L).toInt, frames)
       })
   }
 
-  // ??? a real codec for mp4 goes here — an arithmetic byte stream
-  // (not a seeded RNG) keeps tests exact AND lets the DuckDB oracle
-  // recompute the same bytes in SQL: byte i = (id·31 + i·7) mod 256.
-  // For IMAGES the arithmetic bytes are the PIXELS (wrapped in a real
-  // PGM container, decoded by a real parser in imageFeatures) and for
-  // AUDIO they are the 8-bit PCM SAMPLES (wrapped in a real WAV
-  // container, decoded in audioFeatures) — so the oracle reproduces
-  // the arithmetic while Spark genuinely round-trips both formats.
+  /** Container frame cadence of the AVI corpus: one frame per 250 ms —
+    * [[MultimodalQueries.FrameEveryMs]] samples at exactly this period,
+    * so the registered `multi_frames` reads every container frame and
+    * the oracle's slice arithmetic reproduces the frame bytes.
+    */
+  private[graft] val FramePeriodMs = 250L
+
+  // The arithmetic byte stream behind every container — byte i of doc d
+  // is (d·31 + i·7) mod 256, length 256 + d mod 64 — which is what lets
+  // the DuckDB oracle recompute pixel/sample/frame content in SQL while
+  // Spark genuinely round-trips PGM, WAV, and AVI.
   private[graft] def stubPayload(id: Long): Array[Byte] =
     Array.tabulate(256 + (id % 64).toInt)(i => ((id * 31 + i * 7) % 256).toByte)
 
@@ -172,8 +188,10 @@ object Multimodal {
 
   /** Resize: payload-to-payload transform keeping metadata consistent.
     * PGM images get a REAL nearest-neighbor resample (decode → sample
-    * pixels → re-encode, still a valid PGM); other visual formats keep
-    * the byte-decimation stub.
+    * pixels → re-encode, still a valid PGM); AVI videos re-encode the
+    * container at the new header dims (frame content is the stream
+    * codec's business — see [[Codecs]] on the GRFT fourcc boundary);
+    * any other visual format keeps the byte-decimation stub.
     */
   def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
@@ -183,6 +201,10 @@ object Multimodal {
         else if (m.format == "pgm") {
           m.copy(width = w, height = h,
             payload = Codecs.resamplePgm(Codecs.decodePgm(m.payload), w, h))
+        } else if (m.format == "avi") {
+          val v = Codecs.decodeAvi(m.payload)
+          m.copy(width = w, height = h,
+            payload = Codecs.encodeAvi(w, h, v.usPerFrame, v.frames))
         } else {
           val scale = math.max(1, m.payload.length / math.max(1, (w * h) / 64))
           val resized = m.payload.grouped(scale).map(_.head).toArray // ??? real resample
@@ -193,18 +215,30 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame every `everyMs` — the
-    * row-explosion shape (flatMap) a video pipeline needs; frame payload
-    * is a stub slice.
+    * row-explosion shape (flatMap) a video pipeline needs. AVI payloads
+    * go through the REAL container walk ([[Codecs.decodeAvi]] — one
+    * decode per row, then each sample time picks the nearest EARLIER
+    * container frame, exact when `everyMs` is a multiple of the
+    * [[FramePeriodMs]] cadence); other video formats keep the declared
+    * byte-slice stub.
     */
   def sampleFrames(media: Dataset[Media], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val n = math.max(1, (m.duration_ms / everyMs).toInt)
-      (0 until n).iterator.map { i =>
-        val t = i * everyMs
-        val off = (t % math.max(1, m.payload.length - 16)).toInt
-        Frame(m.media_id, i, t, m.payload.slice(off, off + 16)) // ??? real frame decode
-      }
+      if (m.format == "avi") {
+        val v = Codecs.decodeAvi(m.payload)
+        (0 until n).iterator.map { i =>
+          val t = i * everyMs
+          val idx = math.min((t / FramePeriodMs).toInt, v.frames.length - 1)
+          Frame(m.media_id, i, t, v.frames(idx))
+        }
+      } else
+        (0 until n).iterator.map { i =>
+          val t = i * everyMs
+          val off = (t % math.max(1, m.payload.length - 16)).toInt
+          Frame(m.media_id, i, t, m.payload.slice(off, off + 16)) // ??? real frame decode
+        }
     }
   }
 
@@ -228,7 +262,7 @@ object Multimodal {
     graft.Tables.documents(spark, dir).select(
       id.as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")), kindIdx).as("kind"),
-      element_at(typedLit(Seq("pgm", "wav", "mp4")), kindIdx).as("format"),
+      element_at(typedLit(Seq("pgm", "wav", "avi")), kindIdx).as("format"),
       when(kindIdx === 2, lit(0))
         .otherwise((lit(64L) + pmod(id, lit(4L)) * 32L).cast("int")).as("width"),
       when(kindIdx === 2, lit(0))

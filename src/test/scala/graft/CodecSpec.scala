@@ -136,6 +136,52 @@ class CodecSpec extends SparkSpec {
     assert(feats.head.embedding.toSeq === samples.map(b => ((b & 0xff) / 256.0f)).toSeq)
   }
 
+  test("encodeAvi/decodeAvi round-trips dims, cadence, and frames exactly") {
+    val frames = Seq.tabulate(5)(i => Array.tabulate(16)(j => (i * 16 + j).toByte))
+    val v = Codecs.decodeAvi(Codecs.encodeAvi(128, 96, 250000, frames))
+    assert(v.width === 128 && v.height === 96 && v.usPerFrame === 250000)
+    assert(v.frames.length === 5)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+    // odd-length frames exercise the RIFF pad-byte rule
+    val odd = Seq(Array.tabulate(15)(_.toByte), Array.tabulate(15)(i => (i + 7).toByte))
+    val v2 = Codecs.decodeAvi(Codecs.encodeAvi(64, 64, 40000, odd))
+    assert(v2.frames.map(_.toSeq) === odd.map(_.toSeq))
+  }
+
+  test("malformed AVI containers are refused loudly") {
+    val good = Codecs.encodeAvi(64, 64, 250000, Seq(Array.tabulate(16)(_.toByte)))
+    intercept[IllegalArgumentException](Codecs.decodeAvi("RIFX".getBytes ++ good.drop(4)))
+    intercept[IllegalArgumentException](Codecs.decodeAvi(good.take(8) ++ "WAVE".getBytes ++ good.drop(12)))
+    intercept[IllegalArgumentException](Codecs.decodeAvi(good.dropRight(4))) // truncated movi
+    // a frame-count lie between avih and movi must be caught, not
+    // silently served
+    val lying = good.clone()
+    // avih body starts at 12 (RIFF hdr) + 12 (LIST hdrl) + 8 (avih hdr);
+    // dwTotalFrames is at body+16
+    val tfOff = 12 + 12 + 8 + 16
+    lying(tfOff) = 9
+    intercept[IllegalArgumentException](Codecs.decodeAvi(lying))
+  }
+
+  test("corpus video payloads are genuine AVI containers whose frames are the oracle slices") {
+    Multimodal.corpus(spark, Sf).filter(_.kind == "video").limit(5).collect()
+      .foreach { m =>
+        val v = Codecs.decodeAvi(m.payload) // throws if not a real container
+        assert(v.width === m.width && v.height === m.height)
+        assert(v.usPerFrame === Multimodal.FramePeriodMs * 1000)
+        val stub = Multimodal.stubPayload(m.media_id)
+        assert(v.frames.length ===
+          math.max(1L, m.duration_ms / Multimodal.FramePeriodMs).toInt)
+        v.frames.zipWithIndex.foreach { case (f, i) =>
+          val off = ((i * Multimodal.FramePeriodMs) % (stub.length - 16)).toInt
+          assert(f.toSeq === stub.slice(off, off + 16).toSeq,
+            s"frame $i of media ${m.media_id} drifted from the oracle arithmetic")
+        }
+      }
+  }
+
   test("resize of a PGM is a real resample producing a valid container at the new dims") {
     import spark.implicits._
     val px = Array.tabulate(8 * 8)(i => i.toByte)
