@@ -327,4 +327,21 @@ class QueriesSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "pct_en out of range")
     }
   }
+
+  test("audio features: container-decoded fields match the catalog arithmetic") {
+    val rows = MultimodalQueries.audioFeatures(spark, Sf).collect()
+    // one row per audio doc (id % 3 == 1)
+    val nAudio = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(3L)) === 1L).count()
+    assert(rows.length.toLong == nAudio)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16000, "sample_rate must come from the fmt chunk")
+      assert(r.getInt(2) == 256 + (id % 64).toInt,
+        "n_samples must equal the data chunk's sample count")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 255.0)
+    }
+  }
 }
