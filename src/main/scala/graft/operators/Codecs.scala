@@ -165,6 +165,10 @@ object Codecs {
     (fmt, data) match {
       case (Some((ch, rate, bits)), Some(d)) =>
         if (ch <= 0 || rate <= 0) fail(s"bad fmt: channels=$ch rate=$rate")
+        // refuse zero samples LOUDLY here: downstream featurization
+        // would otherwise divide by zero inside an executor (opaque
+        // stage failure instead of the codec family's refusal)
+        if (d.length == 0) fail("empty data chunk (zero samples)")
         if (d.length % (ch * bits / 8) != 0)
           fail(s"data length ${d.length} not a multiple of the block align")
         WavAudio(rate, ch, bits, d)

@@ -184,6 +184,10 @@ object DedupLayout {
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): DataFrame = {
     val fresh = shingled(spark, arrivals)
+    // id-authority: the shingle store is ONE ROW PER DOC (sh is an
+    // array column), so this is the smallest per-doc artifact under the
+    // root, and parquet column pruning reads just doc_id — the guard
+    // scan is a per-doc id column pass, not a per-shingle one
     val priorIds =
       if (storeExists(spark, shinglesDir(root)))
         readStore(spark, shinglesDir(root), beforeBatch = Some(batchId))

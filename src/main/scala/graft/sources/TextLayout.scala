@@ -80,9 +80,14 @@ object TextLayout {
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): Unit = {
     val fresh = exploded(spark, arrivals)
+    // the id-authority for the guard is the COUNT-PARTIALS prefix, not
+    // the raw log: same doc_id set (the two stores are written together
+    // per batch), fewer rows by the within-doc repetition factor —
+    // the per-batch guard scan should ride the smaller artifact
+    // (round-8 review)
     val priorIds =
-      if (storeExists(spark, tokensDir(root)))
-        spark.read.parquet(tokensDir(root))
+      if (storeExists(spark, countsDir(root)))
+        spark.read.parquet(countsDir(root))
           .filter(col(BatchCol) < batchId)
           .select(col("doc_id")).distinct()
       else fresh.limit(0).select(col("doc_id"))

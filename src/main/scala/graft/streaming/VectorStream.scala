@@ -106,18 +106,34 @@ object VectorStream {
     val dir = new org.apache.hadoop.fs.Path(outDir.stripSuffix("/") + "__watermarks")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir, s"wm-$batchId")
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val lines = txt.trim.split("\n")
-      (lines(0), lines(1).toLong)
-    } else {
+    // a crash can leave an empty/truncated record (round-8 review):
+    // validate on read, and treat a malformed record as absent — it is
+    // deleted and re-pinned, never parsed into an exception that bricks
+    // every subsequent retry of the batch
+    def parse(): Option[(String, Long)] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val lines = txt.trim.split("\n")
+        if (lines.length == 2 && lines(1).matches("-?\\d+"))
+          Some((lines(0), lines(1).toLong))
+        else { fs.delete(p, false); None }
+      }
+    parse().getOrElse {
       val resolved = VectorLayout.resolve(spark, layoutDir)
       val wm = VectorLayout.maxBatchId(spark, resolved)
-      val out = fs.create(p, false)
+      // write-temp-then-rename: the record appears complete or not at
+      // all; a concurrent first attempt's rename simply replaces (file
+      // renames don't nest), and BOTH writers re-read the published
+      // record so they agree
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"wm-$batchId.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
       try out.write(s"$resolved\n$wm".getBytes("UTF-8")) finally out.close()
-      (resolved, wm)
+      if (!fs.rename(tmp, p) && fs.exists(tmp)) fs.delete(tmp, false)
+      parse().getOrElse((resolved, wm))
     }
   }
 

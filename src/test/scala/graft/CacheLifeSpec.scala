@@ -125,6 +125,19 @@ class CacheLifeSpec extends SparkSpec {
     assert(names.count(_ == CacheLife.encodeKey(key)) === 1)
     assert(!names.exists(_.contains(".build-")),
       s"the losing builder must discard its temp dir: $names")
+    // round-8 review (verified): Hadoop rename onto an existing dir NESTS
+    // the source inside it instead of failing — the loser's complete
+    // parquet output buried inside the winner's store corrupts any fresh
+    // listing ("conflicting directory structures"). The sweep must leave
+    // the store dir clean and freshly readable.
+    val storeDir = new java.io.File(root, CacheLife.encodeKey(key))
+    val inside = storeDir.listFiles().map(_.getName).toSeq
+    assert(!inside.exists(_.contains(".build-")),
+      s"the loser's temp must not end up NESTED inside the store: $inside")
+    val s2 = spark.newSession()
+    s2.conf.set(CacheLife.RootKey, root)
+    assert(s2.read.parquet(storeDir.toString).count() === 3,
+      "a fresh session must read the published store cleanly")
     CacheLife.release(spark)
   }
 }

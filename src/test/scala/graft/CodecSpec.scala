@@ -108,6 +108,10 @@ class CodecSpec extends SparkSpec {
     val nonPcm = good.clone(); nonPcm(20) = 3 // format code 3 = IEEE float
     intercept[IllegalArgumentException](Codecs.decodeWav(nonPcm))
     intercept[IllegalArgumentException](Codecs.decodeWav(good.take(36))) // no data chunk
+    // zero samples: refused at decode, never a divide-by-zero in an
+    // executor's featurize loop
+    intercept[IllegalArgumentException](
+      Codecs.decodeWav(Codecs.encodeWav(16000, 1, 8, Array.empty[Byte])))
   }
 
   test("corpus audio payloads are genuine WAV containers whose samples are the oracle arithmetic") {

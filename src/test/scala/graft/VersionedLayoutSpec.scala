@@ -69,6 +69,19 @@ class VersionedLayoutSpec extends SparkSpec {
     // grown corpus, so the report goes quiet until growth skews again
     assert(!VectorLayout.occupancyDrift(spark, root).head.getAs[Boolean]("retrain"),
       "post-swap drift must be quiet against the fresh baseline")
+
+    // stray siblings beside the markers (editor temps, backups) must be
+    // IGNORED by pointer resolution, not throw on every read path
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_CURRENT_v2.bak").toPath, "junk")
+    assert(VectorLayout.currentVersion(spark, root) === Some(2))
+    assert(rows(VectorLayout.probeQuerySet(spark, Sf, root, qvs)) === postSwap)
+
+    // no stage leftovers: the builder-private staging dirs were renamed
+    // away or swept
+    val names = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(!names.exists(n => n.startsWith(".retrain-") || n.startsWith(".mat-")),
+      s"staging dirs must not survive publication: $names")
     CacheLife.release(spark)
   }
 }
