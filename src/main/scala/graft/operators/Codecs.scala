@@ -214,10 +214,21 @@ object Codecs {
     val strf = u32le(frames.map(_.length).max.toLong) // codec-defined
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      frames.iterator.map(f => chunk("00db", f)).reduce(_ ++ _))
-    fourcc("RIFF") ++ u32le(4L + hdrl.length + movi.length) ++
-      fourcc("AVI ") ++ hdrl ++ movi
+    // the movi body is written ONCE into a pre-sized buffer: per-chunk
+    // array concatenation would copy the prefix per frame — quadratic in
+    // container size, and video durations grow with doc_id (caught by
+    // the bench delta table: 6x on multi_frames at sf0.1)
+    val moviBody = frames.iterator.map(f => 8 + f.length + (f.length % 2)).sum
+    val bos = new java.io.ByteArrayOutputStream(20 + hdrl.length + 12 + moviBody)
+    def put(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    put(fourcc("RIFF")); put(u32le(4L + hdrl.length + 12L + moviBody))
+    put(fourcc("AVI ")); put(hdrl)
+    put(fourcc("LIST")); put(u32le(4L + moviBody)); put(fourcc("movi"))
+    frames.foreach { f =>
+      put(fourcc("00db")); put(u32le(f.length)); put(f)
+      if (f.length % 2 == 1) bos.write(0)
+    }
+    bos.toByteArray
   }
 
   def decodeAvi(bytes: Array[Byte]): AviVideo = {

@@ -82,7 +82,13 @@ object Multimodal {
     val kind = Seq("image", "audio", "video")((id % 3).toInt)
     val w = if (kind == "audio") 0 else 64 + (id % 4).toInt * 32
     val h = if (kind == "audio") 0 else 64 + (id % 3).toInt * 32
-    val duration = if (kind == "image") 0L else 1000L + id * 40L
+    // duration is BOUNDED (id mod 500): an unbounded id-proportional
+    // duration made every video container grow with its row number, so
+    // total multimodal bytes grew QUADRATICALLY with corpus size — a
+    // superlinear bench curve with no modeling value (round-8 bench
+    // catch). ids < 500 (sf0.001/sf0.01) are unchanged, so the
+    // correctness artifacts are byte-identical.
+    val duration = if (kind == "image") 0L else 1000L + (id % 500) * 40L
     Media(id, kind,
       format = Seq("pgm", "wav", "avi")((id % 3).toInt),
       width = w, height = h,
@@ -269,6 +275,6 @@ object Multimodal {
         .otherwise((lit(64L) + pmod(id, lit(3L)) * 32L).cast("int")).as("height"),
       when(kindIdx === 2, lit(16000)).otherwise(lit(0)).as("sample_rate"),
       when(kindIdx === 1, lit(0L))
-        .otherwise(lit(1000L) + id * 40L).as("duration_ms"))
+        .otherwise(lit(1000L) + pmod(id, lit(500L)) * 40L).as("duration_ms"))
   }
 }

@@ -111,7 +111,7 @@ object MultimodalQueries {
       | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       | CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 4) * 32 END AS width,
       | CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 3) * 32 END AS height,
-      | CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + doc_id * 40 END AS duration_ms,
+      | CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + (doc_id % 500) * 40 END AS duration_ms,
       | 256 + doc_id % 64 AS plen
       | FROM documents)""".stripMargin.replace("\n", " ")
 
