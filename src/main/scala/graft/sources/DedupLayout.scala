@@ -61,8 +61,8 @@ object DedupLayout {
     * [[graft.streaming.CandleStream]] warehouse idiom applied to the
     * index. The base build owns batch -1.
     */
-  private val BatchCol = "__batch_id"
-  private val BaseBatch = -1L
+  private val BatchCol = LogCompaction.BatchCol
+  private val BaseBatch = LogCompaction.BaseBatch
 
   /** Second partition level of the edge store: `pmod(hash(src), N)`.
     * A warm [[refreshLabels]] collects the bucket ids of the affected
@@ -183,6 +183,10 @@ object DedupLayout {
     */
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): DataFrame = {
+    // compaction finalizes the log below its watermark: a batch id at or
+    // below it has no per-batch partition left to rewrite idempotently
+    LogCompaction.guardAppend(LogCompaction.marker(spark, root), batchId,
+      "DedupLayout.append")
     val fresh = shingled(spark, arrivals)
     // id-authority: the shingle store is ONE ROW PER DOC (sh is an
     // array column), so this is the smallest per-doc artifact under the
@@ -259,7 +263,8 @@ object DedupLayout {
     */
   private[graft] def edgesView(spark: SparkSession, root: String,
                                buckets: Option[Seq[Int]]): DataFrame = {
-    val t = spark.read.parquet(edgesDir(root))
+    val t = LogCompaction.view(spark.read.parquet(edgesDir(root)),
+      LogCompaction.marker(spark, root))
     buckets.fold(t)(bs => t.filter(col("src_bucket").isin(bs: _*)))
       .drop(BatchCol, "src_bucket")
   }
@@ -286,8 +291,10 @@ object DedupLayout {
     */
   def refreshLabels(spark: SparkSession, root: String): Unit = {
     if (!storeExists(spark, pairsDir(root))) return // empty root: nothing to label
-    val maxBatch = spark.read.parquet(pairsDir(root))
-      .agg(max(col(BatchCol).cast("long"))).head.getLong(0)
+    // partition LISTING, not a Spark job — and marker-aware: a fully
+    // folded store reports the compaction watermark, never a generation id
+    val maxBatch = LogCompaction.effectiveMaxBatch(spark, pairsDir(root),
+      LogCompaction.marker(spark, root)).getOrElse(BaseBatch)
     if (!storeExists(spark, labelsMetaDir(root))) {
       coldLabels(spark, root, coveredBatch = maxBatch)
       return
@@ -311,6 +318,62 @@ object DedupLayout {
       coveredBatch = maxBatch, root)
   }
 
+  /** Fold the finalized log prefix into one generation partition per
+    * store — the [[LogCompaction]] protocol over all four
+    * batch-partitioned stores (shingles, bands, pairs, edges; labels
+    * are a plain overwrite store and need no folding). A long-lived
+    * [[graft.streaming.DedupStream]] ingest accretes one partition per
+    * micro-batch per store; compaction restores big-file scans while
+    * keeping every read entry — including [[append]]'s prefix mining
+    * and [[refreshLabels]]'s bucket-pruned edge scan — byte-equivalent
+    * (LogCompactionSpec proves pairs/labels/future-appends identical).
+    *
+    * Labels are refreshed FIRST so their covered watermark reaches the
+    * fold: [[refreshLabels]] reads pair batches `> covered`, and a pair
+    * folded while uncovered would vanish from that delta. Flat stores
+    * fold with a shuffle-free coalesce; the edge store re-buckets by
+    * `src_bucket` (one file per bucket dir — the shape its pruned reads
+    * want). Returns the new watermark. Bound `upToBatch` below the live
+    * tail to compact under a running ingest; the default folds
+    * everything and assumes quiescence (see [[LogCompaction]]).
+    */
+  def compact(spark: SparkSession, root: String,
+              upToBatch: Option[Long] = None): Long = {
+    refreshLabels(spark, root)
+    val mk = LogCompaction.marker(spark, root)
+    // bands are written LAST per batch: a batch present in the band
+    // store is fully present in all four
+    val maxB = LogCompaction.effectiveMaxBatch(spark, bandsDir(root), mk)
+      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
+    val w = upToBatch.fold(maxB)(math.min(_, maxB))
+    val stores = Seq[(String, Seq[String], DataFrame => DataFrame)](
+      (shinglesDir(root), Seq(BatchCol), df => df.coalesce(
+        spark.sessionState.conf.numShufflePartitions)),
+      (bandsDir(root), Seq(BatchCol), df => df.coalesce(
+        spark.sessionState.conf.numShufflePartitions)),
+      (pairsDir(root), Seq(BatchCol), df => df.coalesce(
+        spark.sessionState.conf.numShufflePartitions)),
+      (edgesDir(root), Seq(BatchCol, "src_bucket"),
+        df => df.repartition(col("src_bucket"))))
+    if (mk.exists(_.watermark >= w)) {
+      // nothing new to fold — but finish a crashed predecessor's sweep
+      stores.foreach { case (dir, _, _) => LogCompaction.sweep(spark, dir,
+        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark) }
+      return mk.get.watermark
+    }
+    val gen = mk.map(_.gen).getOrElse(0) + 1
+    stores.foreach { case (dir, parts, distribute) =>
+      if (storeExists(spark, dir))
+        LogCompaction.foldStore(spark, dir,
+          LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
+          gen, parts, distribute)
+    }
+    LogCompaction.publish(spark, root, gen, w)
+    stores.foreach { case (dir, _, _) => LogCompaction.sweep(spark, dir,
+      keep = LogCompaction.compactedId(gen), w = w) }
+    w
+  }
+
   def labels(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(labelsDir(root))
 
@@ -322,9 +385,17 @@ object DedupLayout {
   private def readStore(spark: SparkSession, dir: String,
                         beforeBatch: Option[Long],
                         afterBatch: Option[Long] = None): DataFrame = {
-    val t = spark.read.parquet(dir)
+    // root = the store's parent dir (all five stores share one marker)
+    val root = dir.substring(0, dir.lastIndexOf('/'))
+    val t = LogCompaction.view(spark.read.parquet(dir),
+      LogCompaction.marker(spark, root))
     // batch filters ride the partition column: metadata pruning, the
-    // excluded partitions' files are never listed into the scan
+    // excluded partitions' files are never listed into the scan. They
+    // compose with the compaction view literally: the folded partition's
+    // id sits below every real batch, so a prefix read `< b` (b is past
+    // the watermark — guardAppend) includes the fold, and a delta read
+    // `> covered` (covered ≥ watermark — compact refreshes labels first)
+    // excludes it.
     val lo = afterBatch.fold(t)(b => t.filter(col(BatchCol) > b))
     beforeBatch.fold(lo)(b => lo.filter(col(BatchCol) < b)).drop(BatchCol)
   }

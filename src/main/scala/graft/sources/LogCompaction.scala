@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction protocol for the batch-partitioned store logs
+  * ([[DedupLayout]], [[TextLayout]], [[VectorLayout]]).
+  *
+  * THE PROBLEM AT SCALE: each streaming micro-batch owns a
+  * `__batch_id=<id>` partition — the idempotence device that makes
+  * at-least-once delivery exactly-once on disk — so a long-lived ingest
+  * accretes one directory (and its files) per batch forever. At 100 TB
+  * with minute-cadence micro-batches that is ~half a million partitions
+  * per store per year: listing dominates planning, the scan degenerates
+  * into small-file reads, and the metadata store (NN / object-store
+  * LIST) becomes the bottleneck. Compaction folds the finalized prefix
+  * of the log back into ONE generation partition, restoring big-file
+  * scans while appends keep landing in fresh per-batch partitions.
+  *
+  * THE PROTOCOL (crash-safe without a transaction log):
+  *
+  *   1. FOLD — read the store's current view restricted to batches
+  *      `<= W` (the compaction watermark), stage it as a plain parquet
+  *      copy under a dot-prefixed dir (invisible to partition listing;
+  *      reading the live dir while writing a DIFFERENT path needs no
+  *      lineage-severing checkpoint of the whole prefix), then
+  *      dynamic-overwrite it into the live store as the single
+  *      partition `__batch_id = -1-gen`. Generation ids live BELOW the
+  *      base batch (-1), a range no real batch ever uses.
+  *   2. PUBLISH — create the append-only marker file
+  *      `_compaction/gen-<g>-wm-<W>` (the `_CURRENT_v<N>` idiom: an
+  *      atomic create, never delete+rename). Every reader resolves the
+  *      highest generation and filters
+  *      `__batch_id = -1-g OR __batch_id > W` — folded history plus the
+  *      live tail. An UNPUBLISHED fold is invisible: with no marker the
+  *      view keeps `__batch_id >= -1` (real batches only), with an older
+  *      marker the new generation id matches neither disjunct. A crash
+  *      anywhere before step 2 therefore leaves readers on the exact
+  *      pre-compaction view — no window double-counts.
+  *   3. SWEEP — delete the now-shadowed partitions (real batches
+  *      `<= W`, prior generations) and any crashed runs' stage dirs.
+  *      A crash before the sweep costs storage, never correctness: the
+  *      stale dirs sit outside every reader's filter, and the next
+  *      compaction (or its early-exit resweep) removes them.
+  *
+  * THE CONTRACT compaction buys its file-count win with: batches at or
+  * below the watermark are FINALIZED. An append or wiped-checkpoint
+  * replay with `batchId <= W` refuses loudly (each layout's guard) —
+  * the per-batch rewrite target it would need has been folded away. Run
+  * compaction only past the ingest checkpoint's committed watermark
+  * (quiescent, or `upToBatch`-bounded below the live tail), exactly the
+  * discipline every log-structured table format demands of its
+  * compactor. Single-compactor-per-root, like `StoreBuild`.
+  */
+object LogCompaction {
+
+  private[sources] val BatchCol = "__batch_id"
+  private[sources] val BaseBatch = -1L
+
+  /** The folded partition id of generation `gen` (1-based): strictly
+    * below [[BaseBatch]], so generation partitions and real batches can
+    * never collide and a plain `>= -1` filter hides every generation.
+    */
+  def compactedId(gen: Int): Long = -1L - gen
+
+  final case class Marker(gen: Int, watermark: Long)
+
+  private def markerDir(root: String) = root.stripSuffix("/") + "/_compaction"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // watermarks can be -1 (a base-only fold); file names encode the sign
+  // as a leading 'm' — marker names must stay create-once immutable, so
+  // the value rides the name, not writable content
+  private def encodeW(w: Long): String = if (w < 0) s"m${-w}" else w.toString
+  private val MarkerRe = "^gen-([0-9]+)-wm-(m?)([0-9]+)$".r
+
+  /** The highest published compaction generation of a store root, or
+    * None if never compacted. Non-matching siblings are ignored, never
+    * a parse crash (the `_CURRENT_v` digits-guard lesson).
+    */
+  def marker(spark: SparkSession, root: String): Option[Marker] = {
+    val md = new Path(markerDir(root))
+    val f = fs(spark, root)
+    if (!f.exists(md)) None
+    else f.listStatus(md).iterator
+      .map(_.getPath.getName)
+      .collect { case MarkerRe(g, sign, w) =>
+        Marker(g.toInt, (if (sign == "m") -1 else 1) * w.toLong) }
+      .maxByOption(_.gen)
+  }
+
+  /** Publish generation `gen` covering batches `<= w`: one atomic
+    * file-create, idempotent on retry.
+    */
+  def publish(spark: SparkSession, root: String, gen: Int, w: Long): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(markerDir(root)))
+    val m = new Path(markerDir(root), s"gen-$gen-wm-${encodeW(w)}")
+    if (!f.exists(m)) f.create(m, false).close()
+  }
+
+  /** The reader's view of a batch-partitioned store: the published
+    * generation's folded partition plus the live tail — and NEVER an
+    * unpublished fold. Both shapes are partition-column predicates, so
+    * shadowed directories are metadata-pruned, not row-filtered.
+    */
+  def view(df: DataFrame, m: Option[Marker]): DataFrame = m match {
+    case None => df.filter(col(BatchCol) >= BaseBatch)
+    case Some(mk) => df.filter(col(BatchCol) === compactedId(mk.gen) ||
+      col(BatchCol) > mk.watermark)
+  }
+
+  /** The rows a new fold covers: the prior generation (already-folded
+    * history) plus real batches in `(priorW, w]`.
+    */
+  def foldable(df: DataFrame, m: Option[Marker], w: Long): DataFrame =
+    view(df, m).filter(col(BatchCol) <= w || col(BatchCol) < BaseBatch)
+
+  /** Fold `rows` (the [[foldable]] set, batch column dropped) into the
+    * generation partition of `dir`. `partitionCols` is the store's FULL
+    * partition spec in directory order ([[VectorLayout]] keeps `cell`
+    * first so probes still prune on level one); `distribute` shapes the
+    * file count (coalesce for flat stores — compaction must not shuffle
+    * unless it re-buckets; repartition-by-key for bucketed ones, one
+    * file per bucket dir). Invisible until [[publish]].
+    */
+  def foldStore(spark: SparkSession, dir: String, rows: DataFrame, gen: Int,
+                partitionCols: Seq[String],
+                distribute: DataFrame => DataFrame): Unit = {
+    val stage = dir.stripSuffix("/") + "/.compact-" +
+      java.util.UUID.randomUUID().toString
+    try {
+      rows.write.mode("overwrite").parquet(stage)
+      distribute(spark.read.parquet(stage))
+        .withColumn(BatchCol, lit(compactedId(gen)))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(dir)
+    } finally {
+      fs(spark, dir).delete(new Path(stage), true)
+    }
+  }
+
+  /** The store's effective max batch — real partition ids from a
+    * LISTING (no Spark job; generation partitions don't count) joined
+    * with the published watermark, so a fully-folded store still
+    * reports `W`, never a generation id. `nested` descends one
+    * partition level first ([[VectorLayout]]'s `cell=`/`__batch_id=`).
+    */
+  def effectiveMaxBatch(spark: SparkSession, dir: String, m: Option[Marker],
+                        nested: Boolean = false): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    val real: Seq[Long] =
+      if (!f.exists(p)) Nil
+      else {
+        def ids(d: Path): Iterator[Long] = f.listStatus(d).iterator
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith(BatchCol + "=") =>
+            n.drop(BatchCol.length + 1) }
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+        val it =
+          if (nested) f.listStatus(p).iterator
+            .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+              !s.getPath.getName.startsWith(BatchCol))
+            .flatMap(s => ids(s.getPath))
+          else ids(p)
+        it.filter(_ >= BaseBatch).toSeq
+      }
+    (real ++ m.map(_.watermark)).maxOption
+  }
+
+  /** Delete everything generation `keep` shadows: real batches `<= w`,
+    * prior generations, crashed runs' stage dirs. Pure storage
+    * reclamation — every deleted path is already outside the published
+    * view.
+    */
+  def sweep(spark: SparkSession, dir: String, keep: Long, w: Long,
+            nested: Boolean = false): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return
+    def sweepIn(d: Path): Unit = f.listStatus(d).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(BatchCol + "="))
+        scala.util.Try(n.drop(BatchCol.length + 1).toLong).toOption
+          .foreach(v => if (v != keep && (v <= w || v < BaseBatch))
+            f.delete(s.getPath, true))
+    }
+    f.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".compact-")) f.delete(s.getPath, true)
+      else if (nested && s.isDirectory && n.contains("=") &&
+        !n.startsWith(BatchCol)) sweepIn(s.getPath)
+    }
+    if (!nested) sweepIn(p)
+  }
+
+  /** The append-side guard every layout shares: a batch at or below the
+    * compaction watermark has no per-batch partition left to rewrite —
+    * refuse loudly instead of silently splitting rows between the
+    * folded history and an invisible new partition.
+    */
+  def guardAppend(m: Option[Marker], batchId: Long, who: String): Unit =
+    m.filter(batchId <= _.watermark).foreach { mk =>
+      throw new IllegalStateException(
+        s"$who(batch $batchId): the log is compacted through batch " +
+          s"${mk.watermark} — batches at or below the watermark are " +
+          "finalized; replays below it are impossible after compaction. " +
+          s"Use a batch id > ${mk.watermark} (and compact only past the " +
+          "ingest checkpoint's committed watermark).")
+    }
+}

@@ -41,8 +41,8 @@ import graft.functions.{TextFunctions => T}
   */
 object TextLayout {
 
-  private val BatchCol = "__batch_id"
-  private val BaseBatch = -1L
+  private val BatchCol = LogCompaction.BatchCol
+  private val BaseBatch = LogCompaction.BaseBatch
 
   private def tokensDir(root: String) = root.stripSuffix("/") + "/tokens"
   private def countsDir(root: String) = root.stripSuffix("/") + "/token_counts"
@@ -79,6 +79,8 @@ object TextLayout {
     */
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): Unit = {
+    val mk = LogCompaction.marker(spark, root)
+    LogCompaction.guardAppend(mk, batchId, "TextLayout.append")
     val fresh = exploded(spark, arrivals)
     // the id-authority for the guard is the COUNT-PARTIALS prefix, not
     // the raw log: same doc_id set (the two stores are written together
@@ -87,7 +89,7 @@ object TextLayout {
     // (round-8 review)
     val priorIds =
       if (storeExists(spark, countsDir(root)))
-        spark.read.parquet(countsDir(root))
+        LogCompaction.view(spark.read.parquet(countsDir(root)), mk)
           .filter(col(BatchCol) < batchId)
           .select(col("doc_id")).distinct()
       else fresh.limit(0).select(col("doc_id"))
@@ -117,14 +119,53 @@ object TextLayout {
       .parquet(countsDir(root))
   }
 
+  /** Fold both logs' finalized prefix into one generation partition —
+    * the [[LogCompaction]] protocol (see [[DedupLayout.compact]]; the
+    * token store is the simplest instance: two flat stores, no
+    * downstream watermark to order against). All derived views — raw
+    * log, partials, [[vocab]], [[termFreq]] — are batch-order-invariant
+    * aggregates, so folding changes bytes on disk and nothing above
+    * them (LogCompactionSpec). Returns the new watermark.
+    */
+  def compact(spark: SparkSession, root: String,
+              upToBatch: Option[Long] = None): Long = {
+    val mk = LogCompaction.marker(spark, root)
+    // counts are written LAST per batch: a batch present there is fully
+    // present in both logs
+    val maxB = LogCompaction.effectiveMaxBatch(spark, countsDir(root), mk)
+      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
+    val w = upToBatch.fold(maxB)(math.min(_, maxB))
+    val flat = (df: DataFrame) =>
+      df.coalesce(spark.sessionState.conf.numShufflePartitions)
+    val stores = Seq(tokensDir(root), countsDir(root))
+    if (mk.exists(_.watermark >= w)) {
+      stores.foreach(LogCompaction.sweep(spark, _,
+        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark))
+      return mk.get.watermark
+    }
+    val gen = mk.map(_.gen).getOrElse(0) + 1
+    stores.foreach { dir =>
+      if (storeExists(spark, dir))
+        LogCompaction.foldStore(spark, dir,
+          LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
+          gen, Seq(BatchCol), flat)
+    }
+    LogCompaction.publish(spark, root, gen, w)
+    stores.foreach(LogCompaction.sweep(spark, _,
+      keep = LogCompaction.compactedId(gen), w = w))
+    w
+  }
+
   def tokens(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(tokensDir(root)).drop(BatchCol)
+    LogCompaction.view(spark.read.parquet(tokensDir(root)),
+      LogCompaction.marker(spark, root)).drop(BatchCol)
 
   /** The per-doc (doc_id, token, tf) count partials across all batches —
     * globally correct because each doc lives in exactly one batch.
     */
   def tokenCounts(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(countsDir(root)).drop(BatchCol)
+    LogCompaction.view(spark.read.parquet(countsDir(root)),
+      LogCompaction.marker(spark, root)).drop(BatchCol)
 
   /** The top-100 vocabulary re-derived from the COUNT PARTIALS — the
     * SAME cutoff/tie-break code as the registered `text_token_freq`

@@ -59,8 +59,8 @@ object VectorLayout {
     * layout state, so a recomputed batch is always identical). The
     * base build owns batch -1.
     */
-  private val BatchCol = "__batch_id"
-  private val BaseBatch = -1L
+  private val BatchCol = LogCompaction.BatchCol
+  private val BaseBatch = LogCompaction.BaseBatch
 
   // ---- Versioned lifecycle ----------------------------------------
 
@@ -253,6 +253,49 @@ object VectorLayout {
     next
   }
 
+  /** Fold the layout's finalized batch history into one generation
+    * partition PER CELL — the [[LogCompaction]] protocol with `cell`
+    * kept as the FIRST directory level, so probe pruning lists exactly
+    * the same `cell=` dirs before and after while each cell collapses
+    * from one subdirectory per ingested micro-batch to one. This is the
+    * layout's small-files lever: a year of minute-cadence
+    * [[graft.streaming.VectorStream.ingestSink]] batches is ~500k
+    * `__batch_id=` subdirs per hot cell's listing path; folding
+    * restores the one-big-file-per-cell shape [[materialize]] writes.
+    *
+    * The marker lives INSIDE the resolved version dir (underscore
+    * path, invisible to the scan) — each version compacts
+    * independently, and [[retrainAndSwap]]'s fresh version starts
+    * uncompacted. Streaming probes that pinned a batch watermark below
+    * the fold can no longer replay ([[vectors]] refuses loudly);
+    * compact only past every pin a replayer may still hold. Returns
+    * the new watermark.
+    */
+  def compact(spark: SparkSession, outDir: String,
+              upToBatch: Option[Long] = None): Long = {
+    val dir = resolve(spark, outDir)
+    val mk = LogCompaction.marker(spark, dir)
+    val maxB = LogCompaction.effectiveMaxBatch(spark, dir, mk, nested = true)
+      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
+    val w = upToBatch.fold(maxB)(math.min(_, maxB))
+    if (mk.exists(_.watermark >= w)) {
+      LogCompaction.sweep(spark, dir,
+        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark,
+        nested = true)
+      return mk.get.watermark
+    }
+    val gen = mk.map(_.gen).getOrElse(0) + 1
+    LogCompaction.foldStore(spark, dir,
+      LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
+      gen, Seq("cell", BatchCol),
+      // one shuffle keyed like writeLayout's: one file per cell dir
+      _.repartition(col("cell")))
+    LogCompaction.publish(spark, dir, gen, w)
+    LogCompaction.sweep(spark, dir, keep = LogCompaction.compactedId(gen),
+      w = w, nested = true)
+    w
+  }
+
   /** Append arriving `(vec_id, embedding)` rows into their TRAINED
     * cells' partitions — the grow-the-index path. Writes only the
     * touched `cell=`/`__batch_id=` directories; re-running a batch id
@@ -264,6 +307,8 @@ object VectorLayout {
   def append(spark: SparkSession, sfDir: String, outDir: String,
              arrivals: DataFrame, batchId: Long): Unit = {
     val dir = resolve(spark, outDir)
+    LogCompaction.guardAppend(LogCompaction.marker(spark, dir), batchId,
+      "VectorLayout.append")
     SimilarityQueries
       .assignVectorsWith(centroidsFor(spark, sfDir, dir),
         arrivals.select(col("vec_id"), col("embedding")))
@@ -286,16 +331,36 @@ object VectorLayout {
     */
   def vectors(spark: SparkSession, outDir: String,
               upToBatch: Option[Long] = None): DataFrame = {
-    val t = spark.read.parquet(resolve(spark, outDir))
+    val dir = resolve(spark, outDir)
+    val mk = LogCompaction.marker(spark, dir)
+    upToBatch.foreach { w =>
+      mk.filter(w < _.watermark).foreach { m =>
+        // the folded generation cannot be re-sliced below its watermark:
+        // a pin recorded before compaction is honestly unserveable — fail
+        // loudly rather than return a silently-different snapshot
+        throw new IllegalStateException(
+          s"VectorLayout: batch watermark $w predates the compaction " +
+            s"watermark ${m.watermark} of $dir — compaction trades " +
+            "sub-watermark replay for file count; compact only past every " +
+            "snapshot a replayer may still pin")
+      }
+    }
+    val t = LogCompaction.view(spark.read.parquet(dir), mk)
+    // the generation partition's id sits below every real batch, so the
+    // literal `<= w` keeps it (its content is `<= watermark <= w`)
     upToBatch.fold(t)(w => t.filter(col(BatchCol) <= w)).drop(BatchCol)
   }
 
   /** The highest batch id present in the layout — the watermark a
-    * streaming probe records at its first attempt.
+    * streaming probe records at its first attempt. A partition LISTING
+    * (no Spark job); on a fully-folded layout this is the compaction
+    * watermark, never a generation id.
     */
-  def maxBatchId(spark: SparkSession, outDir: String): Long =
-    spark.read.parquet(resolve(spark, outDir))
-      .agg(max(col(BatchCol).cast("long"))).head.getLong(0)
+  def maxBatchId(spark: SparkSession, outDir: String): Long = {
+    val dir = resolve(spark, outDir)
+    LogCompaction.effectiveMaxBatch(spark, dir,
+      LogCompaction.marker(spark, dir), nested = true).getOrElse(BaseBatch)
+  }
 
   private def histPath(outDir: String): String =
     outDir.stripSuffix("/") + "/_trained_hist"
@@ -314,7 +379,8 @@ object VectorLayout {
     */
   def occupancyDrift(spark: SparkSession, outDir: String): DataFrame = {
     val dir = resolve(spark, outDir)
-    val now = spark.read.parquet(dir).drop(BatchCol)
+    val now = LogCompaction.view(spark.read.parquet(dir),
+      LogCompaction.marker(spark, dir)).drop(BatchCol)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_now"))
     val base = spark.read.parquet(histPath(dir))
