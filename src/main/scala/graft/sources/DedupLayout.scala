@@ -113,6 +113,10 @@ object DedupLayout {
     * converged cluster labels.
     */
   def materialize(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    // a fresh rebuild writes real base batches: a surviving compaction
+    // marker from the root's previous life would filter them out (and
+    // the next compact's resweep would DELETE them) — wipe it first
+    LogCompaction.reset(spark, root)
     writeBase(shingled(spark, docs), shinglesDir(root))
     writeBase(DedupQueries.lshBandsOver(shingles(spark, root)), bandsDir(root))
     writeBase(DedupQueries.bandPairsCapped(bands(spark, root),
@@ -184,9 +188,12 @@ object DedupLayout {
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): DataFrame = {
     // compaction finalizes the log below its watermark: a batch id at or
-    // below it has no per-batch partition left to rewrite idempotently
-    LogCompaction.guardAppend(LogCompaction.marker(spark, root), batchId,
-      "DedupLayout.append")
+    // below it has no per-batch partition left to rewrite idempotently.
+    // ONE marker fetch threads through every store read below — one
+    // metadata round-trip per append, and a single coherent view even if
+    // a compactor publishes mid-append
+    val mk = LogCompaction.marker(spark, root)
+    LogCompaction.guardAppend(mk, batchId, "DedupLayout.append")
     val fresh = shingled(spark, arrivals)
     // id-authority: the shingle store is ONE ROW PER DOC (sh is an
     // array column), so this is the smallest per-doc artifact under the
@@ -194,7 +201,7 @@ object DedupLayout {
     // scan is a per-doc id column pass, not a per-shingle one
     val priorIds =
       if (storeExists(spark, shinglesDir(root)))
-        readStore(spark, shinglesDir(root), beforeBatch = Some(batchId))
+        readStore(spark, shinglesDir(root), mk, beforeBatch = Some(batchId))
           .select(col("doc_id")).distinct()
       else fresh.limit(0).select(col("doc_id"))
     val newSh = fresh
@@ -213,7 +220,7 @@ object DedupLayout {
       .localCheckpoint() // the rectangle join + store write both read it
     val existing =
       if (storeExists(spark, bandsDir(root)))
-        bands(spark, root, beforeBatch = Some(batchId))
+        readStore(spark, bandsDir(root), mk, beforeBatch = Some(batchId))
       else newBands.limit(0)
     val newPairs = newBands.as("n")
       .join(existing.unionByName(newBands).as("u"), Seq("band", "key"))
@@ -289,19 +296,29 @@ object DedupLayout {
     * never ran [[materialize]] (pure-streaming bootstrap) gets the
     * cold fixpoint.
     */
-  def refreshLabels(spark: SparkSession, root: String): Unit = {
+  def refreshLabels(spark: SparkSession, root: String,
+                    upToBatch: Option[Long] = None): Unit = {
     if (!storeExists(spark, pairsDir(root))) return // empty root: nothing to label
-    // partition LISTING, not a Spark job — and marker-aware: a fully
-    // folded store reports the compaction watermark, never a generation id
-    val maxBatch = LogCompaction.effectiveMaxBatch(spark, pairsDir(root),
-      LogCompaction.marker(spark, root)).getOrElse(BaseBatch)
+    val mk = LogCompaction.marker(spark, root)
+    // the covered watermark anchors on the BAND store — the store
+    // [[append]] writes LAST, so a listed batch has its pairs AND edges
+    // fully on disk. Anchoring on the pair store could advance `covered`
+    // past a torn concurrent append (pairs landed, edges not yet) and
+    // the skipped merges would never re-enter a delta. The listing is a
+    // metadata op, not a Spark job, and marker-aware: a fully folded
+    // store reports the compaction watermark, never a generation id.
+    val complete = LogCompaction.effectiveMaxBatch(spark, bandsDir(root), mk)
+      .getOrElse(return)
+    // a bounded refresh (compact's beforeFold) covers exactly the fold
+    val maxBatch = upToBatch.fold(complete)(math.min(_, complete))
     if (!storeExists(spark, labelsMetaDir(root))) {
       coldLabels(spark, root, coveredBatch = maxBatch)
       return
     }
     val covered = spark.read.parquet(labelsMetaDir(root)).head.getLong(0)
     if (maxBatch <= covered) return
-    val newPairs = readStore(spark, pairsDir(root), None,
+    val newPairs = readStore(spark, pairsDir(root), mk,
+      beforeBatch = Some(maxBatch + 1),
       afterBatch = Some(covered)).localCheckpoint()
     val edges = edgesView(spark, root,
       buckets = Some(frontierBuckets(spark, root, newPairs))).localCheckpoint()
@@ -328,50 +345,46 @@ object DedupLayout {
     * and [[refreshLabels]]'s bucket-pruned edge scan — byte-equivalent
     * (LogCompactionSpec proves pairs/labels/future-appends identical).
     *
-    * Labels are refreshed FIRST so their covered watermark reaches the
-    * fold: [[refreshLabels]] reads pair batches `> covered`, and a pair
-    * folded while uncovered would vanish from that delta. Flat stores
-    * fold with a shuffle-free coalesce; the edge store re-buckets by
-    * `src_bucket` (one file per bucket dir — the shape its pruned reads
-    * want). Returns the new watermark. Bound `upToBatch` below the live
-    * tail to compact under a running ingest; the default folds
-    * everything and assumes quiescence (see [[LogCompaction]]).
+    * Labels are refreshed BOUNDED TO THE FOLD before it runs: the
+    * covered watermark must reach every folded pair ([[refreshLabels]]
+    * reads the delta `> covered`, and a pair folded while uncovered
+    * would vanish from it) but must NOT overtake it — an unbounded
+    * refresh racing a live ingest could cover tail batches this fold
+    * leaves as per-batch partitions, which is fine, but bounding keeps
+    * the two watermarks in lockstep and the reasoning local. Flat
+    * stores fold with a shuffle-free coalesce; the edge store
+    * re-buckets by `src_bucket` (one file per bucket dir — the shape
+    * its pruned reads want). Returns the new watermark.
+    *
+    * Under a live ingest: bound `upToBatch` below the tail AND pass
+    * `sweepNow = false` — the marker flip is reader-safe, deleting the
+    * shadowed partitions under an in-flight scan is not (see
+    * [[LogCompaction.run]]); reclaim later with [[vacuum]].
     */
   def compact(spark: SparkSession, root: String,
-              upToBatch: Option[Long] = None): Long = {
-    refreshLabels(spark, root)
-    val mk = LogCompaction.marker(spark, root)
-    // bands are written LAST per batch: a batch present in the band
-    // store is fully present in all four
-    val maxB = LogCompaction.effectiveMaxBatch(spark, bandsDir(root), mk)
-      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
-    val w = upToBatch.fold(maxB)(math.min(_, maxB))
-    val stores = Seq[(String, Seq[String], DataFrame => DataFrame)](
-      (shinglesDir(root), Seq(BatchCol), df => df.coalesce(
-        spark.sessionState.conf.numShufflePartitions)),
-      (bandsDir(root), Seq(BatchCol), df => df.coalesce(
-        spark.sessionState.conf.numShufflePartitions)),
-      (pairsDir(root), Seq(BatchCol), df => df.coalesce(
-        spark.sessionState.conf.numShufflePartitions)),
-      (edgesDir(root), Seq(BatchCol, "src_bucket"),
-        df => df.repartition(col("src_bucket"))))
-    if (mk.exists(_.watermark >= w)) {
-      // nothing new to fold — but finish a crashed predecessor's sweep
-      stores.foreach { case (dir, _, _) => LogCompaction.sweep(spark, dir,
-        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark) }
-      return mk.get.watermark
-    }
-    val gen = mk.map(_.gen).getOrElse(0) + 1
-    stores.foreach { case (dir, parts, distribute) =>
-      if (storeExists(spark, dir))
-        LogCompaction.foldStore(spark, dir,
-          LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
-          gen, parts, distribute)
-    }
-    LogCompaction.publish(spark, root, gen, w)
-    stores.foreach { case (dir, _, _) => LogCompaction.sweep(spark, dir,
-      keep = LogCompaction.compactedId(gen), w = w) }
-    w
+              upToBatch: Option[Long] = None,
+              sweepNow: Boolean = true): Long =
+    LogCompaction.run(spark, root, watermarkDir = bandsDir(root),
+      stores = compactStores(spark, root), upToBatch = upToBatch,
+      sweepNow = sweepNow,
+      beforeFold = w => refreshLabels(spark, root, upToBatch = Some(w)))
+
+  /** Reclaim the partitions the current compaction shadows — the
+    * deferred sweep of a `sweepNow = false` [[compact]].
+    */
+  def vacuum(spark: SparkSession, root: String): Unit =
+    LogCompaction.vacuum(spark, root, compactStores(spark, root).map(_.dir))
+
+  private def compactStores(spark: SparkSession,
+                            root: String): Seq[LogCompaction.StoreSpec] = {
+    val flat = (df: DataFrame) =>
+      df.coalesce(spark.sessionState.conf.numShufflePartitions)
+    Seq(
+      LogCompaction.StoreSpec(shinglesDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(bandsDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(pairsDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(edgesDir(root), Seq(BatchCol, "src_bucket"),
+        _.repartition(col("src_bucket"))))
   }
 
   def labels(spark: SparkSession, root: String): DataFrame =
@@ -383,12 +396,10 @@ object DedupLayout {
   }
 
   private def readStore(spark: SparkSession, dir: String,
+                        mk: Option[LogCompaction.Marker],
                         beforeBatch: Option[Long],
                         afterBatch: Option[Long] = None): DataFrame = {
-    // root = the store's parent dir (all five stores share one marker)
-    val root = dir.substring(0, dir.lastIndexOf('/'))
-    val t = LogCompaction.view(spark.read.parquet(dir),
-      LogCompaction.marker(spark, root))
+    val t = LogCompaction.view(spark.read.parquet(dir), mk)
     // batch filters ride the partition column: metadata pruning, the
     // excluded partitions' files are never listed into the scan. They
     // compose with the compaction view literally: the folded partition's
@@ -401,12 +412,13 @@ object DedupLayout {
   }
 
   def pairs(spark: SparkSession, root: String): DataFrame =
-    readStore(spark, pairsDir(root), None)
+    readStore(spark, pairsDir(root), LogCompaction.marker(spark, root), None)
 
   def bands(spark: SparkSession, root: String,
             beforeBatch: Option[Long] = None): DataFrame =
-    readStore(spark, bandsDir(root), beforeBatch)
+    readStore(spark, bandsDir(root), LogCompaction.marker(spark, root),
+      beforeBatch)
 
   def shingles(spark: SparkSession, root: String): DataFrame =
-    readStore(spark, shinglesDir(root), None)
+    readStore(spark, shinglesDir(root), LogCompaction.marker(spark, root), None)
 }

@@ -201,6 +201,78 @@ object LogCompaction {
     if (!nested) sweepIn(p)
   }
 
+  /** One store to fold: its dir, its FULL partition spec in directory
+    * order, and the file-count shaper ([[foldStore]]).
+    */
+  final case class StoreSpec(dir: String, partitionCols: Seq[String],
+                             distribute: DataFrame => DataFrame)
+
+  /** The whole protocol, once — resolve marker, derive the watermark
+    * from `watermarkDir` (the store written LAST per batch, so a listed
+    * batch is fully present in every store; a torn trailing append
+    * stays outside the fold and heals by replay), fold every store,
+    * publish, sweep. Layouts add their own semantics via `beforeFold`
+    * (e.g. [[DedupLayout.compact]] bounds its label refresh to the fold
+    * watermark there).
+    *
+    * `sweepNow = false` defers step 3 for live-tail deployments: the
+    * marker flip is safe under concurrent readers (their pre-publish
+    * plans read the ORIGINAL partitions, which are still on disk and
+    * carry identical rows), but DELETING those partitions while a scan
+    * planned under the old view is mid-flight fails tasks — or worse,
+    * with `spark.sql.files.ignoreMissingFiles`, silently truncates the
+    * scan. Defer the sweep past every in-flight scan (one ingest
+    * micro-batch / one probe interval) and reclaim with [[vacuum]].
+    */
+  def run(spark: SparkSession, markerRoot: String, watermarkDir: String,
+          stores: Seq[StoreSpec], nested: Boolean = false,
+          upToBatch: Option[Long] = None, sweepNow: Boolean = true,
+          beforeFold: Long => Unit = _ => ()): Long = {
+    val mk = marker(spark, markerRoot)
+    val maxB = effectiveMaxBatch(spark, watermarkDir, mk, nested)
+      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
+    val w = upToBatch.fold(maxB)(math.min(_, maxB))
+    if (mk.exists(_.watermark >= w)) {
+      // nothing new to fold — but finish a crashed predecessor's sweep
+      if (sweepNow) stores.foreach(s => sweep(spark, s.dir,
+        keep = compactedId(mk.get.gen), w = mk.get.watermark, nested))
+      return mk.get.watermark
+    }
+    beforeFold(w)
+    val gen = mk.map(_.gen).getOrElse(0) + 1
+    stores.foreach { s =>
+      val p = new Path(s.dir)
+      if (fs(spark, s.dir).exists(p))
+        foldStore(spark, s.dir,
+          foldable(spark.read.parquet(s.dir), mk, w).drop(BatchCol),
+          gen, s.partitionCols, s.distribute)
+    }
+    publish(spark, markerRoot, gen, w)
+    if (sweepNow) stores.foreach(s =>
+      sweep(spark, s.dir, keep = compactedId(gen), w = w, nested))
+    w
+  }
+
+  /** Reclaim the partitions the CURRENT marker shadows — the deferred
+    * third step of a `sweepNow = false` compaction, run once every
+    * scan planned under the pre-publish view has drained.
+    */
+  def vacuum(spark: SparkSession, markerRoot: String, dirs: Seq[String],
+             nested: Boolean = false): Unit =
+    marker(spark, markerRoot).foreach(mk => dirs.foreach(d =>
+      sweep(spark, d, keep = compactedId(mk.gen), w = mk.watermark, nested)))
+
+  /** Drop the root's compaction state — the fresh-rebuild reset. A
+    * store rebuilt by a static-overwrite `materialize` writes real base
+    * batches again; a SURVIVING marker would filter them out (and the
+    * next compaction's resweep would delete them). Callers wipe the
+    * marker FIRST: a crash after the wipe but before the rebuild leaves
+    * generation partitions visible to no filter shape (`>= -1` hides
+    * them), never a double-count.
+    */
+  def reset(spark: SparkSession, markerRoot: String): Unit =
+    fs(spark, markerRoot).delete(new Path(markerDir(markerRoot)), true)
+
   /** The append-side guard every layout shares: a batch at or below the
     * compaction watermark has no per-batch partition left to rewrite —
     * refuse loudly instead of silently splitting rows between the

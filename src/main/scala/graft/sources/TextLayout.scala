@@ -61,6 +61,9 @@ object TextLayout {
 
   /** One-time tokenize of `docs` (doc_id, text) into the base batch. */
   def materialize(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    // fresh rebuild: wipe any surviving compaction marker FIRST — it
+    // would filter out the new base batches (see LogCompaction.reset)
+    LogCompaction.reset(spark, root)
     val log = exploded(spark, docs).localCheckpoint() // one tokenize, two stores
     log.withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(tokensDir(root))
@@ -125,35 +128,31 @@ object TextLayout {
     * downstream watermark to order against). All derived views — raw
     * log, partials, [[vocab]], [[termFreq]] — are batch-order-invariant
     * aggregates, so folding changes bytes on disk and nothing above
-    * them (LogCompactionSpec). Returns the new watermark.
+    * them (LogCompactionSpec). Returns the new watermark. Under a live
+    * ingest, pass `sweepNow = false` and [[vacuum]] after in-flight
+    * scans drain (see [[LogCompaction.run]]).
     */
   def compact(spark: SparkSession, root: String,
-              upToBatch: Option[Long] = None): Long = {
-    val mk = LogCompaction.marker(spark, root)
-    // counts are written LAST per batch: a batch present there is fully
-    // present in both logs
-    val maxB = LogCompaction.effectiveMaxBatch(spark, countsDir(root), mk)
-      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
-    val w = upToBatch.fold(maxB)(math.min(_, maxB))
+              upToBatch: Option[Long] = None,
+              sweepNow: Boolean = true): Long =
+    // counts are written LAST per batch: a batch listed there is fully
+    // present in both logs — the watermark anchor
+    LogCompaction.run(spark, root, watermarkDir = countsDir(root),
+      stores = compactStores(spark, root), upToBatch = upToBatch,
+      sweepNow = sweepNow)
+
+  /** Reclaim the partitions the current compaction shadows — the
+    * deferred sweep of a `sweepNow = false` [[compact]].
+    */
+  def vacuum(spark: SparkSession, root: String): Unit =
+    LogCompaction.vacuum(spark, root, compactStores(spark, root).map(_.dir))
+
+  private def compactStores(spark: SparkSession,
+                            root: String): Seq[LogCompaction.StoreSpec] = {
     val flat = (df: DataFrame) =>
       df.coalesce(spark.sessionState.conf.numShufflePartitions)
-    val stores = Seq(tokensDir(root), countsDir(root))
-    if (mk.exists(_.watermark >= w)) {
-      stores.foreach(LogCompaction.sweep(spark, _,
-        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark))
-      return mk.get.watermark
-    }
-    val gen = mk.map(_.gen).getOrElse(0) + 1
-    stores.foreach { dir =>
-      if (storeExists(spark, dir))
-        LogCompaction.foldStore(spark, dir,
-          LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
-          gen, Seq(BatchCol), flat)
-    }
-    LogCompaction.publish(spark, root, gen, w)
-    stores.foreach(LogCompaction.sweep(spark, _,
-      keep = LogCompaction.compactedId(gen), w = w))
-    w
+    Seq(LogCompaction.StoreSpec(tokensDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(countsDir(root), Seq(BatchCol), flat))
   }
 
   def tokens(spark: SparkSession, root: String): DataFrame =

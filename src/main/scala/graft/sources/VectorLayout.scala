@@ -269,31 +269,27 @@ object VectorLayout {
     * uncompacted. Streaming probes that pinned a batch watermark below
     * the fold can no longer replay ([[vectors]] refuses loudly);
     * compact only past every pin a replayer may still hold. Returns
-    * the new watermark.
+    * the new watermark. Under live ingest/probes, pass
+    * `sweepNow = false` and [[vacuum]] after in-flight scans drain
+    * (see [[LogCompaction.run]]).
     */
   def compact(spark: SparkSession, outDir: String,
-              upToBatch: Option[Long] = None): Long = {
+              upToBatch: Option[Long] = None,
+              sweepNow: Boolean = true): Long = {
     val dir = resolve(spark, outDir)
-    val mk = LogCompaction.marker(spark, dir)
-    val maxB = LogCompaction.effectiveMaxBatch(spark, dir, mk, nested = true)
-      .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
-    val w = upToBatch.fold(maxB)(math.min(_, maxB))
-    if (mk.exists(_.watermark >= w)) {
-      LogCompaction.sweep(spark, dir,
-        keep = LogCompaction.compactedId(mk.get.gen), w = mk.get.watermark,
-        nested = true)
-      return mk.get.watermark
-    }
-    val gen = mk.map(_.gen).getOrElse(0) + 1
-    LogCompaction.foldStore(spark, dir,
-      LogCompaction.foldable(spark.read.parquet(dir), mk, w).drop(BatchCol),
-      gen, Seq("cell", BatchCol),
-      // one shuffle keyed like writeLayout's: one file per cell dir
-      _.repartition(col("cell")))
-    LogCompaction.publish(spark, dir, gen, w)
-    LogCompaction.sweep(spark, dir, keep = LogCompaction.compactedId(gen),
-      w = w, nested = true)
-    w
+    LogCompaction.run(spark, dir, watermarkDir = dir,
+      stores = Seq(LogCompaction.StoreSpec(dir, Seq("cell", BatchCol),
+        // one shuffle keyed like writeLayout's: one file per cell dir
+        _.repartition(col("cell")))),
+      nested = true, upToBatch = upToBatch, sweepNow = sweepNow)
+  }
+
+  /** Reclaim the partitions the current compaction shadows — the
+    * deferred sweep of a `sweepNow = false` [[compact]].
+    */
+  def vacuum(spark: SparkSession, outDir: String): Unit = {
+    val dir = resolve(spark, outDir)
+    LogCompaction.vacuum(spark, dir, Seq(dir), nested = true)
   }
 
   /** Append arriving `(vec_id, embedding)` rows into their TRAINED

@@ -212,6 +212,68 @@ class LogCompactionSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("a fresh materialize over a compacted root resets the marker — the rebuilt base is visible and survives the next compact") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-lc-reset").toString
+    val m = col("doc_id") % 5
+
+    // first life: build, grow, compact — the root now carries a marker
+    DedupLayout.materialize(spark, docs.filter(m < 3), root)
+    DedupLayout.append(spark, docs.filter(m === 3), root, batchId = 0L)
+    DedupLayout.compact(spark, root)
+    assert(LogCompaction.marker(spark, root).isDefined)
+
+    // second life: the documented fresh-rebuild reset over MORE docs.
+    // Without the marker wipe the new base batches sit above the stale
+    // watermark filter — reads go empty and the next compact's resweep
+    // would DELETE them (the round-8 review catch)
+    DedupLayout.materialize(spark, docs, root)
+    assert(LogCompaction.marker(spark, root).isEmpty,
+      "materialize must reset the old life's compaction marker")
+    val scratch = Files.createTempDirectory("graft-lc-reset-full").toString
+    DedupLayout.materialize(spark, docs, scratch)
+    assert(pairSet(root) === pairSet(scratch),
+      "rebuilt root must read its full fresh base")
+    DedupLayout.compact(spark, root)
+    assert(pairSet(root) === pairSet(scratch),
+      "compacting the rebuilt root must not lose the fresh base")
+
+    // same reset on the text store
+    val troot = Files.createTempDirectory("graft-lc-reset-text").toString
+    TextLayout.materialize(spark, docs.filter(m < 3), troot)
+    TextLayout.compact(spark, troot)
+    TextLayout.materialize(spark, docs, troot)
+    assert(LogCompaction.marker(spark, troot).isEmpty)
+    val want = docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    assert(TextLayout.tokens(spark, troot).count() === want,
+      "rebuilt token log must read its full fresh base")
+    CacheLife.release(spark)
+  }
+
+  test("sweepNow=false defers reclamation: shadowed dirs survive for in-flight scans, vacuum removes them") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-lc-defer").toString
+    val m = col("doc_id") % 5
+    DedupLayout.materialize(spark, docs.filter(m < 4), root)
+    DedupLayout.append(spark, docs.filter(m === 4), root, batchId = 0L)
+    val before = pairSet(root)
+
+    assert(DedupLayout.compact(spark, root, sweepNow = false) === 0L)
+    // the fold is published (readers see the generation) but the
+    // shadowed per-batch dirs are still on disk for in-flight scans
+    val dirs = batchDirs(s"$root/pairs")
+    assert(dirs.contains("__batch_id=-2") && dirs.contains("__batch_id=0"),
+      s"deferred sweep must leave shadowed dirs in place: ${dirs.mkString(",")}")
+    assert(pairSet(root) === before,
+      "the published view must already exclude the shadowed dirs")
+
+    DedupLayout.vacuum(spark, root)
+    assert(batchDirs(s"$root/pairs") === Seq("__batch_id=-2"),
+      "vacuum must reclaim the shadowed dirs")
+    assert(pairSet(root) === before, "vacuum must not change the view")
+    CacheLife.release(spark)
+  }
+
   test("marker parsing: stray siblings ignored, negative watermarks round-trip, generations order") {
     val root = Files.createTempDirectory("graft-lc-marker").toString
     assert(LogCompaction.marker(spark, root).isEmpty)
