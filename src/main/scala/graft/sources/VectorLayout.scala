@@ -292,6 +292,39 @@ object VectorLayout {
     LogCompaction.vacuum(spark, dir, Seq(dir), nested = true)
   }
 
+  /** Reclaim retired versions: delete the layout dirs of every
+    * PUBLISHED version older than the newest `keep` (round-7 scaladoc
+    * promise made real — "a deployment garbage-collects them once no
+    * reader can hold them"). The pointer markers stay: they are the
+    * version history, bytes-cheap, and [[currentVersion]] resolves the
+    * MAX so retired markers never redirect a reader. A complete-but-
+    * unpublished `v<N+1>` (crash between rename and pointer) is never
+    * touched — the next retrain publishes it. Crashed builders'
+    * `.retrain-*`/`.mat-*` stage dirs are swept too. Same grace
+    * discipline as [[LogCompaction.vacuum]]: run once every reader
+    * constructed before the oldest surviving swap has drained (a probe
+    * holding a deleted version's files would fail mid-collect).
+    * Returns the deleted version numbers.
+    */
+  def gcVersions(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
+    require(keep >= 1, s"must keep at least the current version, got $keep")
+    val cur = currentVersion(spark, root).getOrElse(return Nil)
+    val f = fs(spark, root)
+    val entries = f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+    entries.foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".retrain-") || n.startsWith(".mat-"))
+        f.delete(s.getPath, true)
+    }
+    val victims = entries.iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+      .filter(_ <= cur - keep).toSeq.sorted
+    victims.foreach(n => f.delete(
+      new org.apache.hadoop.fs.Path(versionDir(root, n)), true))
+    victims
+  }
+
   /** Append arriving `(vec_id, embedding)` rows into their TRAINED
     * cells' partitions — the grow-the-index path. Writes only the
     * touched `cell=`/`__batch_id=` directories; re-running a batch id

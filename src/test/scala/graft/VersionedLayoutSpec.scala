@@ -82,6 +82,23 @@ class VersionedLayoutSpec extends SparkSpec {
     val names = new java.io.File(root).listFiles().map(_.getName).toSeq
     assert(!names.exists(n => n.startsWith(".retrain-") || n.startsWith(".mat-")),
       s"staging dirs must not survive publication: $names")
+
+    // version GC: retire v1 once its readers drained — the current
+    // version, its marker history, and its answers are untouched
+    val junkStage = new java.io.File(root, ".retrain-crashed")
+    assert(junkStage.mkdir())
+    assert(VectorLayout.gcVersions(spark, root) === Seq(1))
+    val after = new java.io.File(root).listFiles().map(_.getName).toSeq
+    assert(!after.contains("v1") && after.contains("v2"),
+      s"GC must delete exactly the retired versions: $after")
+    assert(!after.contains(".retrain-crashed"),
+      "GC must sweep crashed builders' stage dirs")
+    assert(VectorLayout.currentVersion(spark, root) === Some(2),
+      "marker history must survive GC")
+    assert(rows(VectorLayout.probeQuerySet(spark, Sf, root, qvs)) === postSwap,
+      "the current version must answer identically after GC")
+    // idempotent re-run deletes nothing further
+    assert(VectorLayout.gcVersions(spark, root) === Nil)
     CacheLife.release(spark)
   }
 }
