@@ -25,15 +25,6 @@ class SkewJoinSpec extends SparkSpec {
   private lazy val build = (Seq("hot") ++ (1 to 500).map(k => s"k$k"))
     .map(k => (k, s"label-$k")).toDF("key", "label")
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("salted join equals the plain join and spreads the hot key over salt buckets") {
     val expected = probe.join(build, Seq("key"))
       .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("sv"))

@@ -9,4 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.builder("4").getOrCreate()
   val Sf = "/root/testdata/sf0.001"
+
+  /** Run `body` under temporary session confs, restoring the previous
+    * values after (the session is JVM-shared across suites).
+    */
+  def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
