@@ -24,16 +24,36 @@ object StoreBuild {
   def vectorLayoutDir(root: String): String =
     root.stripSuffix("/") + "/sim.vector-layout"
 
+  /** Root of the incremental near-dup index (the base the streaming
+    * ingest then appends to — [[graft.sources.DedupLayout]]).
+    */
+  def dedupLayoutDir(root: String): String =
+    root.stripSuffix("/") + "/dedup.layout"
+
+  /** Root of the incremental token store ([[graft.sources.TextLayout]]). */
+  def textLayoutDir(root: String): String =
+    root.stripSuffix("/") + "/text.layout"
+
   /** Run every builder against `root`; returns (name, seconds) lines. */
   def buildAll(spark: SparkSession, sfDir: String,
                root: String): Seq[(String, Double)] = {
     spark.conf.set(CacheLife.RootKey, root)
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
     val builders =
       operators.DedupQueries.indexBuilders(spark, sfDir) ++
       operators.SimilarityQueries.indexBuilders(spark, sfDir) ++
       operators.TextQueries.indexBuilders(spark, sfDir) ++
-      Seq("sim.vector_layout" -> (() =>
-        sources.VectorLayout.materialize(spark, sfDir, vectorLayoutDir(root))))
+      Seq(
+        "sim.vector_layout" -> (() =>
+          sources.VectorLayout.materialize(spark, sfDir, vectorLayoutDir(root))),
+        // the incremental stores' BASES: streaming ingest appends to
+        // these roots (DedupStream/TextStream), compaction folds them
+        "dedup.incr_layout" -> (() =>
+          sources.DedupLayout.materialize(spark, docs, dedupLayoutDir(root))),
+        "text.incr_layout" -> (() =>
+          sources.TextLayout.materialize(spark, docs, textLayoutDir(root))))
     builders.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -173,6 +173,15 @@ object DedupQueries {
           call_function("graft_shingles", toks, lit(ShingleN)).as("sh")))
 
   // ---- Exact n-gram Jaccard, verified only on LSH candidates ----
+  // Verification is EXACT set Jaccard, never the minhash-agreement
+  // estimate — and not only for precision's sake: conditional on
+  // candidacy the signature estimate is BIASED HIGH, because a pair
+  // becomes a candidate precisely when some band of its signatures
+  // collides (measured at sf0.1: a pair with true J = 0.0098 whose
+  // 16-perm agreement reads 0.625, and even among verified J >= 0.5
+  // pairs, deviations past 3 sigma + 1/K — the unconditional bound —
+  // survive). The selection effect means no per-pair sigma contract
+  // holds on candidates; the sketch selects, the exact join decides.
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // No short-doc filter: docs without shingles are never candidates
     // (sentinel band keys in lshBands), so the join drops them.

@@ -55,13 +55,27 @@ class CurationStoreSpec extends SparkSpec {
 
     val s1 = spark.newSession()
     val built = StoreBuild.buildAll(s1, Sf, root)
-    assert(built.size === 16, s"expected 16 builders, got: ${built.map(_._1)}")
-    // every store is a _SUCCESS-gated parquet layout under the root
+    assert(built.size === 18, s"expected 18 builders, got: ${built.map(_._1)}")
+    // every store is a _SUCCESS-gated parquet layout under the root; the
+    // incremental stores (dedup.layout, text.layout) are ROOTS OF
+    // layouts — each of their sub-stores carries its own _SUCCESS
+    def assertComplete(d: java.io.File): Unit =
+      if (!new java.io.File(d, "_SUCCESS").exists()) {
+        val subs = d.listFiles().filter(f => f.isDirectory &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        assert(subs.nonEmpty, s"neither a layout nor a root of layouts: ${d.getName}")
+        subs.foreach(assertComplete)
+      }
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
     assert(dirs.length >= built.size,
       s"expected one layout per store (+ the drift hist): ${dirs.map(_.getName).toSeq}")
-    dirs.foreach(d => assert(new java.io.File(d, "_SUCCESS").exists(),
-      s"half-written store would be silently rebuilt wrong: ${d.getName}"))
+    dirs.foreach(assertComplete)
+    // and the incremental bases are live append targets: the token base
+    // equals a direct materialize, batch -1 only
+    assert(graft.sources.TextLayout.tokens(s1,
+      StoreBuild.textLayoutDir(root)).count() > 0)
+    assert(graft.sources.DedupLayout.labels(s1,
+      StoreBuild.dedupLayoutDir(root)).count() > 0)
     val pqFresh = SimilarityQueries.annPq(s1, Sf).collect().toSeq
     val ivfpqFresh = SimilarityQueries.annIvfPq(s1, Sf).collect().toSeq
 
