@@ -232,6 +232,9 @@ object LogCompaction {
     val maxB = effectiveMaxBatch(spark, watermarkDir, mk, nested)
       .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
     val w = upToBatch.fold(maxB)(math.min(_, maxB))
+    // a base-only store has one partition per store already — nothing
+    // worth folding into a generation
+    if (mk.isEmpty && w <= BaseBatch) return BaseBatch
     if (mk.exists(_.watermark >= w)) {
       // nothing new to fold — but finish a crashed predecessor's sweep
       if (sweepNow) stores.foreach(s => sweep(spark, s.dir,
