@@ -18,8 +18,11 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   *   - text: fold the token/partials logs ([[TextLayout.compact]]);
   *   - vectors: fold the cell/batch log ([[VectorLayout.compact]]),
   *     read the drift report, and when it demands a retrain, ACT —
-  *     [[VectorLayout.retrainAndSwap]] then [[VectorLayout.gcVersions]]
-  *     (keeping the prior version for the swap's reader-drain grace).
+  *     [[VectorLayout.retrainAndSwap]]; on every versioned run, GC
+  *     retired versions, keeping the JUST-swapped-out one for exactly
+  *     one maintenance cycle (the reader-drain grace window) — a quiet
+  *     run is what reclaims it, so the grace actually elapses instead
+  *     of waiting for the next drift event.
   *
   * Every step is idempotent and watermark-gated, so the job can run on
   * any schedule, after any crash, with nothing to hand it but the
@@ -28,13 +31,12 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   * [[graft.sources.LogCompaction.run]]); this main assumes the
   * scheduled-slot deployment and takes the defaults.
   *
-  * Usage: `runMain graft.StoreMaintain <sfDir> <storeRoot>`
+  * Usage: `runMain graft.StoreMaintain <storeRoot>`
   */
 object StoreMaintain {
 
   /** Run every maintenance action; returns (action, outcome) lines. */
-  def maintainAll(spark: SparkSession, sfDir: String,
-                  root: String): Seq[(String, String)] = {
+  def maintainAll(spark: SparkSession, root: String): Seq[(String, String)] = {
     spark.conf.set(CacheLife.RootKey, root)
     val dedupRoot = StoreBuild.dedupLayoutDir(root)
     val textRoot = StoreBuild.textLayoutDir(root)
@@ -53,27 +55,37 @@ object StoreMaintain {
     val drift = VectorLayout.occupancyDrift(spark, vecRoot).head
     val retrain = drift.getAs[Boolean]("retrain")
     out += "sim.layout_drift" -> s"retrain=$retrain"
+    val versioned = VectorLayout.currentVersion(spark, vecRoot).isDefined
+    var swapped = false
     if (retrain) {
-      // only meaningful on a VERSIONED root; a plain layout dir
+      // only actionable on a VERSIONED root; a plain layout dir
       // (StoreBuild's default) reports the drift and leaves the swap to
       // a versioned deployment
-      if (VectorLayout.currentVersion(spark, vecRoot).isDefined) {
+      if (versioned) {
         val v = VectorLayout.retrainAndSwap(spark, vecRoot)
-        // keep = 2: the just-retired version stays for the reader-drain
-        // grace window; the next maintenance run reclaims it
-        val gcd = VectorLayout.gcVersions(spark, vecRoot, keep = 2)
-        out += "sim.layout_retrain" -> s"swapped=v$v gc=${gcd.mkString(",")}"
+        swapped = true
+        out += "sim.layout_retrain" -> s"swapped=v$v"
       } else {
         out += "sim.layout_retrain" -> "skipped: unversioned root (run materializeVersioned to enable swaps)"
       }
+    }
+    if (versioned) {
+      // GC runs EVERY versioned cycle (round-8 review: inside the
+      // retrain branch, a quiet-after-swap deployment would retain the
+      // retired version forever). keep=2 on the swap run holds the
+      // just-retired version through its grace window; the next run —
+      // drift quiet, grace elapsed — reclaims it with keep=1.
+      val gcd = VectorLayout.gcVersions(spark, vecRoot,
+        keep = if (swapped) 2 else 1)
+      out += "sim.layout_gc" ->
+        (if (gcd.isEmpty) "none" else gcd.map("v" + _).mkString(","))
     }
     out.result()
   }
 
   def main(args: Array[String]): Unit = {
-    val (sfDir, root) = (args(0), args(1))
     val spark = Sessions.local()
-    maintainAll(spark, sfDir, root).foreach { case (name, outcome) =>
+    maintainAll(spark, args(0)).foreach { case (name, outcome) =>
       println(s"[maintain] $name: $outcome")
     }
     CacheLife.release(spark)

@@ -180,6 +180,16 @@ object LogCompaction {
     * reclamation — every deleted path is already outside the published
     * view.
     */
+  /** Delete only crashed runs' `.compact-*` stage dirs. */
+  private def sweepStages(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return
+    f.listStatus(p).foreach { s =>
+      if (s.getPath.getName.startsWith(".compact-")) f.delete(s.getPath, true)
+    }
+  }
+
   def sweep(spark: SparkSession, dir: String, keep: Long, w: Long,
             nested: Boolean = false): Unit = {
     val f = fs(spark, dir)
@@ -233,8 +243,14 @@ object LogCompaction {
       .getOrElse(return mk.map(_.watermark).getOrElse(BaseBatch))
     val w = upToBatch.fold(maxB)(math.min(_, maxB))
     // a base-only store has one partition per store already — nothing
-    // worth folding into a generation
-    if (mk.isEmpty && w <= BaseBatch) return BaseBatch
+    // worth folding into a generation; still reclaim a crashed
+    // predecessor's stage dirs (its unpublished generation partition, if
+    // any, stays invisible under the `>= -1` view until a real batch
+    // arrives and a true fold sweeps it)
+    if (mk.isEmpty && w <= BaseBatch) {
+      if (sweepNow) stores.foreach(s => sweepStages(spark, s.dir))
+      return BaseBatch
+    }
     if (mk.exists(_.watermark >= w)) {
       // nothing new to fold — but finish a crashed predecessor's sweep
       if (sweepNow) stores.foreach(s => sweep(spark, s.dir,

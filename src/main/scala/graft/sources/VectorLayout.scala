@@ -292,6 +292,14 @@ object VectorLayout {
     LogCompaction.vacuum(spark, dir, Seq(dir), nested = true)
   }
 
+  /** A `.retrain-*`/`.mat-*` stage dir younger than this is treated as
+    * a LIVE concurrent builder's and left alone by [[gcVersions]] —
+    * only stages this stale are presumed crashed. Generous on purpose:
+    * deleting a live stage fails its builder's tasks, while a crashed
+    * one only costs storage for a day.
+    */
+  val StageGraceMs: Long = 24L * 3600 * 1000
+
   /** Reclaim retired versions: delete the layout dirs of every
     * PUBLISHED version older than the newest `keep` (round-7 scaladoc
     * promise made real — "a deployment garbage-collects them once no
@@ -300,10 +308,14 @@ object VectorLayout {
     * MAX so retired markers never redirect a reader. A complete-but-
     * unpublished `v<N+1>` (crash between rename and pointer) is never
     * touched — the next retrain publishes it. Crashed builders'
-    * `.retrain-*`/`.mat-*` stage dirs are swept too. Same grace
+    * `.retrain-*`/`.mat-*` stage dirs are swept once older than
+    * [[StageGraceMs]] (a younger stage may be a live concurrent
+    * retrain, which [[retrainAndSwap]] explicitly supports). Same grace
     * discipline as [[LogCompaction.vacuum]]: run once every reader
-    * constructed before the oldest surviving swap has drained (a probe
-    * holding a deleted version's files would fail mid-collect).
+    * constructed before the oldest surviving swap has drained — that
+    * includes DURABLE pins: a [[graft.streaming.VectorStream]] sidecar
+    * record naming a GC'd version can no longer replay, and the read
+    * entries refuse it loudly ([[vectors]]) rather than half-resolve.
     * Returns the deleted version numbers.
     */
   def gcVersions(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
@@ -311,9 +323,11 @@ object VectorLayout {
     val cur = currentVersion(spark, root).getOrElse(return Nil)
     val f = fs(spark, root)
     val entries = f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+    val staleBefore = System.currentTimeMillis() - StageGraceMs
     entries.foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith(".retrain-") || n.startsWith(".mat-"))
+      if ((n.startsWith(".retrain-") || n.startsWith(".mat-")) &&
+        s.getModificationTime < staleBefore)
         f.delete(s.getPath, true)
     }
     val victims = entries.iterator.map(_.getPath.getName)
@@ -361,6 +375,7 @@ object VectorLayout {
   def vectors(spark: SparkSession, outDir: String,
               upToBatch: Option[Long] = None): DataFrame = {
     val dir = resolve(spark, outDir)
+    requireLayout(spark, dir)
     val mk = LogCompaction.marker(spark, dir)
     upToBatch.foreach { w =>
       mk.filter(w < _.watermark).foreach { m =>
@@ -390,6 +405,22 @@ object VectorLayout {
     LogCompaction.effectiveMaxBatch(spark, dir,
       LogCompaction.marker(spark, dir), nested = true).getOrElse(BaseBatch)
   }
+
+  /** Read entries refuse a missing layout dir LOUDLY: the usual way to
+    * reach one is a durable pinned-snapshot record ([[graft.streaming
+    * .VectorStream]] sidecars name the resolved version dir) whose
+    * version [[gcVersions]] has since reclaimed — the honest answer is
+    * the GC contract, not a bare path error after a silent codebook
+    * fallback.
+    */
+  private def requireLayout(spark: SparkSession, dir: String): Unit =
+    if (!fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+      throw new IllegalStateException(
+        s"VectorLayout: $dir does not exist — if this path came from a " +
+          "pinned snapshot record, its version has been garbage-collected " +
+          "(gcVersions); replays pinned to a reclaimed version are " +
+          "impossible — re-pin against the current version, or GC only " +
+          "past every pin a replayer may still hold")
 
   private def histPath(outDir: String): String =
     outDir.stripSuffix("/") + "/_trained_hist"
@@ -470,6 +501,10 @@ object VectorLayout {
                     upToBatch: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val dir = resolve(spark, outDir)
+    // guard BEFORE centroidsFor: on a GC'd version dir its exists()
+    // check would silently fall back to the stale session codebook and
+    // the scan would then die with a bare path error
+    requireLayout(spark, dir)
     val cents = centroidsFor(spark, sfDir, dir)
       .map { case (cid, c) => (cid, c.map(_.toDouble).toSeq) }
       .toDF("cid", "cent")

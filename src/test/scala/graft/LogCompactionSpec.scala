@@ -238,10 +238,13 @@ class LogCompactionSpec extends SparkSpec {
     assert(pairSet(root) === pairSet(scratch),
       "compacting the rebuilt root must not lose the fresh base")
 
-    // same reset on the text store
+    // same reset on the text store (an appended batch first — a
+    // base-only compact is a documented no-op and publishes no marker)
     val troot = Files.createTempDirectory("graft-lc-reset-text").toString
     TextLayout.materialize(spark, docs.filter(m < 3), troot)
-    TextLayout.compact(spark, troot)
+    TextLayout.append(spark, docs.filter(m === 3), troot, batchId = 0L)
+    assert(TextLayout.compact(spark, troot) === 0L,
+      "the appended batch must make this a real fold")
     TextLayout.materialize(spark, docs, troot)
     assert(LogCompaction.marker(spark, troot).isEmpty)
     val want = docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()

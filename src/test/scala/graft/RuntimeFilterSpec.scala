@@ -49,8 +49,8 @@ class RuntimeFilterSpec extends SparkSpec {
 
       // parity: the filter is might-contain (no false negatives), so the
       // join result must equal the un-filtered run
-      val expected = withConfValue(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false") {
+      val expected = withConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
         fact.join(urgent, col("l_orderkey") === col("o_orderkey"))
           .select("l_orderkey", "l_quantity", "o_orderpriority")
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
@@ -59,11 +59,5 @@ class RuntimeFilterSpec extends SparkSpec {
         "runtime filtering must not change the join result")
       assert(got.nonEmpty, "the urgent-orders join must not be empty")
     }
-  }
-
-  private def withConfValue[A](k: String, v: String)(body: => A): A = {
-    val saved = spark.conf.getOption(k)
-    spark.conf.set(k, v)
-    try body finally saved.fold(spark.conf.unset(k))(spark.conf.set(k, _))
   }
 }

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite {
   /** Run `body` under temporary session confs, restoring the previous
     * values after (the session is JVM-shared across suites).
     */
-  def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+  def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally saved.foreach {

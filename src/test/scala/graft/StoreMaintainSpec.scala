@@ -35,7 +35,7 @@ class StoreMaintainSpec extends SparkSpec {
         .select((col("vec_id") + off).as("vec_id"), col("embedding")),
       batchId = 0L)
 
-    val outcomes = StoreMaintain.maintainAll(s, Sf, root).toMap
+    val outcomes = StoreMaintain.maintainAll(s, root).toMap
     assert(outcomes("dedup.compact") === "watermark=0", outcomes.toString)
     assert(outcomes("text.compact") === "watermark=0", outcomes.toString)
     assert(outcomes("sim.layout_compact") === "watermark=0", outcomes.toString)
@@ -54,7 +54,7 @@ class StoreMaintainSpec extends SparkSpec {
       === Seq("__batch_id=-2"))
 
     // idempotence: a second maintenance run re-reports and changes nothing
-    val again = StoreMaintain.maintainAll(s, Sf, root).toMap
+    val again = StoreMaintain.maintainAll(s, root).toMap
     assert(again("dedup.compact") === "watermark=0" &&
       again("sim.layout_drift") === "retrain=false", again.toString)
 
@@ -65,10 +65,12 @@ class StoreMaintainSpec extends SparkSpec {
       .select(explode(sequence(lit(2000000L), lit(2000400L))).as("vec_id"),
         col("embedding"))
     VectorLayout.append(s, Sf, StoreBuild.vectorLayoutDir(root), hot, batchId = 1L)
-    val third = StoreMaintain.maintainAll(s, Sf, root).toMap
+    val third = StoreMaintain.maintainAll(s, root).toMap
     assert(third("sim.layout_drift") === "retrain=true", third.toString)
     assert(third("sim.layout_retrain").startsWith("skipped: unversioned"),
       third.toString)
+    assert(!third.contains("sim.layout_gc"),
+      s"GC is a versioned-root action: $third")
     CacheLife.release(spark)
   }
 
@@ -83,16 +85,25 @@ class StoreMaintainSpec extends SparkSpec {
         col("embedding"))
     VectorLayout.append(s, Sf, vecRoot, hot, batchId = 0L)
 
-    val acted = StoreMaintain.maintainAll(s, Sf, root).toMap
+    val acted = StoreMaintain.maintainAll(s, root).toMap
     assert(acted("sim.layout_drift") === "retrain=true", acted.toString)
-    assert(acted("sim.layout_retrain") === "swapped=v2 gc=",
-      s"keep=2 must leave v1 for the reader-drain grace: $acted")
+    assert(acted("sim.layout_retrain") === "swapped=v2", acted.toString)
+    assert(acted("sim.layout_gc") === "none",
+      s"the swap run must hold the retired version for its grace window: $acted")
     assert(VectorLayout.currentVersion(s, vecRoot) === Some(2))
 
-    // the swap IS the remedy: the next run is quiet and swaps nothing
-    val calm = StoreMaintain.maintainAll(s, Sf, root).toMap
+    // the swap IS the remedy, and the QUIET run is what reclaims the
+    // retired version — grace elapsed, keep=1 (round-8 review: GC inside
+    // the retrain branch would retain v1 until the next drift event)
+    val calm = StoreMaintain.maintainAll(s, root).toMap
     assert(calm("sim.layout_drift") === "retrain=false", calm.toString)
     assert(!calm.contains("sim.layout_retrain"), calm.toString)
+    assert(calm("sim.layout_gc") === "v1",
+      s"the quiet run must reclaim the retired version: $calm")
+    assert(!new java.io.File(vecRoot, "v1").exists() &&
+      VectorLayout.currentVersion(s, vecRoot) === Some(2))
+    assert(VectorLayout.vectors(s, vecRoot).count() > 0,
+      "the current version must keep answering after GC")
     CacheLife.release(spark)
   }
 }

@@ -84,21 +84,36 @@ class VersionedLayoutSpec extends SparkSpec {
       s"staging dirs must not survive publication: $names")
 
     // version GC: retire v1 once its readers drained — the current
-    // version, its marker history, and its answers are untouched
-    val junkStage = new java.io.File(root, ".retrain-crashed")
-    assert(junkStage.mkdir())
+    // version, its marker history, and its answers are untouched. A
+    // STALE stage (crashed builder) is swept; a FRESH one may be a live
+    // concurrent retrain and must survive (round-8 review)
+    val crashed = new java.io.File(root, ".retrain-crashed")
+    assert(crashed.mkdir())
+    assert(crashed.setLastModified(
+      System.currentTimeMillis() - VectorLayout.StageGraceMs - 60000))
+    val live = new java.io.File(root, ".retrain-live")
+    assert(live.mkdir())
     assert(VectorLayout.gcVersions(spark, root) === Seq(1))
     val after = new java.io.File(root).listFiles().map(_.getName).toSeq
     assert(!after.contains("v1") && after.contains("v2"),
       s"GC must delete exactly the retired versions: $after")
     assert(!after.contains(".retrain-crashed"),
-      "GC must sweep crashed builders' stage dirs")
+      "GC must sweep stale crashed builders' stage dirs")
+    assert(after.contains(".retrain-live"),
+      "GC must leave a fresh stage alone — it may be a live retrain")
     assert(VectorLayout.currentVersion(spark, root) === Some(2),
       "marker history must survive GC")
     assert(rows(VectorLayout.probeQuerySet(spark, Sf, root, qvs)) === postSwap,
       "the current version must answer identically after GC")
     // idempotent re-run deletes nothing further
     assert(VectorLayout.gcVersions(spark, root) === Nil)
+
+    // a durable pin naming the GC'd version refuses LOUDLY with the GC
+    // contract — never a silent codebook fallback + bare path error
+    val gone = intercept[IllegalStateException] {
+      VectorLayout.vectors(spark, s"$root/v1").count()
+    }
+    assert(gone.getMessage.contains("garbage-collected"), gone.getMessage)
     CacheLife.release(spark)
   }
 }
