@@ -24,7 +24,10 @@ import graft.sources.DedupLayout
   * included).
   *
   * Cluster labels are a DERIVED artifact: refresh them after a drain
-  * (or on a schedule) via [[DedupLayout.refreshLabels]] — it reads the
+  * (or on a schedule) via [[DedupLayout.refreshLabels]] —
+  * [[graft.StoreMaintain]] is the scheduled job that runs it, then
+  * folds this stream's accreted batch partitions
+  * ([[DedupLayout.compact]]). It reads the
   * labels' covered-batch watermark and warm-starts from every pair
   * batch after it, so the call needs no delta from the stream.
   * Per-batch label refresh would serialize the fixpoint into the hot

@@ -25,6 +25,9 @@ import graft.sources.TextLayout
   * re-derive after a drain via [[TextLayout.vocab]]/[[TextLayout.termFreq]]
   * — per-batch derivation would serialize a corpus-global aggregate
   * into the hot ingest path for no freshness a curator needs.
+  * [[graft.StoreMaintain]] is the scheduled between-drains job that
+  * folds this stream's accreted batch partitions
+  * ([[TextLayout.compact]]).
   */
 object TextStream {
 

@@ -76,7 +76,10 @@ object VectorStream {
     * wiped-checkpoint replay byte-idempotent (the trained assignment
     * never depends on prior layout state). Watch
     * [[VectorLayout.occupancyDrift]] between drains for the retrain
-    * signal.
+    * signal — [[graft.StoreMaintain]] is the scheduled job that reads
+    * it, acts on it (retrain-and-swap + version GC on a versioned
+    * root), and folds this stream's accreted batch partitions
+    * ([[VectorLayout.compact]]).
     */
   def ingestSink(vectors: DataFrame, sfDir: String, layoutDir: String,
                  checkpoint: String): StreamingQuery =
