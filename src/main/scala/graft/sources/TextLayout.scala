@@ -64,6 +64,8 @@ object TextLayout {
     // fresh rebuild: wipe any surviving compaction marker FIRST — it
     // would filter out the new base batches (see LogCompaction.reset)
     LogCompaction.reset(spark, root)
+    // seed the id-authority so the FIRST append is already bloom-guarded
+    IdAuthority.recordBase(spark, root, docs.select(col("doc_id")), BaseBatch)
     val log = exploded(spark, docs).localCheckpoint() // one tokenize, two stores
     log.withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(tokensDir(root))
@@ -73,41 +75,33 @@ object TextLayout {
 
   /** Tokenize ONLY the arrival batch into its own partitions of both
     * logs. Guarded like [[DedupLayout.append]]: an arrival doc_id
-    * already in the log PREFIX (`__batch_id < batchId`) raises at
-    * execution — riding the batch's own eager materialization — since
-    * a re-appended doc would double its partial counts; same-batch-id
-    * redelivery passes (its own partition is not in its prefix) and
-    * overwrites byte-identically. Works on an EMPTY root: the first
-    * append is the base.
+    * already in the log PREFIX refuses — via the [[IdAuthority]] bloom
+    * sidecar (index-sized, batch-cost; exact probe only on bloom hits;
+    * [[IdAuthority.TrustKey]] skips it for T3 upstream-deduped
+    * ingest) — since a re-appended doc would double its partial
+    * counts; same-batch-id redelivery passes (its own sidecar record
+    * is not in its prefix) and overwrites byte-identically. Works on
+    * an EMPTY root: the first append is the base.
     */
   def append(spark: SparkSession, arrivals: DataFrame, root: String,
              batchId: Long): Unit = {
     val mk = LogCompaction.marker(spark, root)
     LogCompaction.guardAppend(mk, batchId, "TextLayout.append")
-    val fresh = exploded(spark, arrivals)
-    // the id-authority for the guard is the COUNT-PARTIALS prefix, not
-    // the raw log: same doc_id set (the two stores are written together
-    // per batch), fewer rows by the within-doc repetition factor —
-    // the per-batch guard scan should ride the smaller artifact
-    // (round-8 review)
-    val priorIds =
-      if (storeExists(spark, countsDir(root)))
+    // id-authority: the [[IdAuthority]] bloom sidecar — index-sized,
+    // batch-cost per append (round-8 advice closed the per-append
+    // corpus scan). Its exact fallback rides the COUNT-PARTIALS
+    // prefix, not the raw log: same doc_id set (the two stores are
+    // written together per batch), fewer rows by the within-doc
+    // repetition factor.
+    IdAuthority.guardAndRecord(spark, root, batchId,
+      arrivals.select(col("doc_id")),
+      priorIds = if (storeExists(spark, countsDir(root)))
         LogCompaction.view(spark.read.parquet(countsDir(root)), mk)
           .filter(col(BatchCol) < batchId)
           .select(col("doc_id")).distinct()
-      else fresh.limit(0).select(col("doc_id"))
-    val log = fresh
-      .join(priorIds.withColumn("__seen", lit(true)), Seq("doc_id"), "left_outer")
-      .filter(when(col("__seen"),
-        raise_error(concat(lit(s"TextLayout.append(batch $batchId): arrival doc_id "),
-          col("doc_id").cast("string"),
-          lit(" already exists in the token-log prefix — a re-appended id " +
-            "would double its count partials; redeliver with the ORIGINAL " +
-            "batch id, or dedup ids upstream (T3)")))
-          .cast("boolean"))
-        .otherwise(lit(true)))
-      .drop("__seen")
-      .localCheckpoint()
+      else arrivals.limit(0).select(col("doc_id")),
+      who = "TextLayout.append", what = "token-log prefix")
+    val log = exploded(spark, arrivals).localCheckpoint()
     log.withColumn(BatchCol, lit(batchId))
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -134,12 +128,17 @@ object TextLayout {
     */
   def compact(spark: SparkSession, root: String,
               upToBatch: Option[Long] = None,
-              sweepNow: Boolean = true): Long =
+              sweepNow: Boolean = true): Long = {
     // counts are written LAST per batch: a batch listed there is fully
     // present in both logs — the watermark anchor
-    LogCompaction.run(spark, root, watermarkDir = countsDir(root),
+    val w = LogCompaction.run(spark, root, watermarkDir = countsDir(root),
       stores = compactStores(spark, root), upToBatch = upToBatch,
       sweepNow = sweepNow)
+    // finalized batches can never replay, so their id-authority records
+    // serve nobody — same small-files lever as the fold itself
+    IdAuthority.prune(spark, root, w)
+    w
+  }
 
   /** Reclaim the partitions the current compaction shadows — the
     * deferred sweep of a `sweepNow = false` [[compact]].
