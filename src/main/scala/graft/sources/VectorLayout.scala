@@ -300,40 +300,89 @@ object VectorLayout {
     */
   val StageGraceMs: Long = 24L * 3600 * 1000
 
+  /** Minimum WALL-CLOCK age of a retired version before [[gcVersions]]
+    * may reclaim it, measured from the creation of the pointer marker
+    * that superseded it. The round-8 grace was counted in maintenance
+    * RUNS (keep=2 on the swap run, keep=1 after), which two runs in
+    * quick succession — a manual run right after the scheduled slot —
+    * collapse to near zero while pre-swap probes or durable pins may
+    * still be live (round-8 advice). Wall-clock age is cadence-proof.
+    */
+  val VersionGraceMs: Long = 24L * 3600 * 1000
+
+  /** Session conf overriding [[VersionGraceMs]] (milliseconds) — for
+    * deployments whose reader-drain bound is tighter than a day, and
+    * for specs that exercise the reclaim itself.
+    */
+  val GcMinAgeKey = "spark.graft.vectors.gcMinAgeMs"
+
+  /** Whether `root` resolves to an existing layout — a plain dir, or a
+    * versioned root whose pointer names a published version. The
+    * maintenance job gates its drift/retrain/GC block on this rather
+    * than crashing with a bare path error on a root whose vector
+    * family was never built (round-8 advice).
+    */
+  def exists(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new org.apache.hadoop.fs.Path(resolve(spark, root)))
+
   /** Reclaim retired versions: delete the layout dirs of every
     * PUBLISHED version older than the newest `keep` (round-7 scaladoc
     * promise made real — "a deployment garbage-collects them once no
-    * reader can hold them"). The pointer markers stay: they are the
-    * version history, bytes-cheap, and [[currentVersion]] resolves the
-    * MAX so retired markers never redirect a reader. A complete-but-
-    * unpublished `v<N+1>` (crash between rename and pointer) is never
-    * touched — the next retrain publishes it. Crashed builders'
-    * `.retrain-*`/`.mat-*` stage dirs are swept once older than
-    * [[StageGraceMs]] (a younger stage may be a live concurrent
-    * retrain, which [[retrainAndSwap]] explicitly supports). Same grace
-    * discipline as [[LogCompaction.vacuum]]: run once every reader
-    * constructed before the oldest surviving swap has drained — that
-    * includes DURABLE pins: a [[graft.streaming.VectorStream]] sidecar
-    * record naming a GC'd version can no longer replay, and the read
-    * entries refuse it loudly ([[vectors]]) rather than half-resolve.
-    * Returns the deleted version numbers.
+    * reader can hold them") AND retired for at least `minAgeMs` of
+    * wall-clock (default [[GcMinAgeKey]] else [[VersionGraceMs]]) —
+    * age measured from the superseding pointer marker's creation, so
+    * the reader-drain grace holds regardless of run cadence. The
+    * pointer markers stay: they are the version history, bytes-cheap,
+    * [[currentVersion]] resolves the MAX so retired markers never
+    * redirect a reader — and their timestamps are what age the
+    * versions they superseded. A complete-but-unpublished `v<N+1>`
+    * (crash between rename and pointer) is never touched — the next
+    * retrain publishes it. Crashed builders' `.retrain-*`/`.mat-*`
+    * stage dirs are swept once older than [[StageGraceMs]] (a younger
+    * stage may be a live concurrent retrain, which [[retrainAndSwap]]
+    * explicitly supports). Same grace discipline as
+    * [[LogCompaction.vacuum]]: run once every reader constructed
+    * before the oldest surviving swap has drained — that includes
+    * DURABLE pins: a [[graft.streaming.VectorStream]] sidecar record
+    * naming a GC'd version can no longer replay, and the read entries
+    * refuse it loudly ([[vectors]]) rather than half-resolve. Returns
+    * the deleted version numbers.
     */
-  def gcVersions(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
+  def gcVersions(spark: SparkSession, root: String, keep: Int = 1,
+                 minAgeMs: Option[Long] = None): Seq[Int] = {
     require(keep >= 1, s"must keep at least the current version, got $keep")
     val cur = currentVersion(spark, root).getOrElse(return Nil)
     val f = fs(spark, root)
     val entries = f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
-    val staleBefore = System.currentTimeMillis() - StageGraceMs
+    val now = System.currentTimeMillis()
     entries.foreach { s =>
       val n = s.getPath.getName
       if ((n.startsWith(".retrain-") || n.startsWith(".mat-")) &&
-        s.getModificationTime < staleBefore)
+        s.getModificationTime < now - StageGraceMs)
         f.delete(s.getPath, true)
+    }
+    val grace = minAgeMs
+      .orElse(spark.conf.getOption(GcMinAgeKey).map(_.toLong))
+      .getOrElse(VersionGraceMs)
+    // version n was RETIRED the moment the first marker above it
+    // appeared; that marker's mtime starts n's drain clock
+    val markerAt = entries.iterator
+      .filter(s => { val n = s.getPath.getName
+        n.startsWith(PointerPrefix) && n.length > PointerPrefix.length &&
+          n.drop(PointerPrefix.length).forall(_.isDigit) })
+      .map(s => s.getPath.getName.stripPrefix(PointerPrefix).toInt ->
+        s.getModificationTime)
+      .toMap
+    def retiredAt(n: Int): Option[Long] = {
+      val above = markerAt.view.filterKeys(_ > n).values
+      if (above.isEmpty) None else Some(above.min)
     }
     val victims = entries.iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.length > 1 &&
         n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
-      .filter(_ <= cur - keep).toSeq.sorted
+      .filter(n => n <= cur - keep &&
+        retiredAt(n).exists(_ <= now - grace))
+      .toSeq.sorted
     victims.foreach(n => f.delete(
       new org.apache.hadoop.fs.Path(versionDir(root, n)), true))
     victims
