@@ -16,13 +16,17 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   *     ([[DedupLayout.compact]] — which re-bounds the refresh to its
   *     own watermark, so running both is safe and idempotent);
   *   - text: fold the token/partials logs ([[TextLayout.compact]]);
-  *   - vectors: fold the cell/batch log ([[VectorLayout.compact]]),
-  *     read the drift report, and when it demands a retrain, ACT —
+  *   - vectors (only when the layout exists — a root whose vector
+  *     family was never built reports a skip instead of crashing):
+  *     fold the cell/batch log ([[VectorLayout.compact]]), read the
+  *     drift report, and when it demands a retrain, ACT —
   *     [[VectorLayout.retrainAndSwap]]; on every versioned run, GC
-  *     retired versions, keeping the JUST-swapped-out one for exactly
-  *     one maintenance cycle (the reader-drain grace window) — a quiet
-  *     run is what reclaims it, so the grace actually elapses instead
-  *     of waiting for the next drift event.
+  *     retired versions. Reclaim is WALL-CLOCK gated: a retired
+  *     version survives every run until [[VectorLayout.VersionGraceMs]]
+  *     (conf [[VectorLayout.GcMinAgeKey]]) has elapsed since it was
+  *     superseded, so the reader-drain grace holds even when runs
+  *     collapse in time; the swap run additionally keeps the version
+  *     it just retired (keep=2) regardless of age.
   *
   * Every step is idempotent and watermark-gated, so the job can run on
   * any schedule, after any crash, with nothing to hand it but the
@@ -49,6 +53,14 @@ object StoreMaintain {
       s"watermark=${DedupLayout.compact(spark, dedupRoot)}"
     out += "text.compact" ->
       s"watermark=${TextLayout.compact(spark, textRoot)}"
+    if (!VectorLayout.exists(spark, vecRoot)) {
+      // the dedup/text steps above no-op gracefully on an absent store,
+      // but every vector action below starts from a layout read — on a
+      // root whose vector family was never built, report the skip
+      // instead of crashing with a bare path error (round-9 advice)
+      out += "sim.layout_drift" -> "skipped: no layout"
+      return out.result()
+    }
     out += "sim.layout_compact" ->
       s"watermark=${VectorLayout.compact(spark, vecRoot)}"
 
@@ -73,8 +85,8 @@ object StoreMaintain {
       // GC runs EVERY versioned cycle (round-8 review: inside the
       // retrain branch, a quiet-after-swap deployment would retain the
       // retired version forever). keep=2 on the swap run holds the
-      // just-retired version through its grace window; the next run —
-      // drift quiet, grace elapsed — reclaims it with keep=1.
+      // just-retired version regardless of age; after that the
+      // wall-clock grace ([[VectorLayout.gcVersions]]) is the gate.
       val gcd = VectorLayout.gcVersions(spark, vecRoot,
         keep = if (swapped) 2 else 1)
       out += "sim.layout_gc" ->

@@ -361,8 +361,13 @@ object VectorLayout {
         s.getModificationTime < now - StageGraceMs)
         f.delete(s.getPath, true)
     }
+    // digits-only guard (the round-8 stray-value convention): a
+    // malformed conf falls back to the default grace — the SAFE
+    // direction — instead of throwing inside the GC path
     val grace = minAgeMs
-      .orElse(spark.conf.getOption(GcMinAgeKey).map(_.toLong))
+      .orElse(spark.conf.getOption(GcMinAgeKey)
+        .filter(v => v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+        .map(_.toLong))
       .getOrElse(VersionGraceMs)
     // version n was RETIRED the moment the first marker above it
     // appeared; that marker's mtime starts n's drain clock

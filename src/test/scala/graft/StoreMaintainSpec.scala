@@ -74,6 +74,25 @@ class StoreMaintainSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("maintain on a root whose vector family was never built skips, not crashes") {
+    val root = Files.createTempDirectory("graft-maintain-novec").toString
+    val s = spark.newSession()
+    // a text-only deployment: dedup + text layouts exist, vectors never built
+    val docs = Tables.documents(s, Sf).select(col("doc_id"), col("text"))
+    DedupLayout.materialize(s, docs, StoreBuild.dedupLayoutDir(root))
+    TextLayout.materialize(s, docs, StoreBuild.textLayoutDir(root))
+
+    val outcomes = StoreMaintain.maintainAll(s, root).toMap
+    assert(outcomes("dedup.refresh_labels") === "refreshed", outcomes.toString)
+    assert(outcomes("sim.layout_drift") === "skipped: no layout",
+      s"an absent vector layout must report a skip, not crash: $outcomes")
+    assert(!outcomes.contains("sim.layout_compact") &&
+      !outcomes.contains("sim.layout_retrain") &&
+      !outcomes.contains("sim.layout_gc"),
+      s"no vector action may run without a layout: $outcomes")
+    CacheLife.release(spark)
+  }
+
   test("maintain on a versioned root acts on drift: swap, fresh baseline, GC grace") {
     val root = Files.createTempDirectory("graft-maintain-v").toString
     val s = spark.newSession()
@@ -92,9 +111,24 @@ class StoreMaintainSpec extends SparkSpec {
       s"the swap run must hold the retired version for its grace window: $acted")
     assert(VectorLayout.currentVersion(s, vecRoot) === Some(2))
 
-    // the swap IS the remedy, and the QUIET run is what reclaims the
-    // retired version — grace elapsed, keep=1 (round-8 review: GC inside
-    // the retrain branch would retain v1 until the next drift event)
+    // under the DEFAULT wall-clock grace, quiet runs — even two in
+    // rapid succession, the exact cadence collapse the round-9 grace
+    // exists for — reclaim NOTHING: v1's drain clock is a day of
+    // wall-clock, not a count of maintenance runs
+    val quiet1 = StoreMaintain.maintainAll(s, root).toMap
+    assert(quiet1("sim.layout_drift") === "retrain=false", quiet1.toString)
+    val quiet2 = StoreMaintain.maintainAll(s, root).toMap
+    assert(quiet1("sim.layout_gc") === "none" &&
+      quiet2("sim.layout_gc") === "none",
+      s"back-to-back quiet runs must hold the retired version: $quiet1 / $quiet2")
+    assert(new java.io.File(vecRoot, "v1").exists(),
+      "v1 must survive quiet maintenance inside its drain grace")
+
+    // a deployment with a tighter reader-drain bound opts in via conf;
+    // the QUIET run then reclaims — grace (zero) elapsed, keep=1
+    // (round-8 review: GC inside the retrain branch would retain v1
+    // until the next drift event)
+    s.conf.set(VectorLayout.GcMinAgeKey, "0")
     val calm = StoreMaintain.maintainAll(s, root).toMap
     assert(calm("sim.layout_drift") === "retrain=false", calm.toString)
     assert(!calm.contains("sim.layout_retrain"), calm.toString)

@@ -93,7 +93,17 @@ class VersionedLayoutSpec extends SparkSpec {
       System.currentTimeMillis() - VectorLayout.StageGraceMs - 60000))
     val live = new java.io.File(root, ".retrain-live")
     assert(live.mkdir())
-    assert(VectorLayout.gcVersions(spark, root) === Seq(1))
+    // under the DEFAULT wall-clock grace a just-retired v1 SURVIVES —
+    // the reader-drain window is a day of wall-clock, not a run count,
+    // so GC runs in rapid succession reclaim nothing (round-9: the
+    // grace deserves a positive test, not just a spec workaround)
+    assert(VectorLayout.gcVersions(spark, root) === Nil &&
+      VectorLayout.gcVersions(spark, root) === Nil,
+      "a retired version must outlive back-to-back GC runs inside its grace")
+    assert(new java.io.File(root, "v1").exists(),
+      "v1's files must survive GC while its drain grace holds")
+    // with the grace elapsed (forced to zero), GC reclaims exactly v1
+    assert(VectorLayout.gcVersions(spark, root, minAgeMs = Some(0)) === Seq(1))
     val after = new java.io.File(root).listFiles().map(_.getName).toSeq
     assert(!after.contains("v1") && after.contains("v2"),
       s"GC must delete exactly the retired versions: $after")
@@ -106,7 +116,7 @@ class VersionedLayoutSpec extends SparkSpec {
     assert(rows(VectorLayout.probeQuerySet(spark, Sf, root, qvs)) === postSwap,
       "the current version must answer identically after GC")
     // idempotent re-run deletes nothing further
-    assert(VectorLayout.gcVersions(spark, root) === Nil)
+    assert(VectorLayout.gcVersions(spark, root, minAgeMs = Some(0)) === Nil)
 
     // a durable pin naming the GC'd version refuses LOUDLY with the GC
     // contract — never a silent codebook fallback + bare path error
