@@ -130,9 +130,18 @@ object IdAuthority {
       s".bloom-${encodeId(batchId)}.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(serialize(s)) finally out.close()
-    // FILE renames replace atomically (no directory-nesting trap); a
-    // same-batch replay rewrites identical bytes either way
-    if (!f.rename(tmp, p) && f.exists(tmp)) f.delete(tmp, false)
+    // FILE renames replace atomically on POSIX, but HDFS-like stores
+    // REFUSE a rename onto an existing destination (returning false,
+    // not throwing) — delete the old record first. The empty window is
+    // safe ([[latestBefore]] finding nothing falls back to the exact
+    // store); a swallowed false is NOT (the stale record would stay
+    // authoritative), so a failed publish raises.
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) {
+      if (f.exists(tmp)) f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"IdAuthority: failed to publish sidecar record $p")
+    }
   }
 
   /** Build a filter of `capacity` over a column of ids with ONE
@@ -166,13 +175,17 @@ object IdAuthority {
   private def suspects(spark: SparkSession, ids: DataFrame,
                        bloom: BloomFilter, cap: Int): Seq[Long] = {
     val bc = spark.sparkContext.broadcast(bloom)
-    ids.toDF("id").select(col("id").cast("long")).distinct()
+    try ids.toDF("id").select(col("id").cast("long")).distinct()
       .mapPartitions { it =>
         val b = bc.value
         it.filter(r => b.mightContainLong(r.getLong(0))).map(_.getLong(0))
       }(Encoders.scalaLong)
       .limit(cap + 1)
       .collect().toSeq
+    // destroy, not unpersist: the filter is rebuilt per append, and a
+    // long-running streaming driver would otherwise accumulate one
+    // index-sized broadcast per micro-batch
+    finally bc.destroy()
   }
 
   private def refuse(who: String, batchId: Long, id: String,
@@ -277,11 +290,21 @@ object IdAuthority {
   }
 
   /** Record the BASE build's ids (batch -1) so the first append is
-    * already bloom-guarded.
+    * already bloom-guarded. A base build REPLACES the root's previous
+    * life (materialize explicitly supports rebuilding over a used
+    * root — it wipes the compaction marker for the same reason), so
+    * the whole sidecar is wiped first: a surviving `bloom-<b>` record
+    * would be selected by [[latestBefore]] as the guard authority for
+    * the new appends while lacking the new ids — a re-appended doc_id
+    * would pass silently, the exact corruption the guard refuses.
     */
   def recordBase(spark: SparkSession, root: String, ids: DataFrame,
-                 baseBatch: Long): Unit =
+                 baseBatch: Long): Unit = {
+    val f = fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(dir(root))
+    if (f.exists(d)) f.delete(d, true)
     write(spark, root, baseBatch, sized(ids))
+  }
 
   /** Drop sidecar records below the compaction watermark — the batches
     * [[LogCompaction]] has FINALIZED can never replay, so their records

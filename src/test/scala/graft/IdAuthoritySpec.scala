@@ -99,6 +99,29 @@ class IdAuthoritySpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("materialize over a used root wipes the previous life's records") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-ida-rebuild").toString
+    val m = col("doc_id") % 4
+    // first life: base + one append, leaving bloom-m1 and bloom-0
+    TextLayout.materialize(spark, docs.filter(m === 0), root)
+    TextLayout.append(spark, docs.filter(m === 1), root, batchId = 0L)
+    // second life: rebuild with a DIFFERENT base corpus
+    TextLayout.materialize(spark, docs.filter(m === 2), root)
+    assert(bloomFiles(root) === Seq("bloom-m1"),
+      "a rebuild must wipe the old life's sidecar: a stale bloom-0 would " +
+        "outrank the new base record as the guard authority")
+    // the stale bloom-0 lacked the new base ids — had it survived, this
+    // duplicate of the new base would pass the bloom silently; the
+    // fresh authority refuses it
+    val e = intercept[IllegalStateException] {
+      TextLayout.append(spark, docs.filter(m === 2), root, batchId = 1L)
+    }
+    assert(e.getMessage.contains("already exists in the token-log prefix"),
+      e.getMessage)
+    CacheLife.release(spark)
+  }
+
   test("compaction prunes the finalized records; the newest survives") {
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
     val root = Files.createTempDirectory("graft-ida-prune").toString
