@@ -30,7 +30,11 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   *
   * Every step is idempotent and watermark-gated, so the job can run on
   * any schedule, after any crash, with nothing to hand it but the
-  * root. Quiescence contract: run between ingest drains (or bound
+  * root. Deployments running [[graft.streaming.VectorStream
+  * .probeLayoutSink]] should also run [[graft.streaming.VectorStream
+  * .pruneWatermarks]] per stream alongside this job — the pin sidecar
+  * is keyed by each stream's OUTPUT dir, which only the stream owner
+  * knows, so it cannot be reached from the store root alone. Quiescence contract: run between ingest drains (or bound
   * compaction with `upToBatch`/`sweepNow=false` — see
   * [[graft.sources.LogCompaction.run]]); this main assumes the
   * scheduled-slot deployment and takes the defaults.

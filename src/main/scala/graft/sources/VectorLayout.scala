@@ -473,8 +473,12 @@ object VectorLayout {
         s"VectorLayout: $dir does not exist — if this path came from a " +
           "pinned snapshot record, its version has been garbage-collected " +
           "(gcVersions); replays pinned to a reclaimed version are " +
-          "impossible — re-pin against the current version, or GC only " +
-          "past every pin a replayer may still hold")
+          "impossible. To re-pin THAT batch against the current version " +
+          "(accepting rewritten results), delete its wm-<batchId> record " +
+          "under the stream's <outDir>__watermarks sidecar and rerun; " +
+          "prevention is GC-ing only past every pin a replayer may still " +
+          "hold (VectorStream.pruneWatermarks retires records the " +
+          "checkpoint has outlived)")
 
   private def histPath(outDir: String): String =
     outDir.stripSuffix("/") + "/_trained_hist"

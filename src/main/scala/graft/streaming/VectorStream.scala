@@ -92,6 +92,80 @@ object VectorStream {
       }
       .start()
 
+  private def watermarkDir(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir.stripSuffix("/") + "__watermarks")
+
+  /** The highest micro-batch id the stream's checkpoint has COMMITTED —
+    * from the `<checkpoint>/commits/<batchId>` markers Structured
+    * Streaming creates after each successful batch. None on a fresh or
+    * absent checkpoint.
+    */
+  private def committedBatch(spark: SparkSession,
+                             checkpoint: String): Option[Long] = {
+    val d = new org.apache.hadoop.fs.Path(
+      checkpoint.stripSuffix("/") + "/commits")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).maxOption
+  }
+
+  /** The pin-prune floor: the highest `_pruned-<W>` marker, below which
+    * `wm-<id>` records have been reclaimed and a missing record means
+    * FINALIZED, not first-attempt.
+    */
+  private def prunedWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_pruned-") &&
+        n.stripPrefix("_pruned-").nonEmpty &&
+        n.stripPrefix("_pruned-").forall(_.isDigit))
+      .map(_.stripPrefix("_pruned-").toLong).maxOption
+
+  /** Reclaim pin records the checkpoint has outlived — the maintenance
+    * companion of [[probeLayoutSink]] (run it beside
+    * [[graft.StoreMaintain]]; the job itself only knows the store root,
+    * not each stream's output dir). [[pinnedSnapshot]] records are
+    * immutable creates, one per micro-batch FOREVER — exactly the
+    * small-files pathology [[graft.sources.LogCompaction]] exists to
+    * fix (round-8/9 advice). A record below the checkpoint's committed
+    * watermark serves nobody reachable: committed batches only re-run
+    * from a WIPED checkpoint, and a wiped-checkpoint replay below the
+    * prune floor cannot reproduce its pinned snapshot anyway — so,
+    * like a compacted batch log, those batches are FINALIZED. The
+    * `_pruned-<W>` marker (append-only create, max wins — the
+    * [[graft.sources.VectorLayout]] pointer idiom) is written BEFORE
+    * the deletes, so a crash mid-prune refuses rather than silently
+    * re-pins; [[pinnedSnapshot]] refuses a first-attempt LOOKING batch
+    * below it loudly, with the remediation spelled out. Returns the
+    * pruned batch ids.
+    */
+  def pruneWatermarks(spark: SparkSession, outDir: String,
+                      checkpoint: String): Seq[Long] =
+    committedBatch(spark, checkpoint) match {
+      case None => Nil
+      case Some(w) =>
+        val dir = watermarkDir(outDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) return Nil
+        val marker = new org.apache.hadoop.fs.Path(dir, s"_pruned-$w")
+        if (prunedWatermark(fs, dir).forall(_ < w) && !fs.exists(marker))
+          fs.create(marker, false).close()
+        val victims = fs.listStatus(dir).iterator
+          .map(_.getPath)
+          .flatMap { p =>
+            val n = p.getName.stripPrefix("wm-")
+            if (p.getName.startsWith("wm-") && n.nonEmpty &&
+              n.forall(_.isDigit) && n.toLong < w) Some(n.toLong -> p)
+            else None
+          }
+          .toSeq.sortBy(_._1)
+        victims.foreach { case (_, p) => fs.delete(p, false) }
+        victims.map(_._1)
+    }
+
   /** Pin the layout snapshot a micro-batch probes: at the batch's FIRST
     * attempt, record (resolved layout version dir, max layout batch id)
     * in a sidecar file keyed by the micro-batch id; any retry — or a
@@ -102,11 +176,13 @@ object VectorStream {
     * rewrite earlier batches' partitions with different top-k rows —
     * round-7 advice. The record is an immutable create (never
     * overwritten), living beside the results, outside the checkpoint a
-    * replay wipes.
+    * replay wipes; [[pruneWatermarks]] reclaims records the checkpoint
+    * has outlived, and a missing record below its `_pruned-<W>` floor
+    * refuses rather than silently re-pinning against today's layout.
     */
   private def pinnedSnapshot(spark: SparkSession, outDir: String,
                              layoutDir: String, batchId: Long): (String, Long) = {
-    val dir = new org.apache.hadoop.fs.Path(outDir.stripSuffix("/") + "__watermarks")
+    val dir = watermarkDir(outDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir, s"wm-$batchId")
     // a crash can leave an empty/truncated record (round-8 review):
@@ -125,6 +201,21 @@ object VectorStream {
         else { fs.delete(p, false); None }
       }
     parse().getOrElse {
+      // no record: first attempt — unless the batch fell below the
+      // prune floor, where a missing record means FINALIZED: re-pinning
+      // against today's layout would rewrite this batch's partition
+      // with different top-k rows, the exact corruption the pin exists
+      // to prevent
+      prunedWatermark(fs, dir).filter(batchId < _).foreach { w =>
+        throw new IllegalStateException(
+          s"VectorStream: batch $batchId is below the pin-prune " +
+            s"watermark $w and its snapshot record is gone — a " +
+            "wiped-checkpoint replay this old cannot reproduce its " +
+            "original results. Start the stream over with a fresh " +
+            s"checkpoint AND output dir, or delete the _pruned-* " +
+            s"markers under $dir to deliberately re-pin old batches " +
+            "against the CURRENT layout (accepting rewritten history)")
+      }
       val resolved = VectorLayout.resolve(spark, layoutDir)
       val wm = VectorLayout.maxBatchId(spark, resolved)
       // write-temp-then-rename: the record appears complete or not at

@@ -151,6 +151,69 @@ class VectorStreamSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("pin records prune to the committed watermark; live batches keep pinning; finalized replays refuse") {
+    val layout = Files.createTempDirectory("graft-vqm").toString + "/vectors"
+    graft.sources.VectorLayout.materialize(spark, Sf, layout)
+    val qdir = Files.createTempDirectory("graft-vqm-q")
+    val out = Files.createTempDirectory("graft-vqm-out").toString + "/results"
+    val ckpt = Files.createTempDirectory("graft-vqm-ck").toString + "/ck"
+    val wmDir = new java.io.File(out + "__watermarks")
+    def sidecar() = wmDir.listFiles().toSeq.map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // local-FS .crc shadows
+
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").between(20, 23))
+      .select(col("vec_id"), col("embedding"))
+    // two files → two micro-batches (maxFilesPerTrigger=1)
+    writeOneFile(queries.filter(col("vec_id") < 22), qdir, "q1.parquet")
+    writeOneFile(queries.filter(col("vec_id") === 22), qdir, "q2.parquet")
+
+    def drain(checkpoint: String): Set[(Long, Long, Double, Int)] = {
+      val q = VectorStream.probeLayoutSink(
+        VectorStream.read(spark, qdir.toString), Sf, layout, out, checkpoint)
+      try q.processAllAvailable() finally q.stop()
+      VectorStream.results(spark, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    val first = drain(ckpt)
+    assert(sidecar() === Seq("wm-0", "wm-1"))
+
+    // maintenance: records the checkpoint has outlived (batch < committed
+    // watermark 1) are reclaimed; the floor marker publishes first
+    assert(VectorStream.pruneWatermarks(spark, out, ckpt) === Seq(0L))
+    assert(sidecar() === Seq("_pruned-1", "wm-1"),
+      "only records >= the committed watermark may survive a prune")
+    assert(VectorStream.pruneWatermarks(spark, out, ckpt) === Nil,
+      "a re-run reclaims nothing further")
+
+    // the stream keeps serving on its intact checkpoint: a NEW batch
+    // pins fresh even though the layout grew after the prune
+    val clones = Tables.embeddings(spark, Sf).filter(col("vec_id") === 23)
+      .select(explode(sequence(lit(3000000L), lit(3000004L))).as("vec_id"),
+        col("embedding"))
+    graft.sources.VectorLayout.append(spark, Sf, layout, clones, batchId = 7L)
+    writeOneFile(queries.filter(col("vec_id") === 23), qdir, "q3.parquet")
+    val grown = drain(ckpt)
+    assert(sidecar() === Seq("_pruned-1", "wm-1", "wm-2"),
+      "a live continuation must pin its new batch beside the survivors")
+    assert(grown.filter(_._1 <= 22) === first,
+      "committed batches' results must not change across prune + growth")
+    assert(grown.exists { case (qid, vid, _, _) => qid === 23L && vid >= 3000000L },
+      "the new batch must probe the grown layout")
+
+    // a wiped-checkpoint replay would re-run batch 0, whose record is
+    // gone and below the floor — re-pinning against today's layout
+    // would rewrite history, so it must refuse loudly
+    val e = intercept[Exception] {
+      drain(Files.createTempDirectory("graft-vqm-ck2").toString + "/ck")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("below the pin-prune watermark")),
+      messages(e).mkString(" | "))
+    CacheLife.release(spark)
+  }
+
   test("layout-backed streaming probe matches the batch probe over the on-disk index") {
     val layout = Files.createTempDirectory("graft-vql").toString + "/vectors"
     graft.sources.VectorLayout.materialize(spark, Sf, layout)
