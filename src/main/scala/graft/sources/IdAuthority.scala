@@ -2,7 +2,9 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.util.sketch.BloomFilter
@@ -35,11 +37,23 @@ import org.apache.spark.util.sketch.BloomFilter
   * inherited capacity rebuilds the cumulative filter from the exact
   * prefix ids at `2×` occupancy — the one corpus-id scan left, paid
   * O(log n) times over the store's lifetime instead of every append.
-  * At [[Fpp]]=1% the authority costs ~1.2 bytes/id: index-sized, and
-  * the build streams ids through a single task (one allocation, no
-  * per-task zero copies). When even that outgrows a task — tens of
-  * billions of ids — shard the sidecar by `pmod(hash(id), B)` (the
-  * [[DedupLayout.EdgeBuckets]] idiom) or flip [[TrustKey]].
+  * At [[Fpp]]=1% the authority costs ~1.2 bytes/id.
+  *
+  * Two record formats, switched on capacity. Up to
+  * [[ShardCapacityKey]] ids the record is ONE file and the build
+  * streams ids through a single task (one allocation, no per-task
+  * zero copies) with the filter broadcast for probes. Past it —
+  * hundreds of millions to tens of billions of ids, where one task
+  * and one broadcast would each hold gigabytes — the record is a
+  * parquet DIRECTORY of per-shard blooms keyed by
+  * `pmod(hash(id), nshards)` (the [[DedupLayout]] EdgeBuckets idiom):
+  * each shard builds in its own task (`groupByKey` over the shard
+  * key), probes `cogroup` arrivals against bloom rows so a task
+  * deserializes only its own shard, and merges are per-shard jobs —
+  * nothing driver- or task-resident ever exceeds one shard
+  * (~[[DefaultShardCapacity]]·1.2 bytes). Both formats answer
+  * identically; [[TrustKey]] remains the opt-out for upstreams that
+  * guarantee uniqueness.
   *
   * [[TrustKey]] (`spark.graft.ids.trust=true`) skips the CHECK for
   * deployments whose upstream already guarantees unique ids (the T3
@@ -69,13 +83,42 @@ object IdAuthority {
     */
   val SuspectCap = 10000
 
+  /** Session conf: id capacity above which a record is SHARDED into a
+    * per-shard parquet directory instead of one file (specs force tiny
+    * values to exercise the sharded path at test scale).
+    */
+  val ShardCapacityKey = "spark.graft.ids.shardCapacity"
+
+  /** Default [[ShardCapacityKey]]: 2^25 ids ≈ 40 MB of filter — the
+    * largest single allocation worth holding in one task or one
+    * broadcast; past it, sharding keeps every resident piece at or
+    * under this size.
+    */
+  val DefaultShardCapacity: Long = 1L << 25
+
+  private def shardCapacity(spark: SparkSession): Long =
+    spark.conf.getOption(ShardCapacityKey)
+      .filter(v => v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+      .map(_.toLong).filter(_ > 0)
+      .getOrElse(DefaultShardCapacity)
+
+  /** Per-shard capacity: both sides of a merge derive it with the same
+    * integer math, which is what keeps their filters bit-compatible.
+    */
+  private def perShard(capacity: Long, ns: Int): Long =
+    (capacity + ns - 1) / ns
+
+  private def shardsFor(capacity: Long, shardCap: Long): Int =
+    ((capacity + shardCap - 1) / shardCap).toInt
+
   private def dir(root: String) = root.stripSuffix("/") + "/_id_bloom"
 
   private def encodeId(id: Long): String =
     if (id < 0) s"m${-id}" else id.toString
 
   private def decodeId(name: String): Option[Long] = {
-    val s = name.stripPrefix("bloom-")
+    val s0 = name.stripPrefix("bloom-")
+    val s = if (s0.endsWith(".d")) s0.dropRight(2) else s0
     if (s.startsWith("m") && s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit))
       Some(-s.drop(1).toLong)
     else if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong)
@@ -86,7 +129,32 @@ object IdAuthority {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private case class Sidecar(capacity: Long, count: Long, bloom: BloomFilter)
+  private sealed trait Authority { def capacity: Long; def count: Long }
+
+  /** Single-file record: the whole filter, driver-resident. */
+  private case class Sidecar(capacity: Long, count: Long,
+                             bloom: BloomFilter) extends Authority
+
+  /** Sharded record: a parquet dir of (shard, n, capacity, nshards,
+    * bytes) rows; the blooms stay ON DISK, deserialized one shard per
+    * task only where a job needs them.
+    */
+  private case class Sharded(capacity: Long, count: Long, nshards: Int,
+                             path: String) extends Authority
+
+  /** Parse a sharded record's metadata (two tiny jobs: one row for the
+    * scalars, a footer-count sum for the occupancy). Any read failure —
+    * torn publish, lost part file — reads as absent, like a truncated
+    * single-file record.
+    */
+  private def parseSharded(spark: SparkSession,
+                           p: org.apache.hadoop.fs.Path): Option[Sharded] =
+    Try {
+      val df = spark.read.parquet(p.toString)
+      val meta = df.select(col("capacity"), col("nshards")).head
+      val cnt = df.agg(sum(col("n"))).head.getLong(0)
+      Sharded(meta.getLong(0), cnt, meta.getInt(1), p.toString)
+    }.toOption
 
   /** The newest record strictly below `batchId` — the prefix authority
     * a guard or a merge consults. A malformed record (crash-truncated)
@@ -94,17 +162,18 @@ object IdAuthority {
     * is always right.
     */
   private def latestBefore(spark: SparkSession, root: String,
-                           batchId: Long): Option[Sidecar] = {
+                           batchId: Long): Option[Authority] = {
     val d = new org.apache.hadoop.fs.Path(dir(root))
     val f = fs(spark, root)
     if (!f.exists(d)) return None
     f.listStatus(d).iterator
-      .flatMap(s => decodeId(s.getPath.getName).map(_ -> s.getPath))
+      .flatMap(s => decodeId(s.getPath.getName).map(_ -> s))
       .filter(_._1 < batchId)
       .maxByOption(_._1)
-      .flatMap { case (_, p) =>
-        try {
-          val in = new DataInputStream(f.open(p))
+      .flatMap { case (_, st) =>
+        if (st.isDirectory) parseSharded(spark, st.getPath)
+        else try {
+          val in = new DataInputStream(f.open(st.getPath))
           try {
             val cap = in.readLong(); val n = in.readLong()
             Some(Sidecar(cap, n, BloomFilter.readFrom(in)))
@@ -119,6 +188,20 @@ object IdAuthority {
     out.writeLong(s.capacity); out.writeLong(s.count)
     s.bloom.writeTo(out); out.close()
     bos.toByteArray
+  }
+
+  /** Clear BOTH name forms of a record destination: a replay under a
+    * changed [[ShardCapacityKey]] may publish batch b in the other
+    * format, and two coexisting records for one batch would make
+    * [[latestBefore]]'s pick arbitrary.
+    */
+  private def clearRecord(f: org.apache.hadoop.fs.FileSystem,
+                          d: org.apache.hadoop.fs.Path,
+                          batchId: Long): Unit = {
+    val single = new org.apache.hadoop.fs.Path(d, s"bloom-${encodeId(batchId)}")
+    val sharded = new org.apache.hadoop.fs.Path(d, s"bloom-${encodeId(batchId)}.d")
+    if (f.exists(single)) f.delete(single, false)
+    if (f.exists(sharded)) f.delete(sharded, true)
   }
 
   private def write(spark: SparkSession, root: String, batchId: Long,
@@ -136,12 +219,70 @@ object IdAuthority {
     // safe ([[latestBefore]] finding nothing falls back to the exact
     // store); a swallowed false is NOT (the stale record would stay
     // authoritative), so a failed publish raises.
-    if (f.exists(p)) f.delete(p, false)
+    clearRecord(f, d, batchId)
     if (!f.rename(tmp, p)) {
       if (f.exists(tmp)) f.delete(tmp, false)
       throw new java.io.IOException(
         s"IdAuthority: failed to publish sidecar record $p")
     }
+  }
+
+  /** Publish a sharded record: stage the rows as parquet under a
+    * UUID-named dot-dir (invisible to [[decodeId]]), then clear the
+    * destination and rename — the [[write]] discipline, directory form.
+    * The `shard` column is materialized ahead of the implicit groupBy
+    * shuffle, so each bloom is BUILT in its own task and written from
+    * it; nothing record-sized ever gathers in one place.
+    */
+  private def writeSharded(spark: SparkSession, root: String, batchId: Long,
+                           capacity: Long, nshards: Int,
+                           rows: Dataset[(Int, Long, Array[Byte])]): Unit = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(dir(root))
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".bloom-${encodeId(batchId)}.d.tmp-${java.util.UUID.randomUUID()}")
+    rows.map { case (s, n, b) => (s, n, capacity, nshards, b) }
+      .toDF("shard", "n", "capacity", "nshards", "bytes")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val p = new org.apache.hadoop.fs.Path(d, s"bloom-${encodeId(batchId)}.d")
+    clearRecord(f, d, batchId)
+    if (!f.rename(tmp, p)) {
+      if (f.exists(tmp)) f.delete(tmp, true)
+      throw new java.io.IOException(
+        s"IdAuthority: failed to publish sidecar record $p")
+    }
+  }
+
+  /** Distinct arrival ids keyed by their shard. */
+  private def keyedIds(spark: SparkSession, ids: DataFrame,
+                       ns: Int): Dataset[(Int, Long)] = {
+    import spark.implicits._
+    ids.toDF("id").select(col("id").cast("long").as("id")).distinct()
+      .select(pmod(hash(col("id")), lit(ns)).cast("int").as("shard"),
+        col("id"))
+      .as[(Int, Long)]
+  }
+
+  /** One bloom per OCCUPIED shard, each built inside its own task
+    * (`groupByKey` streams a shard's ids through one group). Shards
+    * with no ids emit no row — a missing row reads back as an empty
+    * shard, which probes to zero suspects.
+    */
+  private def shardRows(spark: SparkSession, ids: DataFrame, ns: Int,
+                        cap: Long): Dataset[(Int, Long, Array[Byte])] = {
+    import spark.implicits._
+    keyedIds(spark, ids, ns)
+      .groupByKey(_._1)
+      .flatMapGroups { (s: Int, it: Iterator[(Int, Long)]) =>
+        val b = BloomFilter.create(cap, Fpp)
+        var n = 0L
+        it.foreach { t => b.putLong(t._2); n += 1 }
+        val bos = new ByteArrayOutputStream()
+        val out = new DataOutputStream(bos)
+        b.writeTo(out); out.close()
+        Iterator((s, n, bos.toByteArray))
+      }
   }
 
   /** Build a filter of `capacity` over a column of ids with ONE
@@ -188,6 +329,37 @@ object IdAuthority {
     finally bc.destroy()
   }
 
+  /** Sharded probe: cogroup arrivals with the on-disk bloom rows on the
+    * shard key, so each task deserializes ONE shard's filter and scans
+    * only that shard's arrivals — no broadcast, nothing task-resident
+    * beyond one shard.
+    */
+  private def suspectsSharded(spark: SparkSession, ids: DataFrame,
+                              s: Sharded, cap: Int): Seq[Long] = {
+    import spark.implicits._
+    val blooms = spark.read.parquet(s.path)
+      .select(col("shard").cast("int"), col("bytes"))
+      .as[(Int, Array[Byte])]
+    keyedIds(spark, ids, s.nshards).groupByKey(_._1)
+      .cogroup(blooms.groupByKey(_._1)) { (_, as, bs) =>
+        bs.nextOption() match {
+          case None => Iterator.empty // no row = empty shard: no prior ids
+          case Some((_, bytes)) =>
+            val b = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+            as.collect { case (_, id) if b.mightContainLong(id) => id }
+        }
+      }
+      .limit(cap + 1)
+      .collect().toSeq
+  }
+
+  /** Format-dispatching probe. */
+  private def suspectsOf(spark: SparkSession, ids: DataFrame,
+                         side: Authority, cap: Int): Seq[Long] = side match {
+    case s: Sidecar => suspects(spark, ids, s.bloom, cap)
+    case s: Sharded => suspectsSharded(spark, ids, s, cap)
+  }
+
   private def refuse(who: String, batchId: Long, id: String,
                      what: String): Nothing =
     throw new IllegalStateException(
@@ -202,6 +374,17 @@ object IdAuthority {
     */
   private def confirmed(priorIds: DataFrame, cand: Seq[Long]): Option[Long] =
     priorIds.toDF("id").filter(col("id").isin(cand: _*))
+      .limit(1).collect().headOption.map(_.getLong(0))
+
+  /** One exact semi-join of the arrivals against the store prefix — the
+    * no-sidecar bootstrap check, and the refuge for a saturated or
+    * unreadable record.
+    */
+  private def exactDup(priorIds: DataFrame,
+                       arrivalIds: DataFrame): Option[Long] =
+    priorIds.toDF("id")
+      .join(arrivalIds.toDF("id").select(col("id").cast("long")),
+        Seq("id"), "left_semi")
       .limit(1).collect().headOption.map(_.getLong(0))
 
   /** The whole guard-and-record protocol for one append:
@@ -228,24 +411,24 @@ object IdAuthority {
     val side = latestBefore(spark, root, batchId)
     if (!trust) side match {
       case Some(s) =>
-        val hits = suspects(spark, arrivalIds, s.bloom, SuspectCap)
-        if (hits.size > SuspectCap) {
-          // saturated filter or a mass-duplicated batch: one exact check
-          prior.toDF("id")
-            .join(arrivalIds.toDF("id").select(col("id").cast("long")),
-              Seq("id"), "left_semi")
-            .limit(1).collect().headOption
-            .foreach(r => refuse(who, batchId, r.getLong(0).toString, what))
-        } else if (hits.nonEmpty) {
-          confirmed(prior, hits)
-            .foreach(id => refuse(who, batchId, id.toString, what))
+        Try(suspectsOf(spark, arrivalIds, s, SuspectCap)) match {
+          case Success(hits) if hits.size > SuspectCap =>
+            // saturated filter or a mass-duplicated batch: one exact check
+            exactDup(prior, arrivalIds)
+              .foreach(id => refuse(who, batchId, id.toString, what))
+          case Success(hits) if hits.nonEmpty =>
+            confirmed(prior, hits)
+              .foreach(id => refuse(who, batchId, id.toString, what))
+          case Success(_) => ()
+          case Failure(_) =>
+            // a record that parsed but won't probe (lost shard file,
+            // torn bytes): the exact store is always right
+            exactDup(prior, arrivalIds)
+              .foreach(id => refuse(who, batchId, id.toString, what))
         }
       case None =>
-        prior.toDF("id")
-          .join(arrivalIds.toDF("id").select(col("id").cast("long")),
-            Seq("id"), "left_semi")
-          .limit(1).collect().headOption
-          .foreach(r => refuse(who, batchId, r.getLong(0).toString, what))
+        exactDup(prior, arrivalIds)
+          .foreach(id => refuse(who, batchId, id.toString, what))
     }
     record(spark, root, batchId, arrivalIds, prior, side)
   }
@@ -255,39 +438,87 @@ object IdAuthority {
     */
   private def record(spark: SparkSession, root: String, batchId: Long,
                      arrivalIds: DataFrame, priorIds: => DataFrame,
-                     side: Option[Sidecar]): Unit = {
-    val next = side match {
-      case Some(s) =>
+                     side: Option[Authority]): Unit = {
+    val shardCap = shardCapacity(spark)
+    def rebuild(occupied: Long): Unit = {
+      // amortized doubling: the one remaining corpus-id scan — and the
+      // moment the target outgrows one task's worth, the format flips
+      // to sharded
+      val all = priorIds.toDF("id")
+        .unionByName(arrivalIds.toDF("id").select(col("id").cast("long")))
+      publish(spark, root, batchId, all,
+        math.max(2 * occupied, MinCapacity), shardCap)
+    }
+    side match {
+      case Some(s: Sidecar) =>
         val (n, add) = build(arrivalIds, s.capacity)
         if (s.count + n <= s.capacity) {
           s.bloom.mergeInPlace(add) // same (capacity, fpp) => compatible
-          Sidecar(s.capacity, s.count + n, s.bloom)
-        } else {
-          // amortized doubling: the one remaining corpus-id scan
-          val all = priorIds.toDF("id")
-            .unionByName(arrivalIds.toDF("id").select(col("id").cast("long")))
-          val target = math.max(2 * (s.count + n), MinCapacity)
-          val (total, bloom) = build(all, target)
-          Sidecar(target, total, bloom)
-        }
+          write(spark, root, batchId, Sidecar(s.capacity, s.count + n, s.bloom))
+        } else rebuild(s.count + n)
+      case Some(s: Sharded) =>
+        val n = arrivalIds.toDF("id").select(col("id").cast("long"))
+          .distinct().count()
+        if (s.count + n > s.capacity ||
+          Try(mergeSharded(spark, root, batchId, s, arrivalIds)).isFailure)
+          rebuild(s.count + n)
       case None =>
         val all = priorIds.toDF("id")
           .unionByName(arrivalIds.toDF("id").select(col("id").cast("long")))
-        sized(all)
+        val n = all.distinct().count()
+        publish(spark, root, batchId, all,
+          math.max(2 * n, MinCapacity), shardCap)
     }
-    write(spark, root, batchId, next)
   }
 
-  /** Bootstrap build sized off the exact distinct count: a first pass
-    * at [[MinCapacity]] learns n; only when 2n outgrows it does a
-    * second, right-sized pass run.
+  /** Per-shard merge of an arrival batch into the inherited record:
+    * arrival shard blooms (built per task) cogroup with the prior's
+    * rows, each task merging ONE shard pair — bit-compatible because
+    * both sides derive the same [[perShard]] capacity.
     */
-  private def sized(ids: DataFrame): Sidecar = {
-    val (n0, b0) = build(ids, MinCapacity)
-    val target = math.max(2 * n0, MinCapacity)
-    if (target == MinCapacity) Sidecar(target, n0, b0)
-    else { val (n, b) = build(ids, target); Sidecar(target, n, b) }
+  private def mergeSharded(spark: SparkSession, root: String, batchId: Long,
+                           s: Sharded, arrivalIds: DataFrame): Unit = {
+    import spark.implicits._
+    val add = shardRows(spark, arrivalIds, s.nshards,
+      perShard(s.capacity, s.nshards))
+    val prior = spark.read.parquet(s.path)
+      .select(col("shard").cast("int"), col("n"), col("bytes"))
+      .as[(Int, Long, Array[Byte])]
+    val merged = add.groupByKey(_._1).cogroup(prior.groupByKey(_._1)) {
+      (_, as, ps) =>
+        (as.nextOption(), ps.nextOption()) match {
+          case (Some((sh, an, ab)), Some((_, pn, pb))) =>
+            val x = BloomFilter.readFrom(new ByteArrayInputStream(ab))
+            val y = BloomFilter.readFrom(new ByteArrayInputStream(pb))
+            y.mergeInPlace(x)
+            val bos = new ByteArrayOutputStream()
+            val out = new DataOutputStream(bos)
+            y.writeTo(out); out.close()
+            Iterator((sh, pn + an, bos.toByteArray))
+          case (Some(a), None) => Iterator(a)
+          case (None, Some(p)) => Iterator(p)
+          case _ => Iterator.empty
+        }
+    }
+    // the staging write fully consumes `merged` (which reads s.path)
+    // before the destination swap — and s.path is an EARLIER batch's
+    // record, never the one being replaced
+    writeSharded(spark, root, batchId, s.capacity, s.nshards, merged)
   }
+
+  /** Build and publish a record over `ids` at `target` capacity, in
+    * whichever format the capacity demands.
+    */
+  private def publish(spark: SparkSession, root: String, batchId: Long,
+                      ids: DataFrame, target: Long, shardCap: Long): Unit =
+    if (target <= shardCap) {
+      val (n, b) = build(ids, target)
+      write(spark, root, batchId, Sidecar(target, n, b))
+    } else {
+      val ns = shardsFor(target, shardCap)
+      writeSharded(spark, root, batchId, target, ns,
+        shardRows(spark, ids, ns, perShard(target, ns)))
+    }
 
   /** Record the BASE build's ids (batch -1) so the first append is
     * already bloom-guarded. A base build REPLACES the root's previous
@@ -303,7 +534,9 @@ object IdAuthority {
     val f = fs(spark, root)
     val d = new org.apache.hadoop.fs.Path(dir(root))
     if (f.exists(d)) f.delete(d, true)
-    write(spark, root, baseBatch, sized(ids))
+    val n = ids.toDF("id").select(col("id").cast("long")).distinct().count()
+    publish(spark, root, baseBatch, ids,
+      math.max(2 * n, MinCapacity), shardCapacity(spark))
   }
 
   /** Drop sidecar records below the compaction watermark — the batches
@@ -319,7 +552,15 @@ object IdAuthority {
     val victims = f.listStatus(d).iterator
       .flatMap(s => decodeId(s.getPath.getName).map(_ -> s.getPath))
       .filter(_._1 < watermark).toSeq.sortBy(_._1)
-    victims.foreach { case (_, p) => f.delete(p, false) }
+    victims.foreach { case (_, p) => f.delete(p, true) }
+    // crashed sharded publishes leave `.bloom-*` staging dirs; sweep
+    // the ones old enough to be dead (the VectorLayout.StageGraceMs
+    // liveness convention — a younger temp may be a live writer's)
+    val now = System.currentTimeMillis()
+    f.listStatus(d).iterator
+      .filter(s => s.getPath.getName.startsWith(".bloom-") &&
+        s.getModificationTime < now - VectorLayout.StageGraceMs)
+      .foreach(s => f.delete(s.getPath, true))
     victims.map(_._1)
   }
 }

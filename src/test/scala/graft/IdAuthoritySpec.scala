@@ -99,6 +99,63 @@ class IdAuthoritySpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sharded and single-file authorities give identical decisions; no single-task rebuild above threshold") {
+    val single = Files.createTempDirectory("graft-ida-1f").toString
+    val sharded = Files.createTempDirectory("graft-ida-sh").toString
+    IdAuthority.recordBase(spark, single, ids(0, 1000), baseBatch = -1L)
+    withConf(IdAuthority.ShardCapacityKey -> "32768") {
+      // capacity max(2n, MinCapacity) = 65536 > 32768 => 2 shards
+      IdAuthority.recordBase(spark, sharded, ids(0, 1000), baseBatch = -1L)
+      val rec = new java.io.File(sharded, "_id_bloom/bloom-m1.d")
+      assert(rec.isDirectory,
+        "above the shard threshold the record must be a parquet directory")
+      val shards = spark.read.parquet(rec.toString)
+        .select("shard").distinct().collect().map(_.getInt(0)).toSet
+      assert(shards === Set(0, 1),
+        s"per-shard blooms must spread over both shards, got $shards")
+
+      for (root <- Seq(single, sharded)) {
+        // clean batch: passes WITHOUT evaluating the exact prefix —
+        // the sharded cogroup probe and merge are record-sized jobs
+        IdAuthority.guardAndRecord(spark, root, batchId = 0L,
+          arrivalIds = ids(5000, 5100),
+          priorIds = sys.error("clean batch must not evaluate the exact prefix"),
+          who = "spec", what = "spec prefix")
+        // duplicate: refuses through the bloom with an exact confirm
+        val e = intercept[IllegalStateException] {
+          IdAuthority.guardAndRecord(spark, root, batchId = 1L,
+            arrivalIds = ids(999, 1010),
+            priorIds = ids(0, 1000).union(ids(5000, 5100)),
+            who = "spec", what = "spec prefix")
+        }
+        assert(e.getMessage.contains("already exists in the spec prefix"),
+          e.getMessage)
+        // bloom hit the exact store disowns: a false positive passes
+        IdAuthority.guardAndRecord(spark, root, batchId = 1L,
+          arrivalIds = ids(999, 1010), priorIds = ids(0, 999),
+          who = "spec", what = "spec prefix")
+      }
+      assert(new java.io.File(sharded, "_id_bloom/bloom-0.d").isDirectory &&
+        new java.io.File(sharded, "_id_bloom/bloom-1.d").isDirectory,
+        "sharded appends must stay in the sharded format")
+
+      // overflow rebuild: stays sharded at the doubled capacity and the
+      // grown authority still refuses an original base id
+      val prefix = ids(0, 1010).union(ids(5000, 5100))
+      IdAuthority.guardAndRecord(spark, sharded, batchId = 2L,
+        arrivalIds = ids(100000, 170000), priorIds = prefix,
+        who = "spec", what = "spec prefix")
+      assert(new java.io.File(sharded, "_id_bloom/bloom-2.d").isDirectory)
+      val e2 = intercept[IllegalStateException] {
+        IdAuthority.guardAndRecord(spark, sharded, batchId = 3L,
+          arrivalIds = ids(500, 501),
+          priorIds = prefix.union(ids(100000, 170000)),
+          who = "spec", what = "spec prefix")
+      }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    }
+  }
+
   test("materialize over a used root wipes the previous life's records") {
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
     val root = Files.createTempDirectory("graft-ida-rebuild").toString
