@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   * header + movi frame chunks) whose pixels/samples/frames are the
   * arithmetic byte stream the DuckDB oracle recomputes — so decode,
   * featurize, frame-sample, and resize all parse/emit actual formats
-  * while staying oracle-exact. The one DECLARED boundary left: the
-  * video frames ride a custom fourcc (`GRFT`) stream — the container
-  * walk is real, the inner frame codec is codec-defined (the same
-  * boundary an mp4/h264 pipeline has where the decoder is a licensed
-  * library; this environment ships none).
+  * while staying oracle-exact. ISO BMFF (mp4) containers demux too
+  * ([[Codecs.decodeMp4]] — box tree + stbl sample tables), and
+  * [[sampleFrames]] REFUSES an unknown container rather than
+  * fabricating frames. The one DECLARED boundary: video frames ride a
+  * custom fourcc (`GRFT`/`grft`) stream — both container walks are
+  * real, the inner frame codec is codec-defined (the same boundary an
+  * mp4/h264 pipeline has where the decoder is a licensed library;
+  * this environment ships none).
   *
   * 100 TB design:
   *   - payloads live in parquet binary columns partitioned by (kind,
@@ -232,19 +235,22 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val n = math.max(1, (m.duration_ms / everyMs).toInt)
-      if (m.format == "avi") {
-        val v = Codecs.decodeAvi(m.payload)
-        (0 until n).iterator.map { i =>
-          val t = i * everyMs
-          val idx = math.min((t / FramePeriodMs).toInt, v.frames.length - 1)
-          Frame(m.media_id, i, t, v.frames(idx))
-        }
-      } else
-        (0 until n).iterator.map { i =>
-          val t = i * everyMs
-          val off = (t % math.max(1, m.payload.length - 16)).toInt
-          Frame(m.media_id, i, t, m.payload.slice(off, off + 16)) // ??? real frame decode
-        }
+      val frames: IndexedSeq[Array[Byte]] = m.format match {
+        case "avi" => Codecs.decodeAvi(m.payload).frames.toIndexedSeq
+        case "mp4" => Codecs.decodeMp4(m.payload).frames.toIndexedSeq
+        case other =>
+          // refuse an unknown container LOUDLY — emitting arithmetic
+          // byte slices here would silently hand downstream training
+          // fabricated frames (the pre-round-10 stub this replaces)
+          throw new IllegalArgumentException(
+            s"sampleFrames: container format '$other' unsupported " +
+              "(avi and mp4 containers decode; see Codecs)")
+      }
+      (0 until n).iterator.map { i =>
+        val t = i * everyMs
+        val idx = math.min((t / FramePeriodMs).toInt, frames.length - 1)
+        Frame(m.media_id, i, t, frames(idx))
+      }
     }
   }
 

@@ -169,6 +169,87 @@ class CodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](Codecs.decodeAvi(lying))
   }
 
+  test("encodeMp4/decodeMp4 round-trips dims, cadence, and frames through real stbl tables") {
+    val frames = Seq.tabulate(5)(i => Array.tabulate(16)(j => (i * 16 + j).toByte))
+    val v = Codecs.decodeMp4(Codecs.encodeMp4(128, 96, 250000, frames))
+    assert(v.width === 128 && v.height === 96 && v.usPerFrame === 250000)
+    assert(v.frames.map(_.toSeq) === frames.map(_.toSeq))
+    // ragged sample sizes exercise the per-sample stsz table and the
+    // cumulative within-chunk offsets
+    val ragged = Seq(Array.tabulate(15)(_.toByte), Array.tabulate(7)(i => (i + 7).toByte),
+      Array.tabulate(23)(i => (i * 3).toByte))
+    val v2 = Codecs.decodeMp4(Codecs.encodeMp4(64, 64, 40000, ragged))
+    assert(v2.frames.map(_.toSeq) === ragged.map(_.toSeq))
+  }
+
+  test("the two container walks agree: same frames in AVI and MP4 recover identically") {
+    val frames = Seq.tabulate(4)(i => Array.tabulate(12)(j => (i * 31 + j).toByte))
+    val a = Codecs.decodeAvi(Codecs.encodeAvi(96, 64, 125000, frames))
+    val m = Codecs.decodeMp4(Codecs.encodeMp4(96, 64, 125000, frames))
+    assert(a.frames.map(_.toSeq) === m.frames.map(_.toSeq))
+    assert((a.width, a.height, a.usPerFrame) === (m.width, m.height, m.usPerFrame))
+  }
+
+  test("malformed MP4 containers are refused loudly") {
+    val good = Codecs.encodeMp4(64, 64, 250000,
+      Seq.tabulate(3)(i => Array.tabulate(16)(j => (i + j).toByte)))
+    // truncating the moov tail tears the stbl tables
+    intercept[IllegalArgumentException](Codecs.decodeMp4(good.dropRight(20)))
+    // a sample-count lie between stts and stsz must be caught: flip the
+    // stts entry's count (stts body: version/flags, entry_count, COUNT)
+    val sttsAt = {
+      def find(pat: String): Int = {
+        val p = pat.getBytes("US-ASCII")
+        good.indices.find(i => i + 4 <= good.length &&
+          good.slice(i, i + 4).sameElements(p)).get
+      }
+      find("stts")
+    }
+    val lying = good.clone()
+    lying(sttsAt + 15) = 9 // entry count field's low byte
+    intercept[IllegalArgumentException](Codecs.decodeMp4(lying))
+    // an mdat overrun: point the single stco chunk offset past the file
+    val stcoAt = {
+      val p = "stco".getBytes("US-ASCII")
+      good.indices.find(i => i + 4 <= good.length &&
+        good.slice(i, i + 4).sameElements(p)).get
+    }
+    val overrun = good.clone()
+    overrun(stcoAt + 12) = 0x7f.toByte // chunk offset high byte: huge
+    intercept[IllegalArgumentException](Codecs.decodeMp4(overrun))
+  }
+
+  test("sampleFrames refuses an unknown container instead of fabricating frames") {
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(1L, "video", "mkv", 64, 64, 0, 2000L,
+      Array.tabulate(64)(_.toByte))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("container format 'mkv' unsupported")),
+      messages(e).mkString(" | "))
+  }
+
+  test("an MP4 corpus row frame-samples identically to its AVI twin") {
+    import spark.implicits._
+    // re-containerize one AVI corpus video as MP4: same frames, same
+    // cadence — sampleFrames must not care which container carried them
+    val avi = Multimodal.fixture(spark, 24).filter(_.format == "avi").head()
+    val dec = Codecs.decodeAvi(avi.payload)
+    val mp4 = avi.copy(media_id = avi.media_id + 1000000L, format = "mp4",
+      payload = Codecs.encodeMp4(dec.width, dec.height, dec.usPerFrame, dec.frames))
+    val out = Multimodal.sampleFrames(Seq(avi, mp4).toDS(), everyMs = 500L)
+      .collect().groupBy(_.media_id == avi.media_id)
+    val (a, m) = (out(true), out(false))
+    assert(a.length === m.length && a.nonEmpty)
+    a.sortBy(_.frame_idx).zip(m.sortBy(_.frame_idx)).foreach { case (x, y) =>
+      assert(x.frame_idx === y.frame_idx && x.t_ms === y.t_ms &&
+        x.payload.toSeq === y.payload.toSeq)
+    }
+  }
+
   test("corpus video payloads are genuine AVI containers whose frames are the oracle slices") {
     Multimodal.corpus(spark, Sf).filter(_.kind == "video").limit(5).collect()
       .foreach { m =>
