@@ -20,11 +20,14 @@ object Bench {
     * its name in `errors` and its time as -1, so a regression reads as
     * a loud marker, never as a speedup.
     */
-  private def runPass(spark: SparkSession, sfDir: String, iters: Int)
+  private def runPass(spark: SparkSession, sfDir: String, iters: Int,
+                      builderFilter: String => Boolean = _ => true,
+                      queryFilter: String => Boolean = _ => true)
       : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
-    val builders = DedupQueries.indexBuilders(spark, sfDir) ++
+    val builders = (DedupQueries.indexBuilders(spark, sfDir) ++
       SimilarityQueries.indexBuilders(spark, sfDir) ++
-      TextQueries.indexBuilders(spark, sfDir)
+      TextQueries.indexBuilders(spark, sfDir))
+      .filter { case (name, _) => builderFilter(name) }
     CacheLife.release(spark)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     val samples: Seq[(Map[String, Double], Map[String, Double])] =
@@ -35,7 +38,7 @@ object Bench {
           if (!ok) errors += s"build:$name"
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
-        val qt = SparkEntry.queries.map { case (name, fn) =>
+        val qt = SparkEntry.queries.filter(q => queryFilter(q._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
           if (!ok) errors += name
@@ -50,12 +53,39 @@ object Bench {
       name -> (if (errors.contains(s"build:$name")) -1.0
                else median(samples.map(_._1(name))))
     }
-    val queries = SparkEntry.queries.keys.toSeq.map { name =>
+    val queries = SparkEntry.queries.keys.toSeq.filter(queryFilter).map { name =>
       name -> (if (errors.contains(name)) -1.0
                else median(samples.map(_._2(name))))
     }
     (builds, queries, errors.toSeq)
   }
+
+  /** The upward-decade surface: heavy, content-structure-INDEPENDENT
+    * queries — joins/aggregations/windows/temporal, ANN build+probe,
+    * token statistics, codec decode. Excluded by design on a
+    * [[ScaleUp]]-replicated corpus: `dedup_*` and `sim_pairs_*` /
+    * `sim_semantic_dedup` / `sim_knn_join` (pair mining over N−1
+    * near-copies per row measures the replication artifact, and the
+    * exact kernels' 2³¹ refusal guard trips), and the `text_*` entries
+    * that join dedup-survivor stores.
+    */
+  val UpQueries: Set[String] = Set(
+    "core_select_all", "core_sum_by_day",
+    "rel_join_fact", "rel_local_supplier_volume", "rel_shipping_priority",
+    "rel_pricing_summary", "sql_cube", "rel_salted_agg", "rel_hash_sample",
+    "rel_window_rank", "rel_sessionize", "rel_asof_join", "rel_range_join",
+    "sim_ann_batch", "sim_ann_ivf", "sim_ann_kmeans", "sim_ann_recall",
+    "sim_topk_cosine",
+    "text_tfidf", "text_stats", "text_quality", "text_langid",
+    "text_repetition", "text_zipf",
+    "multi_frames", "multi_image_features")
+
+  /** Builders the up surface needs (the dedup family and the guarded
+    * exact pair kernel stay out — see [[UpQueries]]).
+    */
+  val UpBuilders: Set[String] = Set(
+    "sim.ivf_cells", "sim.kmeans_model", "sim.sign_bands", "sim.pq_codes",
+    "text.tokens", "text.vocab", "text.tf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,11 +146,34 @@ object Bench {
       if (scaleDir.endsWith("sf0.01")) "/root/testdata/sf0.001" else "none")
     val (scalePart2, _) = scalePass(scaleDir2, "2",
       smallMap.toSeq.sortBy(_._1))
+    // UPWARD decade (opt-in): SPARK_GRAFT_SCALE_UP_DIR names a corpus
+    // LARGER than the main pass (built by graft.ScaleUp). The ratio
+    // direction flips vs the downward passes — t(up)/t(main), expected
+    // at or under the data ratio for linear plans — and only the
+    // content-structure-independent surface runs ([[UpQueries]]).
+    val upDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "none")
+    val upPart =
+      if (upDir == "none") ""
+      else {
+        val (upBuilds, upQ, upErrs) =
+          runPass(spark, upDir, 1, builderFilter = UpBuilders,
+            queryFilter = UpQueries)
+        val upMap = upQ.toMap ++
+          upBuilds.map { case (n, t) => s"build:$n" -> t }
+        val mainMap = mains.toMap
+        val ratios = upMap.toSeq.sortBy(_._1).collect {
+          case (name, t) if t > 0 && mainMap.getOrElse(name, -1.0) > 0 =>
+            name -> t / mainMap(name)
+        }
+        s""","scale_dir_up":"$upDir","scale_queries_up":${jmap(upQ)},""" +
+          s""""scale_ratio_up":${jmap(ratios)},"scale_errors_up":${jarr(upErrs)},""" +
+          s""""scale_up_excluded":"dedup_*, sim_pairs_*, sim_semantic_dedup, sim_knn_join, dedup-store text joins — pair mining over an N-replicated corpus measures the replication artifact, not the operator (ScaleUp scaladoc)""""
+      }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
         s""""errors":${jarr(errors)},""" +
         s""""index_build_total":${fmt(buildTotal)},"index_build":${jmap(builds)},""" +
-        s""""queries":${jmap(results)},"sf":"$sfDir"$scalePart$scalePart2}"""
+        s""""queries":${jmap(results)},"sf":"$sfDir"$scalePart$scalePart2$upPart}"""
     // Per-round regression attribution (round-7 judge item #7: per-query
     // times of past rounds were unrecoverable): before overwriting the
     // local copy, diff against the previous one and print the top-5

@@ -343,9 +343,17 @@ object Codecs {
     val n = frames.length
     val ftyp = mp4Box("ftyp", fourcc("isom") ++ u32be(0) ++ fourcc("isom"))
     val mdatBody = frames.iterator.map(_.length.toLong).sum
-    require(mdatBody <= Int.MaxValue - 4096, s"mdat of $mdatBody bytes too large")
+    // the WHOLE container must fit one array: mdat + the moov overhead
+    // (~4 bytes/frame of stsz + fixed boxes), not just mdat
+    require(mdatBody + 4L * n + 4096 <= Int.MaxValue,
+      s"container of $mdatBody mdat bytes + $n samples too large")
     val chunkOffset = ftyp.length + 8L // mdat samples start past its header
     val duration = n.toLong * usPerFrame
+    // version-0 boxes carry u32 durations; past ~71.6 min at the µs
+    // timescale the honest answer is refusal, not a silent wrap that
+    // any standard box reader would report as an 8-minute video
+    require(duration <= 0xffffffffL,
+      s"duration of $duration us overflows version-0 boxes")
     val mvhd = mp4FullBox("mvhd",
       u32be(0) ++ u32be(0) ++ u32be(Mp4Timescale) ++ u32be(duration) ++
         u32be(0x00010000L) ++ u16be(0x0100) ++ u16be(0) ++
@@ -418,7 +426,21 @@ object Codecs {
     var sizes = Seq.empty[Long]
     var chunkOffsets = Seq.empty[Long]
     var dims: Option[(Int, Int)] = None
-    var tablesDone = false // first video trak wins; later traks skipped
+    var handler = "" // this trak's hdlr type ('vide', 'soun', …)
+    var tablesDone = false // first VIDEO trak wins; later traks skipped
+
+    // a declared entry count must fit inside its own box: a short box
+    // whose table runs past `end` would otherwise silently parse the
+    // next box's header bytes as entries — and a hostile count must be
+    // bounded BEFORE anything allocates by it
+    def tableCount(what: String, body: Long, end: Long, countOff: Long,
+                   headerLen: Long, entryLen: Long): Long = {
+      val n = readU32(body + countOff)
+      if (body + headerLen + n * entryLen > end)
+        fail(s"$what declares $n entries but its box holds " +
+          s"${(end - body - headerLen) / entryLen}")
+      n
+    }
 
     // walk the box run in [from, to); descend only into the containers
     // on the sample-table path. Box sizes are u32be; size 1 = 64-bit
@@ -436,12 +458,32 @@ object Codecs {
           else (pos + 8, pos + size0)
         if (end > to || end < body) fail(s"box '$id' overruns its parent")
         id match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+          case "trak" =>
+            // a non-video trak (audio-first mux layouts are common)
+            // must not contribute tables: walk it, then roll back
+            // everything it set unless its handler said 'vide'
+            if (!tablesDone) {
+              val saved = (timescale, sttsEntries, stscEntries, sizes,
+                chunkOffsets, dims)
+              handler = ""
+              walk(body, end)
+              if (handler.nonEmpty && handler != "vide") {
+                timescale = saved._1; sttsEntries = saved._2
+                stscEntries = saved._3; sizes = saved._4
+                chunkOffsets = saved._5; dims = saved._6
+              } else if (sizes.nonEmpty && chunkOffsets.nonEmpty)
+                tablesDone = true
+            }
+          case "moov" | "mdia" | "minf" | "stbl" =>
             if (!tablesDone) walk(body, end)
-            if (id == "trak" && sizes.nonEmpty && chunkOffsets.nonEmpty)
-              tablesDone = true
+          case "hdlr" =>
+            // version/flags(4) + pre_defined(4), then the handler type
+            handler = ascii(body + 8)
           case "mdhd" =>
-            timescale = readU32(body + 12)
+            // version 1 widens creation/modification to 64 bits,
+            // pushing timescale from body+12 to body+20
+            val version = bytes(body.toInt) & 0xff
+            timescale = readU32(body + (if (version == 1) 20 else 12))
           case "stsd" =>
             if (end - body < 16) fail("stsd too short")
             val entry = body + 8 // version/flags + entry_count
@@ -450,28 +492,41 @@ object Codecs {
               fail(s"sample entry of $entrySize bytes malformed")
             dims = Some((readU16(entry + 32), readU16(entry + 34)))
           case "stts" =>
-            val n = readU32(body + 4)
+            val n = tableCount("stts", body, end, 4, 8, 8)
             sttsEntries = (0L until n).map(i =>
               (readU32(body + 8 + i * 8), readU32(body + 12 + i * 8)))
           case "stsc" =>
-            val n = readU32(body + 4)
+            val n = tableCount("stsc", body, end, 4, 8, 12)
             stscEntries = (0L until n).map(i =>
               (readU32(body + 8 + i * 12), readU32(body + 12 + i * 12)))
           case "stsz" =>
             val uniform = readU32(body + 4)
-            val n = readU32(body + 8)
             sizes =
-              if (uniform != 0) Seq.fill(n.toInt)(uniform)
-              else (0L until n).map(i => readU32(body + 12 + i * 4))
+              if (uniform != 0) {
+                // no per-sample table to bound the count by — bound it
+                // by the file itself (n samples of `uniform` bytes must
+                // fit) before Seq.fill allocates a hostile count
+                val n = readU32(body + 8)
+                // bound each factor before the product: two u32s can
+                // overflow even a Long multiply
+                if (n > bytes.length || uniform > bytes.length ||
+                  n * uniform > bytes.length)
+                  fail(s"stsz declares $n samples of $uniform bytes " +
+                    s"in a ${bytes.length}-byte file")
+                Seq.fill(n.toInt)(uniform)
+              } else {
+                val n = tableCount("stsz", body, end, 8, 12, 4)
+                (0L until n).map(i => readU32(body + 12 + i * 4))
+              }
           case "stco" =>
-            val n = readU32(body + 4)
+            val n = tableCount("stco", body, end, 4, 8, 4)
             chunkOffsets = (0L until n).map(i => readU32(body + 8 + i * 4))
           case "co64" =>
-            val n = readU32(body + 4)
+            val n = tableCount("co64", body, end, 4, 8, 8)
             chunkOffsets = (0L until n).map { i =>
               (readU32(body + 8 + i * 8) << 32) | readU32(body + 12 + i * 8)
             }
-          case _ => () // ftyp/mdat/mvhd/tkhd/hdlr/vmhd/dinf/…: not needed
+          case _ => () // ftyp/mdat/mvhd/tkhd/vmhd/dinf/…: not needed
         }
         pos = end
       }

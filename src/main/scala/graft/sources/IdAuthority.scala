@@ -200,8 +200,15 @@ object IdAuthority {
                           batchId: Long): Unit = {
     val single = new org.apache.hadoop.fs.Path(d, s"bloom-${encodeId(batchId)}")
     val sharded = new org.apache.hadoop.fs.Path(d, s"bloom-${encodeId(batchId)}.d")
-    if (f.exists(single)) f.delete(single, false)
-    if (f.exists(sharded)) f.delete(sharded, true)
+    // delete signals failure by RETURNING FALSE, like rename — a
+    // swallowed failure here would leave two same-batch records whose
+    // tie latestBefore breaks arbitrarily, possibly electing the stale
+    // one as the guard authority
+    Seq(single -> false, sharded -> true).foreach { case (p, rec) =>
+      if (f.exists(p) && !f.delete(p, rec) && f.exists(p))
+        throw new java.io.IOException(
+          s"IdAuthority: failed to clear stale sidecar record $p")
+    }
   }
 
   private def write(spark: SparkSession, root: String, batchId: Long,

@@ -153,6 +153,16 @@ object VectorStream {
         val marker = new org.apache.hadoop.fs.Path(dir, s"_pruned-$w")
         if (prunedWatermark(fs, dir).forall(_ < w) && !fs.exists(marker))
           fs.create(marker, false).close()
+        // only the MAX floor is ever consulted: markers below the one
+        // just published are dead files — leaving them would rebuild
+        // the very small-files growth this function exists to stop
+        fs.listStatus(dir).iterator.map(_.getPath)
+          .filter { p =>
+            val s = p.getName.stripPrefix("_pruned-")
+            p.getName.startsWith("_pruned-") && s.nonEmpty &&
+              s.forall(_.isDigit) && s.toLong < w
+          }
+          .foreach(p => fs.delete(p, false))
         val victims = fs.listStatus(dir).iterator
           .map(_.getPath)
           .flatMap { p =>

@@ -217,6 +217,17 @@ class CodecSpec extends SparkSpec {
     val overrun = good.clone()
     overrun(stcoAt + 12) = 0x7f.toByte // chunk offset high byte: huge
     intercept[IllegalArgumentException](Codecs.decodeMp4(overrun))
+    // a hostile uniform-size stsz (tiny file, 2-billion sample count)
+    // must refuse BEFORE allocating anything count-sized
+    val stszAt = {
+      val p = "stsz".getBytes("US-ASCII")
+      good.indices.find(i => i + 4 <= good.length &&
+        good.slice(i, i + 4).sameElements(p)).get
+    }
+    val hostile = good.clone()
+    hostile(stszAt + 11) = 1 // uniform sample size: 1 byte
+    hostile(stszAt + 12) = 0x7f.toByte // sample count: ~2^31
+    intercept[IllegalArgumentException](Codecs.decodeMp4(hostile))
   }
 
   test("sampleFrames refuses an unknown container instead of fabricating frames") {
