@@ -60,32 +60,25 @@ object Bench {
     (builds, queries, errors.toSeq)
   }
 
-  /** The upward-decade surface: heavy, content-structure-INDEPENDENT
-    * queries — joins/aggregations/windows/temporal, ANN build+probe,
-    * token statistics, codec decode. Excluded by design on a
-    * [[ScaleUp]]-replicated corpus: `dedup_*` and `sim_pairs_*` /
-    * `sim_semantic_dedup` / `sim_knn_join` (pair mining over N−1
-    * near-copies per row measures the replication artifact, and the
-    * exact kernels' 2³¹ refusal guard trips), and the `text_*` entries
-    * that join dedup-survivor stores.
+  /** Entries excluded from the upward pass — ONLY the exact-O(n²)
+    * kernel family, whose cost is quadratic in corpus size by design
+    * and whose documented scale path is the banded/bucketed form that
+    * DOES run. Everything else — the full dedup/LSH/semantic surface
+    * included — runs on the up corpus: [[ScaleUp]]'s similarity-neutral
+    * copies (alphabet-rotated text, component-rotated embeddings) keep
+    * pair density per row constant, so banded candidate generation
+    * measures the operator, not a replication artifact.
     */
-  val UpQueries: Set[String] = Set(
-    "core_select_all", "core_sum_by_day",
-    "rel_join_fact", "rel_local_supplier_volume", "rel_shipping_priority",
-    "rel_pricing_summary", "sql_cube", "rel_salted_agg", "rel_hash_sample",
-    "rel_window_rank", "rel_sessionize", "rel_asof_join", "rel_range_join",
-    "sim_ann_batch", "sim_ann_ivf", "sim_ann_kmeans", "sim_ann_recall",
-    "sim_topk_cosine",
-    "text_tfidf", "text_stats", "text_quality", "text_langid",
-    "text_repetition", "text_zipf",
-    "multi_frames", "multi_image_features")
+  val UpExcluded: Map[String, String] = Map(
+    "sim_pairs_threshold" ->
+      "exact O(n^2) kernel — documented scale path is sim_pairs_lsh",
+    "sim_pairs_recall" ->
+      "LSH recall eval against the exact-kernel baseline",
+    "sim_knn_join" ->
+      "rides the exact pair kernel — scale path is ANN bucket blocking + rank")
 
-  /** Builders the up surface needs (the dedup family and the guarded
-    * exact pair kernel stay out — see [[UpQueries]]).
-    */
-  val UpBuilders: Set[String] = Set(
-    "sim.ivf_cells", "sim.kmeans_model", "sim.sign_bands", "sim.pq_codes",
-    "text.tokens", "text.vocab", "text.tf")
+  /** Builder twin of [[UpExcluded]]. */
+  val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,15 +142,16 @@ object Bench {
     // UPWARD decade (opt-in): SPARK_GRAFT_SCALE_UP_DIR names a corpus
     // LARGER than the main pass (built by graft.ScaleUp). The ratio
     // direction flips vs the downward passes — t(up)/t(main), expected
-    // at or under the data ratio for linear plans — and only the
-    // content-structure-independent surface runs ([[UpQueries]]).
+    // at or under the data ratio for linear plans. Everything runs
+    // except the exact-quadratic kernel family ([[UpExcluded]]).
     val upDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "none")
     val upPart =
       if (upDir == "none") ""
       else {
         val (upBuilds, upQ, upErrs) =
-          runPass(spark, upDir, 1, builderFilter = UpBuilders,
-            queryFilter = UpQueries)
+          runPass(spark, upDir, 1,
+            builderFilter = n => !UpExcludedBuilders.contains(n),
+            queryFilter = n => !UpExcluded.contains(n))
         val upMap = upQ.toMap ++
           upBuilds.map { case (n, t) => s"build:$n" -> t }
         val mainMap = mains.toMap
@@ -165,9 +159,11 @@ object Bench {
           case (name, t) if t > 0 && mainMap.getOrElse(name, -1.0) > 0 =>
             name -> t / mainMap(name)
         }
+        val excl = UpExcluded.toSeq.sortBy(_._1)
+          .map { case (n, why) => s"$n ($why)" }.mkString("; ")
         s""","scale_dir_up":"$upDir","scale_queries_up":${jmap(upQ)},""" +
           s""""scale_ratio_up":${jmap(ratios)},"scale_errors_up":${jarr(upErrs)},""" +
-          s""""scale_up_excluded":"dedup_*, sim_pairs_*, sim_semantic_dedup, sim_knn_join, dedup-store text joins — pair mining over an N-replicated corpus measures the replication artifact, not the operator (ScaleUp scaladoc)""""
+          s""""scale_up_excluded":"$excl""""
       }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +

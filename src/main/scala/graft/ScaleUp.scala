@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build an UPWARD scale point by replicating a driver-provided scale
@@ -13,30 +13,101 @@ import org.apache.spark.sql.functions._
   * stretch item). No larger driver corpus exists, so this job
   * manufactures one the honest way: copy k shifts every join/entity
   * key by `k·10⁸` (foreign keys shifted together, so each copy is a
-  * self-consistent world), `nation`/`region` stay fixed (TPC-H's own
-  * scaling rule — dimension joins stay broadcast-sized at every sf),
-  * document text gets a per-copy suffix and embeddings a per-copy
-  * first-component nudge (so replicas aren't bit-identical rows).
+  * self-consistent world); `nation`/`region` stay fixed (TPC-H's own
+  * scaling rule — dimension joins stay broadcast-sized at every sf).
   *
-  * What replication CANNOT manufacture is content-similarity
-  * structure: every document/vector has `N−1` near-copies, so
-  * pair-mining operators (dedup bands, exact similarity kernels)
-  * would measure the replication artifact (quadratic cross-copy
-  * pairs), not the operator. [[Bench]]'s up-pass therefore runs the
-  * content-structure-INDEPENDENT surface (joins, aggregations,
-  * windows, ANN probe/serving, token statistics, codecs) and names
-  * the exclusion in its JSON.
+  * Naive replication CANNOT feed the pair-mining surface: byte-similar
+  * copies give every document/vector `N−1` cross-copy near-duplicates,
+  * so dedup bands and similarity kernels would measure the replication
+  * artifact (quadratic cross-copy pairs), not the operator. The copies
+  * are therefore made SIMILARITY-NEUTRAL, by transforms that preserve
+  * each copy's internal structure exactly while decorrelating copies
+  * from each other:
+  *
+  *  - `documents.text`: per-copy alphabet rotation (`translate` over
+  *    a-z/A-Z/0-9 rotated by k). Length, token count, whitespace and
+  *    punctuation layout are preserved byte-for-byte — so `n_chars`
+  *    stays valid and per-copy token/shingle statistics are isomorphic
+  *    to the source — while a rotated token shares no shingle or
+  *    char-gram with any other copy's: cross-copy MinHash/char-gram
+  *    band collisions vanish, and within-copy duplicate structure
+  *    replicates exactly (pair counts scale ×N). The one distribution
+  *    this bends: rotated copies match no real stopword/language
+  *    profile, so langid/quality SCORES differ from the source corpus
+  *    — their cost shape (tokenization + per-token maps) does not.
+  *  - `embeddings.embedding`: per-copy circular rotation of the
+  *    components (`out[i] = in[(i+k) mod d]`). A coordinate rotation
+  *    is orthogonal: norms and ALL within-copy pairwise cosines are
+  *    preserved exactly, so planted near-dup structure replicates ×N,
+  *    while the cosine between a vector and its rotated twin is the
+  *    component autocorrelation at lag k — measured max 0.398 on the
+  *    sf0.1 corpus, under the 0.4 pair threshold, and cross-copy
+  *    DIFFERENT-vector rates measure at or below the corpus' own
+  *    random-pair rate. That margin is corpus-dependent, so
+  *    [[verifyEmbeddingNeutrality]] measures the real max on the data
+  *    being written and REFUSES to publish a corpus whose replicas
+  *    would alias as similarity pairs (knife-edge made loud).
+  *
+  * [[Bench]]'s up-pass excludes only the exact-O(n²)-kernel entries by
+  * name (see Bench.UpExcluded) — everything else, including the full
+  * dedup/LSH-similarity surface, runs on the up corpus.
   */
 object ScaleUp {
 
   /** Per-copy key offset: far above every key in the driver corpora. */
   val CopyOffset: Long = 100000000L
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleUp <srcDir> <dstDir> <copies>")
-    val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+
+  /** translate() mapping for copy k: each alphabet class rotated by k
+    * within itself (case and digit-ness preserved, so token shape
+    * classifiers see the same character classes).
+    */
+  private def rotated(k: Int): String = {
+    def rot(s: String): String = { val n = k % s.length; s.drop(n) + s.take(n) }
+    rot(Lower) + rot(Upper) + rot(Digits)
+  }
+
+  def rotateText(c: Column, k: Int): Column =
+    if (k % 26 == 0 && k % 10 == 0) c
+    else translate(c, Lower + Upper + Digits, rotated(k))
+
+  /** Circular shift of the embedding components by k (mod dim). */
+  def rotateVec(c: Column, k: Int): Column =
+    transform(c, (_, i) => element_at(c, pmod(i + lit(k), size(c)) + 1))
+
+  /** Max |cos(x, rot_l(x))| over every vector and every lag the copy
+    * set will realize: cos(rot_k(x), rot_m(x)) = cos(x, rot_{m−k}(x)),
+    * so lags 1..copies−1 cover every cross-copy same-vector pair. One
+    * scan per lag, each a codegen'd kernel call — no joins.
+    */
+  def verifyEmbeddingNeutrality(spark: SparkSession, src: String,
+                                copies: Int, threshold: Double): Double = {
+    if (copies < 2) return 0.0
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val worst = (1 until math.min(copies, 64)).map { lag =>
+      base.select(max(abs(call_function("graft_cosine",
+          col("embedding"), rotateVec(col("embedding"), lag)))).as("m"))
+        .head().getDouble(0)
+    }.max
+    require(worst < threshold,
+      f"replica aliasing: max cross-copy same-vector |cos| = $worst%.4f >= " +
+        f"pair threshold $threshold%.2f — this corpus' component " +
+        "autocorrelation defeats rotation; pick a different decorrelator " +
+        "before publishing an up corpus from it")
+    worst
+  }
+
+  def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     require(copies >= 1, s"copies must be >= 1, got $copies")
-    val spark = Sessions.local()
+    require(copies <= 26, s"alphabet rotation supports at most 26 distinct copies, got $copies")
+
+    val worst = verifyEmbeddingNeutrality(spark, src, copies,
+      operators.SimilarityQueries.PairThreshold)
+    println(f"[scaleup] max cross-copy same-vector |cos| = $worst%.4f " +
+      f"(< ${operators.SimilarityQueries.PairThreshold}%.2f pair threshold)")
 
     def shift(cols: Seq[String])(df: DataFrame, k: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * CopyOffset)))
@@ -62,17 +133,20 @@ object ScaleUp {
     rep("documents") { (df, k) =>
       if (k == 0) df
       else shift(Seq("doc_id"))(df, k)
-        .withColumn("text", concat(col("text"), lit(s" cpy$k")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("text", rotateText(col("text"), k))
     }
     rep("embeddings") { (df, k) =>
       if (k == 0) df
       else shift(Seq("vec_id"))(df, k)
-        .withColumn("embedding",
-          transform(col("embedding"), (x, i) =>
-            when(i === 0, x + lit((k * 1e-4).toFloat)).otherwise(x)))
+        .withColumn("embedding", rotateVec(col("embedding"), k))
     }
     println(s"[scaleup] wrote ${copies}x of $src to $dst")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleUp <srcDir> <dstDir> <copies>")
+    val spark = Sessions.local()
+    build(spark, args(0), args(1), args(2).toInt)
     spark.stop()
   }
 }

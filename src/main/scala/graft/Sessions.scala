@@ -16,9 +16,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
-      // timestamp type, so read it as an exact nanos-epoch long
-      // (Tables.events derives the calendar view).
+      // earlier corpus generations shipped events.ts as parquet
+      // TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
+      // that shape as an exact nanos-epoch long (Tables.deriveTs
+      // normalizes either shape to the shared ts_ns + ts contract).
+      // Harmless for the current micros-precision corpus.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native engine functions (graft_minhash, graft_cosine)
       .config("spark.sql.extensions", "graft.GraftExtensions")

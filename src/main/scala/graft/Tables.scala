@@ -34,24 +34,39 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — unrepresentable in Spark's
-    * micro-precision TimestampType. The session reads it as a nanos-epoch
-    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * Sessions.builder) kept as exact `ts_ns`; a micro-truncated `ts`
-    * timestamp is derived for calendar ops (`div 1000` = floor for the
-    * post-1970 data; integer div — a double division would lose precision
-    * above 2^53). Queries that must hash-match the DuckDB oracle emit
-    * `ts_ns` (exact integers), never raw timestamps.
+  /** `events.ts` has shipped in two physical shapes across corpus
+    * generations: parquet TIMESTAMP(NANOS) — unrepresentable in Spark's
+    * micro-precision TimestampType, read as a nanos-epoch long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Sessions.builder) — and plain TIMESTAMP(MICROS), which Spark reads
+    * as a (ntz) timestamp. [[deriveTs]] normalizes either shape to the
+    * SAME output contract: exact `ts_ns` (nanos-epoch long) + a
+    * micro-precision `ts` timestamp for calendar ops. Queries that must
+    * hash-match the DuckDB oracle emit `ts_ns`-derived integers, never
+    * raw timestamps.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     deriveTs(load(spark, sfDir, "events"))
 
-  /** The one place the nanos→micros contract lives (batch AND streaming
-    * paths share it — see the events scaladoc above for the rationale).
+  /** The one place the ts-normalization contract lives (batch AND
+    * streaming paths share it — see the events scaladoc above). Output
+    * is shape-independent: `ts_ns` long (exact; `div 1000` = floor for
+    * the post-1970 data — integer div, a double division would lose
+    * precision above 2^53) and `ts` micros timestamp. For a
+    * micros-precision source the nanos view is exact (micros · 1000);
+    * the cast from ntz is instant-preserving under the session's pinned
+    * UTC zone.
     */
-  def deriveTs(raw: DataFrame): DataFrame =
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def deriveTs(raw: DataFrame): DataFrame = {
+    val renamed = raw.withColumnRenamed("ts", "ts_ns")
+    val normalized = renamed.schema("ts_ns").dataType match {
+      case org.apache.spark.sql.types.LongType => renamed
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ micros source
+        renamed.withColumn("ts_ns",
+          unix_micros(col("ts_ns").cast("timestamp")) * lit(1000L))
+    }
+    normalized.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

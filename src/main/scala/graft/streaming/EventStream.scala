@@ -25,13 +25,15 @@ case class AsofMatch(err_id: Long, user_id: Long, err_ts_us: Long,
   */
 object EventStream {
 
-  /** Raw schema of the events parquet (ts read as nanos long — file
-    * sources require an explicit schema, same nanos handling as
-    * Tables.events).
+  /** Raw schema of the events parquet — file sources require an
+    * explicit schema. `ts` is declared as it is physically stored in
+    * the current corpus generation (TIMESTAMP(MICROS), no UTC
+    * adjustment → ntz); Tables.deriveTs normalizes it to the shared
+    * `ts_ns` + `ts` contract exactly as the batch path does.
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) via nanosAsLong
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
