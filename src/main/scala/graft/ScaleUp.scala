@@ -38,15 +38,26 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding`: per-copy circular rotation of the
   *    components (`out[i] = in[(i+k) mod d]`). A coordinate rotation
   *    is orthogonal: norms and ALL within-copy pairwise cosines are
-  *    preserved exactly, so planted near-dup structure replicates ×N,
-  *    while the cosine between a vector and its rotated twin is the
-  *    component autocorrelation at lag k — measured max 0.398 on the
-  *    sf0.1 corpus, under the 0.4 pair threshold, and cross-copy
-  *    DIFFERENT-vector rates measure at or below the corpus' own
-  *    random-pair rate. That margin is corpus-dependent, so
-  *    [[verifyEmbeddingNeutrality]] measures the real max on the data
-  *    being written and REFUSES to publish a corpus whose replicas
-  *    would alias as similarity pairs (knife-edge made loud).
+  *    preserved exactly, so planted near-dup structure replicates ×N.
+  *    Across copies the statistics deserve care. The 0.4 pair
+  *    threshold sits INSIDE the corpus' random-cosine tail (64-dim
+  *    vectors: std ≈ 1/8, so ~0.1% of arbitrary pairs clear 0.4) —
+  *    which means a GENUINELY N× corpus has quadratically many
+  *    threshold pairs, and cross-copy tail pairs between rotated
+  *    copies are legitimate scaling statistics, not an artifact:
+  *    measured on sf0.1, the cross-copy different-vector rate
+  *    (0.00098) matches the corpus' own pair rate (0.00094). The one
+  *    true artifact is the DIAGONAL — a vector pairing with its own
+  *    rotated replica (cosine = component autocorrelation at the lag).
+  *    No fixed orthogonal transform can zero that tail in 64 dims
+  *    (measured per-lag max |cos| spans 0.36–0.54 across corpora), so
+  *    the contract is a BOUND, not a zero: [[verifyEmbeddingNeutrality]]
+  *    measures, on the real data, the fraction of vectors whose
+  *    rotated replica clears the threshold at each realized lag, and
+  *    REFUSES to publish when any lag aliases more than
+  *    [[MaxAliasFraction]] of vectors — byte-similar replication
+  *    aliases 100%; the measured rotation tail is ≤0.15%, two orders
+  *    under the genuine pair volume it would sit beside.
   *
   * [[Bench]]'s up-pass excludes only the exact-O(n²)-kernel entries by
   * name (see Bench.UpExcluded) — everything else, including the full
@@ -78,36 +89,81 @@ object ScaleUp {
   def rotateVec(c: Column, k: Int): Column =
     transform(c, (_, i) => element_at(c, pmod(i + lit(k), size(c)) + 1))
 
-  /** Max |cos(x, rot_l(x))| over every vector and every lag the copy
-    * set will realize: cos(rot_k(x), rot_m(x)) = cos(x, rot_{m−k}(x)),
-    * so lags 1..copies−1 cover every cross-copy same-vector pair. One
-    * scan per lag, each a codegen'd kernel call — no joins.
+  /** Refuse-bound for the diagonal: the largest fraction of vectors
+    * allowed to alias with their own rotated replica at any realized
+    * lag. Calibration: byte-similar replication aliases 1.0 (every
+    * vector), the rotation's measured tail is ≤ 0.0015, and the
+    * genuine threshold-pair rate the alias pairs would sit beside is
+    * ~0.001 of a quadratically larger universe — at 0.01 the artifact
+    * is still bounded two orders under the legitimate pair volume.
+    */
+  val MaxAliasFraction = 0.01
+
+  /** Fraction of vectors whose rotated replica clears the pair
+    * threshold, per lag the copy set will realize:
+    * cos(rot_k(x), rot_m(x)) = cos(x, rot_{m−k}(x)), so lags
+    * 1..copies−1 cover every cross-copy same-vector pair. One scan per
+    * lag, each a codegen'd kernel call — no joins. Returns the worst
+    * lag's fraction; refuses above [[MaxAliasFraction]].
     */
   def verifyEmbeddingNeutrality(spark: SparkSession, src: String,
                                 copies: Int, threshold: Double): Double = {
     if (copies < 2) return 0.0
     val base = spark.read.parquet(s"$src/embeddings.parquet")
-    val worst = (1 until math.min(copies, 64)).map { lag =>
-      base.select(max(abs(call_function("graft_cosine",
-          col("embedding"), rotateVec(col("embedding"), lag)))).as("m"))
-        .head().getDouble(0)
-    }.max
-    require(worst < threshold,
-      f"replica aliasing: max cross-copy same-vector |cos| = $worst%.4f >= " +
-        f"pair threshold $threshold%.2f — this corpus' component " +
-        "autocorrelation defeats rotation; pick a different decorrelator " +
-        "before publishing an up corpus from it")
-    worst
+    val (worstFrac, worstLag, worstCos) =
+      (1 until math.min(copies, 64)).map { lag =>
+        val row = base.select(
+          avg(when(abs(call_function("graft_cosine",
+            col("embedding"), rotateVec(col("embedding"), lag)))
+            >= threshold, 1.0).otherwise(0.0)).as("frac"),
+          max(abs(call_function("graft_cosine",
+            col("embedding"), rotateVec(col("embedding"), lag)))).as("m"))
+          .head()
+        (row.getDouble(0), lag, row.getDouble(1))
+      }.maxBy(_._1)
+    require(worstFrac <= MaxAliasFraction,
+      f"replica aliasing: $worstFrac%.4f of vectors pair with their own " +
+        f"rotated replica at lag $worstLag (threshold $threshold%.2f, " +
+        f"max |cos| $worstCos%.4f) — exceeds the $MaxAliasFraction%.2f " +
+        "bound; this corpus' component autocorrelation defeats rotation, " +
+        "pick a different decorrelator before publishing an up corpus")
+    worstFrac
   }
+
+  /** Every id/FK column a copy shifts, per table. */
+  val KeyCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
 
   def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     require(copies >= 1, s"copies must be >= 1, got $copies")
     require(copies <= 26, s"alphabet rotation supports at most 26 distinct copies, got $copies")
 
+    // copies are disjoint worlds ONLY while every source key fits under
+    // the per-copy offset — on a corpus with larger ids, copy k's
+    // shifted keys would silently land inside copy k+1's range (bogus
+    // joins, merged "unique" ids). Scan the maxima and refuse instead.
+    KeyCols.foreach { case (t, cols) =>
+      val maxes = spark.read.parquet(s"$src/$t.parquet")
+        .select(cols.map(c => max(col(c)).as(c)): _*).head()
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (!maxes.isNullAt(i))
+          require(maxes.getLong(i) < CopyOffset,
+            s"$t.$c max id ${maxes.getLong(i)} >= copy offset $CopyOffset — " +
+              "shifted copies would collide; raise CopyOffset for this corpus")
+      }
+    }
+
     val worst = verifyEmbeddingNeutrality(spark, src, copies,
       operators.SimilarityQueries.PairThreshold)
-    println(f"[scaleup] max cross-copy same-vector |cos| = $worst%.4f " +
-      f"(< ${operators.SimilarityQueries.PairThreshold}%.2f pair threshold)")
+    println(f"[scaleup] worst per-lag replica-alias fraction = $worst%.5f " +
+      f"(bound $MaxAliasFraction%.2f)")
 
     def shift(cols: Seq[String])(df: DataFrame, k: Int): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * CopyOffset)))
@@ -123,13 +179,10 @@ object ScaleUp {
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$dst/$n.parquet")
     }
-    rep("customer")(shift(Seq("c_custkey")))
-    rep("supplier")(shift(Seq("s_suppkey")))
-    rep("part")(shift(Seq("p_partkey")))
-    rep("orders")(shift(Seq("o_orderkey", "o_custkey")))
-    rep("lineitem")(shift(Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    // per-user event streams replicate as new users, same cadence
-    rep("events")(shift(Seq("event_id", "user_id")))
+    // key-shift-only tables (events replicate as new users, same
+    // cadence); documents/embeddings below add their decorrelators
+    KeyCols.filterNot { case (t, _) => t == "documents" || t == "embeddings" }
+      .foreach { case (t, cols) => rep(t)(shift(cols)) }
     rep("documents") { (df, k) =>
       if (k == 0) df
       else shift(Seq("doc_id"))(df, k)

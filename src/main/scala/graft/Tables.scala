@@ -49,7 +49,11 @@ object Tables {
     deriveTs(load(spark, sfDir, "events"))
 
   /** The one place the ts-normalization contract lives (batch AND
-    * streaming paths share it — see the events scaladoc above). Output
+    * streaming paths share it — see the events scaladoc above; note
+    * the batch path auto-detects the physical shape from the inferred
+    * schema, while the streaming file source must DECLARE one —
+    * EventStream.schema pins the current generation's micros shape, so
+    * only batch reads remain bi-generational). Output
     * is shape-independent: `ts_ns` long (exact; `div 1000` = floor for
     * the post-1970 data — integer div, a double division would lose
     * precision above 2^53) and `ts` micros timestamp. For a

@@ -482,6 +482,7 @@ object Codecs {
           case "mdhd" =>
             // version 1 widens creation/modification to 64 bits,
             // pushing timescale from body+12 to body+20
+            if (end - body < 16) fail("mdhd too short")
             val version = bytes(body.toInt) & 0xff
             timescale = readU32(body + (if (version == 1) 20 else 12))
           case "stsd" =>
@@ -524,7 +525,13 @@ object Codecs {
           case "co64" =>
             val n = tableCount("co64", body, end, 4, 8, 8)
             chunkOffsets = (0L until n).map { i =>
-              (readU32(body + 8 + i * 8) << 32) | readU32(body + 12 + i * 8)
+              val off = (readU32(body + 8 + i * 8) << 32) | readU32(body + 12 + i * 8)
+              // a 64-bit offset can overflow Long to negative (hi >=
+              // 2^31) or point past the file; either would truncate in
+              // the later .toInt slice into fabricated frame bytes
+              if (off < 0 || off > bytes.length)
+                fail(s"co64 offset $off outside the ${bytes.length}-byte file")
+              off
             }
           case _ => () // ftyp/mdat/mvhd/tkhd/vmhd/dinf/…: not needed
         }

@@ -224,20 +224,25 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame every `everyMs` — the
-    * row-explosion shape (flatMap) a video pipeline needs. AVI payloads
-    * go through the REAL container walk ([[Codecs.decodeAvi]] — one
-    * decode per row, then each sample time picks the nearest EARLIER
-    * container frame, exact when `everyMs` is a multiple of the
-    * [[FramePeriodMs]] cadence); other video formats keep the declared
-    * byte-slice stub.
+    * row-explosion shape (flatMap) a video pipeline needs. avi/mp4
+    * payloads go through the REAL container walks ([[Codecs.decodeAvi]]
+    * / [[Codecs.decodeMp4]] — one decode per row); each sample time
+    * picks the nearest EARLIER container frame at the cadence the
+    * CONTAINER declares (its stts/avih frame duration — a 250 ms-corpus
+    * constant here would silently index the wrong frames in any file
+    * encoded at a different rate). Unknown containers refuse loudly.
     */
   def sampleFrames(media: Dataset[Media], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val n = math.max(1, (m.duration_ms / everyMs).toInt)
-      val frames: IndexedSeq[Array[Byte]] = m.format match {
-        case "avi" => Codecs.decodeAvi(m.payload).frames.toIndexedSeq
-        case "mp4" => Codecs.decodeMp4(m.payload).frames.toIndexedSeq
+      val (frames: IndexedSeq[Array[Byte]], usPerFrame: Long) = m.format match {
+        case "avi" =>
+          val v = Codecs.decodeAvi(m.payload)
+          (v.frames.toIndexedSeq, v.usPerFrame.toLong)
+        case "mp4" =>
+          val v = Codecs.decodeMp4(m.payload)
+          (v.frames.toIndexedSeq, v.usPerFrame.toLong)
         case other =>
           // refuse an unknown container LOUDLY — emitting arithmetic
           // byte slices here would silently hand downstream training
@@ -248,7 +253,7 @@ object Multimodal {
       }
       (0 until n).iterator.map { i =>
         val t = i * everyMs
-        val idx = math.min((t / FramePeriodMs).toInt, frames.length - 1)
+        val idx = math.min(t * 1000L / usPerFrame, frames.length - 1L).toInt
         Frame(m.media_id, i, t, frames(idx))
       }
     }

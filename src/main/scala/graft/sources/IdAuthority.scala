@@ -427,9 +427,18 @@ object IdAuthority {
             confirmed(prior, hits)
               .foreach(id => refuse(who, batchId, id.toString, what))
           case Success(_) => ()
-          case Failure(_) =>
+          case Failure(e) =>
             // a record that parsed but won't probe (lost shard file,
-            // torn bytes): the exact store is always right
+            // torn bytes — but also any transient executor/FS error):
+            // the exact store is always right, so degrade to it — but
+            // LOUDLY, because every degraded append pays the
+            // O(corpus) semi-join the sidecar exists to avoid, and a
+            // silent fallback would hide both a corrupt record and a
+            // flapping filesystem behind a slow-but-green pipeline
+            System.err.println(
+              s"[id-authority] $root: bloom probe failed " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                s"degrading batch $batchId to the exact prefix check")
             exactDup(prior, arrivalIds)
               .foreach(id => refuse(who, batchId, id.toString, what))
         }
@@ -470,11 +479,17 @@ object IdAuthority {
           Try(mergeSharded(spark, root, batchId, s, arrivalIds)).isFailure)
           rebuild(s.count + n)
       case None =>
+        // same single-scan discipline as recordBase: persist the
+        // distinct prefix∪arrival set across the count and the build
         val all = priorIds.toDF("id")
           .unionByName(arrivalIds.toDF("id").select(col("id").cast("long")))
-        val n = all.distinct().count()
-        publish(spark, root, batchId, all,
-          math.max(2 * n, MinCapacity), shardCap)
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = all.count()
+          publish(spark, root, batchId, all,
+            math.max(2 * n, MinCapacity), shardCap)
+        } finally { all.unpersist(); () }
     }
   }
 
@@ -541,9 +556,16 @@ object IdAuthority {
     val f = fs(spark, root)
     val d = new org.apache.hadoop.fs.Path(dir(root))
     if (f.exists(d)) f.delete(d, true)
-    val n = ids.toDF("id").select(col("id").cast("long")).distinct().count()
-    publish(spark, root, baseBatch, ids,
-      math.max(2 * n, MinCapacity), shardCapacity(spark))
+    // ONE corpus scan: the distinct id set is persisted (spilling past
+    // memory), so the capacity-sizing count and the filter build both
+    // read the cached set instead of re-scanning the store
+    val distinctIds = ids.toDF("id").select(col("id").cast("long")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = distinctIds.count()
+      publish(spark, root, baseBatch, distinctIds,
+        math.max(2 * n, MinCapacity), shardCapacity(spark))
+    } finally { distinctIds.unpersist(); () }
   }
 
   /** Drop sidecar records below the compaction watermark — the batches

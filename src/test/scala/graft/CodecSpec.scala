@@ -278,6 +278,21 @@ class CodecSpec extends SparkSpec {
       }
   }
 
+  test("sampleFrames honors the container's OWN cadence, not the corpus constant") {
+    import spark.implicits._
+    // 25 distinct frames at 40 ms/frame (not the corpus' 250 ms):
+    // sampling every 500 ms must index t/40, so t=500 picks frame 12 —
+    // a fixed-250ms divisor would wrongly pick frame 2
+    val frames = IndexedSeq.tabulate(25)(i => Array.fill(16)(i.toByte))
+    val m = Multimodal.Media(9L, "video", "mp4", 4, 4, 0, 1000L,
+      Codecs.encodeMp4(4, 4, 40000, frames))
+    val out = Multimodal.sampleFrames(Seq(m).toDS(), everyMs = 500L)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length === 2)
+    assert(out(0).t_ms === 0L && out(0).payload.toSeq === frames(0).toSeq)
+    assert(out(1).t_ms === 500L && out(1).payload.toSeq === frames(12).toSeq)
+  }
+
   test("resize of a PGM is a real resample producing a valid container at the new dims") {
     import spark.implicits._
     val px = Array.tabulate(8 * 8)(i => i.toByte)
