@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{DedupLayout, TextLayout, VectorLayout}
+
+/** Store fsck — the read-only third leg of the store lifecycle
+  * tooling: [[StoreBuild]] lays the artifacts down, [[StoreMaintain]]
+  * keeps them healthy between ingests, and this job tells an operator
+  * whether a root is healthy WITHOUT touching it. Every check is
+  * directory-metadata-sized (the one exception: a record-sized parquet
+  * read when the id sidecar is sharded), so it can run against a store
+  * whose data is petabytes, on a schedule or before a risky operation.
+  *
+  * Severity contract (shared with the per-store `fsck` methods):
+  *   - `ok`/`skip` — healthy, or the component was never built;
+  *   - `warn` — debris the protocols already tolerate and their own
+  *     sweeps reclaim (crashed stage dirs, shadowed partitions,
+  *     unpublished folds or versions). Nothing to do, but visible;
+  *   - `fail` — a view- or guard-breaking inconsistency no protocol
+  *     step self-heals: a published compaction marker whose folded
+  *     partition is gone (history silently unreadable), an id-authority
+  *     record ahead of its log (duplicate ids silently pass), labels
+  *     covering batches the edge store does not hold, a version
+  *     pointer naming a missing dir. Each `fail` detail names the
+  *     remediation.
+  *
+  * Usage: `runMain graft.Doctor <storeRoot>` — prints one line per
+  * check, exits non-zero iff any check failed.
+  */
+object Doctor {
+
+  /** (family, check, status, detail) for every check of every store
+    * family under `root` (the same root [[StoreBuild]]/[[StoreMaintain]]
+    * take).
+    */
+  def check(spark: SparkSession, root: String): Seq[(String, String, String, String)] = {
+    def tag(family: String, rows: Seq[(String, String, String)]) =
+      rows.map { case (c, s, d) => (family, c, s, d) }
+    tag("dedup", DedupLayout.fsck(spark, StoreBuild.dedupLayoutDir(root))) ++
+      tag("text", TextLayout.fsck(spark, StoreBuild.textLayoutDir(root))) ++
+      tag("vectors", VectorLayout.fsck(spark, StoreBuild.vectorLayoutDir(root)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: Doctor <storeRoot>")
+    val spark = Sessions.local()
+    val rows = check(spark, args(0))
+    rows.foreach { case (family, c, status, detail) =>
+      println(f"[doctor] $status%-4s $family%-8s $c%-22s $detail")
+    }
+    val fails = rows.count(_._3 == "fail")
+    println(s"[doctor] ${rows.size} checks, $fails failed")
+    spark.stop()
+    if (fails > 0) sys.exit(1)
+  }
+}

@@ -422,4 +422,48 @@ object DedupLayout {
 
   def shingles(spark: SparkSession, root: String): DataFrame =
     readStore(spark, shinglesDir(root), LogCompaction.marker(spark, root), None)
+
+  /** Read-only integrity report of the whole dedup layout — the
+    * [[graft.Doctor]] leg: the four batch logs via the shared
+    * [[LogCompaction.fsckLog]], the id-authority sidecar cross-checked
+    * against the shingle log (the prefix [[append]] guards on), and
+    * the label store's covered-batch invariant. Labels may TRAIL the
+    * edge log (a pending [[refreshLabels]] is the normal state between
+    * maintenance runs) but can never LEAD it — labels claiming a batch
+    * the store does not hold are from another root's life.
+    */
+  def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
+    val mk = LogCompaction.marker(spark, root)
+    val logRows = Seq(
+      "shingles" -> shinglesDir(root), "bands" -> bandsDir(root),
+      "pairs" -> pairsDir(root), "edges" -> edgesDir(root)).flatMap {
+      case (n, d) => LogCompaction.fsckLog(spark, d, mk)
+        .map { case (c, s, det) => (s"$n.$c", s, det) }
+    }
+    val maxShingle =
+      LogCompaction.effectiveMaxBatch(spark, shinglesDir(root), mk)
+    val labelRows =
+      if (!storeExists(spark, labelsDir(root)))
+        Seq(("labels", "skip", "no label store (refreshLabels cold-builds)"))
+      else if (!storeExists(spark, labelsMetaDir(root)))
+        Seq(("labels", "fail",
+          "label store without its covered-batch meta — the next refresh " +
+            "cannot tell what the labels cover; rebuild via refreshLabels"))
+      else {
+        val covered = spark.read.parquet(labelsMetaDir(root)).head.getLong(0)
+        val maxEdge =
+          LogCompaction.effectiveMaxBatch(spark, edgesDir(root), mk)
+        maxEdge match {
+          case Some(mb) if covered > mb =>
+            Seq(("labels", "fail",
+              s"labels cover batch $covered but the edge log's max is $mb — " +
+                "labels from another life; re-run a cold refreshLabels"))
+          case mb =>
+            Seq(("labels", "ok",
+              s"covered=$covered, edge log max=${mb.getOrElse(-1L)}" +
+                (if (mb.exists(_ > covered)) " (refresh pending — normal)" else "")))
+        }
+      }
+    logRows ++ labelRows ++ IdAuthority.fsck(spark, root, maxShingle)
+  }
 }

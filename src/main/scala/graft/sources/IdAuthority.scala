@@ -592,4 +592,70 @@ object IdAuthority {
       .foreach(s => f.delete(s.getPath, true))
     victims.map(_._1)
   }
+
+  /** Read-only integrity report of a root's id sidecar — the
+    * [[graft.Doctor]] leg. Listing-only except for one record-sized
+    * job when the newest record is sharded (its metadata lives in
+    * parquet rows). `maxLogBatch` is the guarded store's effective max
+    * batch: a record AHEAD of it is the stale-sidecar corruption
+    * [[recordBase]] wipes against — it would silently pass re-appended
+    * ids, so it reports `fail`, not `warn`.
+    */
+  def fsck(spark: SparkSession, root: String,
+           maxLogBatch: Option[Long]): Seq[(String, String, String)] = {
+    val d = new org.apache.hadoop.fs.Path(dir(root))
+    val f = fs(spark, root)
+    if (!f.exists(d))
+      return Seq(("authority", "skip",
+        "no _id_bloom sidecar (pre-upgrade root; the first append bootstraps one)"))
+    val out = Seq.newBuilder[(String, String, String)]
+    val entries = f.listStatus(d).toSeq
+    val stages = entries.count(_.getPath.getName.startsWith(".bloom-"))
+    if (stages > 0)
+      out += (("authority.stage", "warn",
+        s"$stages crashed .bloom-* staging dir(s); prune reclaims aged ones"))
+    val recs = entries.flatMap(s => decodeId(s.getPath.getName).map(_ -> s))
+    val foreign = entries.count(s => !s.getPath.getName.startsWith(".")) - recs.size
+    if (foreign > 0)
+      out += (("authority", "warn",
+        s"$foreign unrecognized file(s) in the sidecar dir (ignored by every reader)"))
+    if (recs.isEmpty)
+      out += (("authority", "warn",
+        "sidecar dir exists but holds no records; the next append re-bootstraps"))
+    else {
+      val latestId = recs.map(_._1).max
+      maxLogBatch.filter(latestId > _).foreach { mb =>
+        out += (("authority", "fail",
+          s"record bloom-${encodeId(latestId)} is AHEAD of the log (max batch $mb) — " +
+            "a stale sidecar from a previous life silently passes re-appended ids; " +
+            "wipe _id_bloom and re-seed (recordBase)"))
+      }
+      latestBefore(spark, root, Long.MaxValue) match {
+        case None =>
+          out += (("authority", "fail",
+            s"newest record bloom-${encodeId(latestId)} unreadable (torn publish) — " +
+              "every append degrades to the O(corpus) exact prefix check"))
+        case Some(a) =>
+          if (a.count > a.capacity)
+            out += (("authority", "fail",
+              s"filter over-occupied (${a.count} ids in capacity ${a.capacity}) — " +
+                "the fpp contract is void; rebuild should have doubled"))
+          a match {
+            case s: Sharded =>
+              val shards = spark.read.parquet(s.path)
+                .select("shard").distinct().count()
+              if (shards != s.nshards)
+                out += (("authority", "fail",
+                  s"sharded record holds $shards of ${s.nshards} shards — " +
+                    "probes of the missing shards degrade to the exact check"))
+            case _ => ()
+          }
+          if (!out.result().exists(_._2 == "fail"))
+            out += (("authority", "ok",
+              s"record ${encodeId(latestId)}: ${a.count} ids / capacity ${a.capacity}" +
+                (a match { case s: Sharded => s", ${s.nshards} shards"; case _ => "" })))
+      }
+    }
+    out.result()
+  }
 }

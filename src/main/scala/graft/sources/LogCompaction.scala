@@ -306,4 +306,69 @@ object LogCompaction {
           s"Use a batch id > ${mk.watermark} (and compact only past the " +
           "ingest checkpoint's committed watermark).")
     }
+
+  /** Read-only integrity report of one batch-partitioned store dir:
+    * (check, status, detail) with status `ok`/`warn`/`fail`/`skip`.
+    * Listing-only — zero Spark jobs — so [[graft.Doctor]] can fsck a
+    * store whose DATA is petabytes in directory-metadata time. The
+    * severity contract: `warn` is debris the protocol already tolerates
+    * and its own sweeps reclaim (shadowed partitions, crashed stages,
+    * unpublished folds); `fail` is a view-breaking inconsistency no
+    * protocol step repairs (a published marker whose folded partition
+    * is gone = readers silently lose all history below the watermark).
+    */
+  private[graft] def fsckLog(spark: SparkSession, dir: String,
+                             m: Option[Marker],
+                             nested: Boolean = false): Seq[(String, String, String)] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return Seq(("log", "skip", s"no store at $dir"))
+    val out = Seq.newBuilder[(String, String, String)]
+    val level1 = f.listStatus(p).toSeq
+    def parse(names: Iterator[String]): Iterator[(String, Option[Long])] = names
+      .filter(_.startsWith(BatchCol + "="))
+      .map(n => n -> scala.util.Try(n.drop(BatchCol.length + 1).toLong).toOption)
+    val batchDirs: Seq[(String, Option[Long])] =
+      if (nested) level1.iterator
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith(BatchCol))
+        .flatMap(s => parse(f.listStatus(s.getPath).iterator.map(_.getPath.getName)))
+        .toSeq
+      else parse(level1.iterator.map(_.getPath.getName)).toSeq
+    batchDirs.collect { case (n, None) =>
+      out += (("partitions", "fail", s"unparseable partition dir '$n'"))
+    }
+    val ids = batchDirs.flatMap(_._2).distinct
+    val stages = level1.count(_.getPath.getName.startsWith(".compact-"))
+    if (stages > 0)
+      out += (("stage", "warn",
+        s"$stages crashed .compact-* stage dir(s); sweep/vacuum reclaims"))
+    val gens = ids.filter(_ < BaseBatch)
+    m match {
+      case Some(mk) =>
+        val expect = compactedId(mk.gen)
+        if (!gens.contains(expect))
+          out += (("generation", "fail",
+            s"marker gen-${mk.gen} published but no $BatchCol=$expect " +
+              s"partition exists — history at or below wm=${mk.watermark} is unreadable"))
+        val stale = gens.filterNot(_ == expect)
+        if (stale.nonEmpty)
+          out += (("generation", "warn",
+            s"${stale.size} shadowed prior-generation partition(s); vacuum reclaims"))
+        val shadowed = ids.filter(v => v >= BaseBatch && v <= mk.watermark)
+        if (shadowed.nonEmpty)
+          out += (("shadow", "warn",
+            s"${shadowed.size} shadowed real-batch partition(s) <= wm=${mk.watermark}; vacuum reclaims"))
+      case None =>
+        if (gens.nonEmpty)
+          out += (("generation", "warn",
+            s"${gens.size} folded partition(s) with no published marker " +
+              "(crashed fold — invisible to readers; the next compact overwrites)"))
+    }
+    val res = out.result()
+    if (res.nonEmpty) res
+    else Seq(("log", "ok",
+      s"${ids.count(_ >= BaseBatch)} live batch partition(s)" +
+        m.fold("")(mk => s", generation ${mk.gen} through wm=${mk.watermark}")))
+  }
 }

@@ -184,4 +184,21 @@ object TextLayout {
     tokenCounts(spark, root)
       .join(broadcast(vocab(spark, root).select(col("token"))), Seq("token"))
       .select(col("doc_id"), col("token"), col("tf"))
+
+  /** Read-only integrity report of the text layout — the
+    * [[graft.Doctor]] leg: both batch logs via the shared
+    * [[LogCompaction.fsckLog]], plus the id-authority sidecar
+    * cross-checked against the count log (the prefix [[append]]
+    * guards on).
+    */
+  def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
+    val mk = LogCompaction.marker(spark, root)
+    val logRows = Seq(
+      "tokens" -> tokensDir(root), "counts" -> countsDir(root)).flatMap {
+      case (n, d) => LogCompaction.fsckLog(spark, d, mk)
+        .map { case (c, s, det) => (s"$n.$c", s, det) }
+    }
+    logRows ++ IdAuthority.fsck(spark, root,
+      LogCompaction.effectiveMaxBatch(spark, countsDir(root), mk))
+  }
 }

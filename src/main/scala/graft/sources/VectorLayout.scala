@@ -595,4 +595,53 @@ object VectorLayout {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
   }
+
+  /** Read-only integrity report of the vector layout — the
+    * [[graft.Doctor]] leg. A plain (unversioned) dir is one nested
+    * batch-log check; a versioned root additionally validates the
+    * pointer/version-dir lifecycle: a pointer naming a MISSING dir is
+    * `fail` (every probe of the root dies), an unpublished `v<N>` dir
+    * newer than the pointer is `warn` (the crash window between rename
+    * and pointer — the next retrain overwrites it), retired published
+    * dirs are `ok` (awaiting the GC grace).
+    */
+  def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!f.exists(p))
+      return Seq(("layout", "skip", s"no vector layout at $root"))
+    currentVersion(spark, root) match {
+      case None =>
+        LogCompaction.fsckLog(spark, root,
+            LogCompaction.marker(spark, root), nested = true)
+          .map { case (c, s, d) => (s"plain.$c", s, d) }
+      case Some(v) =>
+        val out = Seq.newBuilder[(String, String, String)]
+        val cur = versionDir(root, v)
+        if (!f.exists(new org.apache.hadoop.fs.Path(cur)))
+          out += (("version", "fail",
+            s"pointer ${PointerPrefix}$v names a missing dir — every probe " +
+              "of this root fails; republish or roll the pointer forward"))
+        else
+          out ++= LogCompaction.fsckLog(spark, cur,
+              LogCompaction.marker(spark, cur), nested = true)
+            .map { case (c, s, d) => (s"v$v.$c", s, d) }
+        val vdirs = f.listStatus(p).iterator
+          .filter(s => s.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.length > 1 && n.head == 'v' &&
+            n.tail.forall(_.isDigit) => n.tail.toInt }
+          .toSeq
+        val orphans = vdirs.filter(_ > v)
+        if (orphans.nonEmpty)
+          out += (("version", "warn",
+            s"unpublished version dir(s) ${orphans.sorted.mkString(",")} newer than " +
+              s"the pointer (crash between rename and pointer; the next retrain overwrites)"))
+        val retired = vdirs.filter(_ < v)
+        if (retired.nonEmpty)
+          out += (("version", "ok",
+            s"${retired.size} retired version(s) on disk awaiting GC grace"))
+        out.result()
+    }
+  }
 }
