@@ -8,9 +8,10 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   * tooling: [[StoreBuild]] lays the artifacts down, [[StoreMaintain]]
   * keeps them healthy between ingests, and this job tells an operator
   * whether a root is healthy WITHOUT touching it. Every check is
-  * directory-metadata-sized (the one exception: a record-sized parquet
-  * read when the id sidecar is sharded), so it can run against a store
-  * whose data is petabytes, on a schedule or before a risky operation.
+  * directory-metadata-sized or record-sized (a sharded id sidecar and
+  * the one-row label meta cost a few tiny parquet reads), so it can
+  * run against a store whose data is petabytes, on a schedule or
+  * before a risky operation.
   *
   * Severity contract (shared with the per-store `fsck` methods):
   *   - `ok`/`skip` — healthy, or the component was never built;
@@ -35,17 +36,47 @@ object Doctor {
     * take).
     */
   def check(spark: SparkSession, root: String): Seq[(String, String, String, String)] = {
-    def tag(family: String, rows: Seq[(String, String, String)]) =
-      rows.map { case (c, s, d) => (family, c, s, d) }
+    // per-family isolation: a diagnostic tool is run precisely when a
+    // store is broken, so one family's fsck crashing (torn parquet the
+    // checks could not anticipate) must cost that family one fail row,
+    // not the whole report
+    def tag(family: String, rows: => Seq[(String, String, String)]) =
+      scala.util.Try(rows) match {
+        case scala.util.Success(rs) => rs.map { case (c, s, d) => (family, c, s, d) }
+        case scala.util.Failure(e) =>
+          Seq((family, "fsck", "fail",
+            s"fsck itself crashed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "the store is damaged in a shape the checks could not read"))
+      }
     tag("dedup", DedupLayout.fsck(spark, StoreBuild.dedupLayoutDir(root))) ++
       tag("text", TextLayout.fsck(spark, StoreBuild.textLayoutDir(root))) ++
       tag("vectors", VectorLayout.fsck(spark, StoreBuild.vectorLayoutDir(root)))
   }
 
+  /** The one leg [[check]] cannot reach from the root: a streaming
+    * probe's pin sidecar is keyed by the stream's OUTPUT dir, which
+    * only the stream owner knows — pass each stream's (outDir,
+    * checkpoint) pair explicitly.
+    */
+  def checkStream(spark: SparkSession, outDir: String,
+                  checkpoint: String): Seq[(String, String, String, String)] =
+    scala.util.Try(
+      graft.streaming.VectorStream.fsckPins(spark, outDir, checkpoint)) match {
+      case scala.util.Success(rs) =>
+        rs.map { case (c, s, d) => ("stream", c, s, d) }
+      case scala.util.Failure(e) =>
+        Seq(("stream", "fsck", "fail",
+          s"pin fsck crashed (${e.getClass.getSimpleName}: ${e.getMessage})"))
+    }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: Doctor <storeRoot>")
+    require(args.length >= 1 && args.length % 2 == 1,
+      "usage: Doctor <storeRoot> [<streamOutDir> <checkpoint>]...")
     val spark = Sessions.local()
-    val rows = check(spark, args(0))
+    val rows = check(spark, args(0)) ++
+      args.drop(1).grouped(2).collect { case Array(o, c) =>
+        checkStream(spark, o, c)
+      }.flatten
     rows.foreach { case (family, c, status, detail) =>
       println(f"[doctor] $status%-4s $family%-8s $c%-22s $detail")
     }

@@ -449,20 +449,33 @@ object DedupLayout {
         Seq(("labels", "fail",
           "label store without its covered-batch meta — the next refresh " +
             "cannot tell what the labels cover; rebuild via refreshLabels"))
-      else {
-        val covered = spark.read.parquet(labelsMetaDir(root)).head.getLong(0)
-        val maxEdge =
-          LogCompaction.effectiveMaxBatch(spark, edgesDir(root), mk)
-        maxEdge match {
-          case Some(mb) if covered > mb =>
-            Seq(("labels", "fail",
-              s"labels cover batch $covered but the edge log's max is $mb — " +
-                "labels from another life; re-run a cold refreshLabels"))
-          case mb =>
-            Seq(("labels", "ok",
-              s"covered=$covered, edge log max=${mb.getOrElse(-1L)}" +
-                (if (mb.exists(_ > covered)) " (refresh pending — normal)" else "")))
-        }
+      else scala.util.Try(
+        spark.read.parquet(labelsMetaDir(root)).head.getLong(0)) match {
+        // a torn meta write must read as a diagnosis, not crash the
+        // diagnostic tool
+        case scala.util.Failure(e) =>
+          Seq(("labels", "fail",
+            s"covered-batch meta unreadable (${e.getClass.getSimpleName}) — " +
+              "torn writeLabels; rebuild via a cold refreshLabels"))
+        case scala.util.Success(covered) =>
+          LogCompaction.effectiveMaxBatch(spark, edgesDir(root), mk) match {
+            case Some(mb) if covered > mb =>
+              Seq(("labels", "fail",
+                s"labels cover batch $covered but the edge log's max is $mb — " +
+                  "labels from another life; re-run a cold refreshLabels"))
+            case None if covered > LogCompaction.BaseBatch =>
+              Seq(("labels", "fail",
+                s"labels cover batch $covered but the edge store is MISSING — " +
+                  "labels outlived their store; re-run a cold refreshLabels"))
+            case None =>
+              Seq(("labels", "warn",
+                "label store present but no edge store — labels cover only the " +
+                  "base; harmless, but the root looks partially wiped"))
+            case mb =>
+              Seq(("labels", "ok",
+                s"covered=$covered, edge log max=${mb.getOrElse(-1L)}" +
+                  (if (mb.exists(_ > covered)) " (refresh pending — normal)" else "")))
+          }
       }
     logRows ++ labelRows ++ IdAuthority.fsck(spark, root, maxShingle)
   }

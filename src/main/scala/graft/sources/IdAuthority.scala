@@ -594,12 +594,17 @@ object IdAuthority {
   }
 
   /** Read-only integrity report of a root's id sidecar — the
-    * [[graft.Doctor]] leg. Listing-only except for one record-sized
-    * job when the newest record is sharded (its metadata lives in
-    * parquet rows). `maxLogBatch` is the guarded store's effective max
-    * batch: a record AHEAD of it is the stale-sidecar corruption
-    * [[recordBase]] wipes against — it would silently pass re-appended
-    * ids, so it reports `fail`, not `warn`.
+    * [[graft.Doctor]] leg. Listing-plus-record-sized-jobs only (a
+    * sharded record costs a couple of tiny parquet reads). `maxLogBatch`
+    * is the guarded store's effective max batch, and the AHEAD
+    * comparison against it needs care about the append protocol's write
+    * order: [[guardAndRecord]] publishes `bloom-<b>` BEFORE the caller
+    * writes batch b's log partitions, so exactly ONE record ahead of
+    * the log is the routine in-flight (or crashed, self-healing on
+    * redelivery) append window — `warn`. TWO OR MORE records ahead can
+    * never come from the sequential append protocol; that is a sidecar
+    * that outlived its log (previous life, partial restore) and would
+    * silently mis-guard re-appended ids — `fail`.
     */
   def fsck(spark: SparkSession, root: String,
            maxLogBatch: Option[Long]): Seq[(String, String, String)] = {
@@ -624,11 +629,25 @@ object IdAuthority {
         "sidecar dir exists but holds no records; the next append re-bootstraps"))
     else {
       val latestId = recs.map(_._1).max
-      maxLogBatch.filter(latestId > _).foreach { mb =>
-        out += (("authority", "fail",
-          s"record bloom-${encodeId(latestId)} is AHEAD of the log (max batch $mb) — " +
-            "a stale sidecar from a previous life silently passes re-appended ids; " +
-            "wipe _id_bloom and re-seed (recordBase)"))
+      maxLogBatch match {
+        case Some(mb) =>
+          val ahead = recs.map(_._1).filter(_ > mb).sorted
+          if (ahead.size > 1)
+            out += (("authority", "fail",
+              s"${ahead.size} records (${ahead.map(encodeId).mkString(", ")}) are AHEAD " +
+                s"of the log (max batch $mb) — a sequential append leaves at most one; " +
+                "this sidecar outlived its log and silently mis-guards re-appended ids; " +
+                "wipe _id_bloom and re-seed (recordBase)"))
+          else if (ahead.size == 1)
+            out += (("authority", "warn",
+              s"record bloom-${encodeId(ahead.head)} is one batch ahead of the log " +
+                s"(max batch $mb) — an in-flight or crashed append (self-heals on " +
+                "redelivery); if no append is running, wipe _id_bloom and re-seed"))
+        case None =>
+          out += (("authority", "warn",
+            s"sidecar holds ${recs.size} record(s) but the guarded log is absent — " +
+              "mid-first-append, or a wiped log under a surviving sidecar " +
+              "(wipe _id_bloom if no append is in flight)"))
       }
       latestBefore(spark, root, Long.MaxValue) match {
         case None =>
@@ -650,7 +669,8 @@ object IdAuthority {
                     "probes of the missing shards degrade to the exact check"))
             case _ => ()
           }
-          if (!out.result().exists(_._2 == "fail"))
+          if (!out.result().exists(r =>
+            r._1 == "authority" && (r._2 == "fail" || r._2 == "warn")))
             out += (("authority", "ok",
               s"record ${encodeId(latestId)}: ${a.count} ids / capacity ${a.capacity}" +
                 (a match { case s: Sharded => s", ${s.nshards} shards"; case _ => "" })))

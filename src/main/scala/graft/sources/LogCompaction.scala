@@ -347,10 +347,19 @@ object LogCompaction {
     m match {
       case Some(mk) =>
         val expect = compactedId(mk.gen)
-        if (!gens.contains(expect))
+        if (!gens.contains(expect) && ids.nonEmpty)
           out += (("generation", "fail",
             s"marker gen-${mk.gen} published but no $BatchCol=$expect " +
               s"partition exists — history at or below wm=${mk.watermark} is unreadable"))
+        // no partitions at all: a store whose foldable set was empty
+        // writes no generation dir (dynamic overwrite of zero rows) —
+        // legitimate for a store that never had rows; flag it, since a
+        // fully LOST store under a marker looks identical from metadata
+        if (!gens.contains(expect) && ids.isEmpty)
+          out += (("generation", "warn",
+            s"marker gen-${mk.gen} published but the store has no partitions — " +
+              "an always-empty store's fold (normal), or a fully lost one; " +
+              "check the sibling stores' row counts if unexpected"))
         val stale = gens.filterNot(_ == expect)
         if (stale.nonEmpty)
           out += (("generation", "warn",

@@ -84,14 +84,21 @@ object VectorLayout {
     else f.listStatus(p).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith(PointerPrefix) &&
-          n.length > PointerPrefix.length &&
-          n.drop(PointerPrefix.length).forall(_.isDigit) =>
+          isVersionNum(n.drop(PointerPrefix.length)) =>
         // digits-only guard: a stray sibling (editor temp, `.bak` copy)
         // must be IGNORED, not throw NumberFormatException inside every
         // read path (round-8 review)
         n.stripPrefix(PointerPrefix).toInt }
       .maxOption
   }
+
+  /** ASCII digits, bounded length — `_.isDigit` alone admits Unicode
+    * digits and 10+-digit strings whose `toInt` throws; a stray dir
+    * must be ignored, never a crash in a read path (the round-8
+    * digits-only lesson, applied strictly).
+    */
+  private def isVersionNum(s: String): Boolean =
+    s.nonEmpty && s.length <= 9 && s.forall(c => c >= '0' && c <= '9')
 
   /** A path is either a PLAIN layout dir (every pre-versioning caller,
     * StoreBuild, the specs) or a VERSIONED root carrying pointer
@@ -610,13 +617,38 @@ object VectorLayout {
     val p = new org.apache.hadoop.fs.Path(root)
     if (!f.exists(p))
       return Seq(("layout", "skip", s"no vector layout at $root"))
+    val level1 = f.listStatus(p).toSeq
+    val vdirs = level1.iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.length > 1 && n.head == 'v' &&
+        isVersionNum(n.tail) => n.tail.toInt }
+      .toSeq
+    val stages = level1.count { s =>
+      val n = s.getPath.getName
+      n.startsWith(".retrain-") || n.startsWith(".mat-")
+    }
+    val stageRows =
+      if (stages == 0) Nil
+      else Seq(("version.stage", "warn",
+        s"$stages crashed .retrain-*/.mat-* stage dir(s) — a full layout " +
+          "copy each; the maintenance sweep reclaims aged ones"))
     currentVersion(spark, root) match {
+      case None if vdirs.nonEmpty =>
+        // version dirs with no pointer: resolve() serves the root as a
+        // PLAIN layout holding no data — every probe comes back empty
+        // while the real data sits unreachable in v<N>
+        stageRows :+ (("version", "fail",
+          s"version dir(s) v${vdirs.sorted.mkString(", v")} exist but no " +
+            s"$PointerPrefix* marker does — the root resolves as an empty " +
+            s"plain layout; re-create $PointerPrefix${vdirs.max} to restore service"))
       case None =>
-        LogCompaction.fsckLog(spark, root,
+        stageRows ++ LogCompaction.fsckLog(spark, root,
             LogCompaction.marker(spark, root), nested = true)
           .map { case (c, s, d) => (s"plain.$c", s, d) }
       case Some(v) =>
         val out = Seq.newBuilder[(String, String, String)]
+        out ++= stageRows
         val cur = versionDir(root, v)
         if (!f.exists(new org.apache.hadoop.fs.Path(cur)))
           out += (("version", "fail",
@@ -626,12 +658,6 @@ object VectorLayout {
           out ++= LogCompaction.fsckLog(spark, cur,
               LogCompaction.marker(spark, cur), nested = true)
             .map { case (c, s, d) => (s"v$v.$c", s, d) }
-        val vdirs = f.listStatus(p).iterator
-          .filter(s => s.isDirectory)
-          .map(_.getPath.getName)
-          .collect { case n if n.length > 1 && n.head == 'v' &&
-            n.tail.forall(_.isDigit) => n.tail.toInt }
-          .toSeq
         val orphans = vdirs.filter(_ > v)
         if (orphans.nonEmpty)
           out += (("version", "warn",

@@ -173,8 +173,101 @@ object VectorStream {
           }
           .toSeq.sortBy(_._1)
         victims.foreach { case (_, p) => fs.delete(p, false) }
+        // crashed writers leave `wm-<id>.tmp-<uuid>` temps the rename
+        // never consumed; sweep the ones old enough to be dead (the
+        // StageGraceMs liveness convention — a younger temp may belong
+        // to a live writer racing this prune)
+        val now = System.currentTimeMillis()
+        fs.listStatus(dir).iterator
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith("wm-") && n.contains(".tmp-") &&
+              s.getModificationTime < now - VectorLayout.StageGraceMs
+          }
+          .foreach(s => fs.delete(s.getPath, false))
         victims.map(_._1)
     }
+
+  /** Read-only integrity report of a stream's pin sidecar — the
+    * [[graft.Doctor]] leg the store-root fsck cannot reach (pins are
+    * keyed by each stream's OUTPUT dir, which only the stream owner
+    * knows; pass it to `Doctor <root> <outDir> <checkpoint>`).
+    * Listing-plus-record-sized reads (each pin record is two lines).
+    */
+  def fsckPins(spark: SparkSession, outDir: String,
+               checkpoint: String): Seq[(String, String, String)] = {
+    val dir = watermarkDir(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      return Seq(("pins", "skip",
+        s"no pin sidecar at $dir (stream never probed a layout)"))
+    def asId(s: String): Option[Long] =
+      if (s.nonEmpty && s.length <= 18 && s.forall(c => c >= '0' && c <= '9'))
+        Some(s.toLong) else None
+    val out = Seq.newBuilder[(String, String, String)]
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    val temps = names.count(n => n.startsWith("wm-") && n.contains(".tmp-"))
+    if (temps > 0)
+      out += (("pins.stage", "warn",
+        s"$temps crashed writer temp(s); pruneWatermarks sweeps aged ones"))
+    val markers = names.filter(_.startsWith("_pruned-"))
+      .flatMap(n => asId(n.stripPrefix("_pruned-")))
+    if (markers.size > 1)
+      out += (("pins", "warn",
+        s"${markers.size} _pruned-* markers (crashed retire) — only the max " +
+          s"floor ${markers.max} is consulted; the next prune retires the rest"))
+    val floor = markers.maxOption
+    val recs = names.filter(n => n.startsWith("wm-") && !n.contains(".tmp-"))
+      .flatMap(n => asId(n.stripPrefix("wm-"))).sorted
+    floor.foreach { w =>
+      val below = recs.filter(_ < w)
+      if (below.nonEmpty)
+        out += (("pins", "warn",
+          s"${below.size} record(s) below the prune floor $w (crashed prune); " +
+            "the next prune reclaims"))
+    }
+    var malformed = 0
+    var broken = List.empty[Long]
+    recs.foreach { id =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"wm-$id")
+      val parsed = scala.util.Try {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.trim.split("\n")
+      }.toOption.filter(l => l.length == 2 && l(1).matches("-?\\d+"))
+      parsed match {
+        case None => malformed += 1
+        case Some(lines) =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(lines(0))))
+            broken ::= id
+      }
+    }
+    if (malformed > 0)
+      out += (("pins", "warn",
+        s"$malformed malformed record(s) — deleted and re-pinned at the " +
+          "batch's next attempt (crash-torn writes)"))
+    if (broken.nonEmpty)
+      out += (("pins", "fail",
+        s"record(s) ${broken.sorted.mkString(", ")} pin a layout dir that no " +
+          "longer exists (GC outran the pin) — a replay of those batches " +
+          "refuses; advance the prune floor past them (run pruneWatermarks " +
+          "after the checkpoint commits beyond), or restart the stream with " +
+          "a fresh checkpoint AND output dir"))
+    committedBatch(spark, checkpoint).foreach { c =>
+      val ahead = recs.filter(_ > c + 1)
+      if (ahead.nonEmpty)
+        out += (("pins", "warn",
+          s"${ahead.size} record(s) ahead of committed batch $c — a foreign " +
+            "or restored checkpoint? records are inert until those ids run"))
+    }
+    val res = out.result()
+    if (res.nonEmpty) res
+    else Seq(("pins", "ok",
+      s"${recs.size} pin record(s)" +
+        floor.fold("")(w => s", prune floor $w") +
+        committedBatch(spark, checkpoint).fold("")(c => s", committed batch $c")))
+  }
 
   /** Pin the layout snapshot a micro-batch probes: at the batch's FIRST
     * attempt, record (resolved layout version dir, max layout batch id)

@@ -48,16 +48,35 @@ class DoctorSpec extends SparkSpec {
     } finally { junk.delete(); () }
   }
 
-  test("an id-authority record ahead of the log is a FAILURE, not a warning") {
-    val stale = new java.io.File(
-      StoreBuild.dedupLayoutDir(root) + "/_id_bloom/bloom-99")
-    assert(stale.createNewFile())
+  test("ONE record ahead of the log is the in-flight append window: warn, not fail") {
+    // the append protocol publishes bloom-<b> before batch b's log
+    // partitions land, so a single ahead record is routine — copy the
+    // base record so the planted one parses cleanly
+    val side = StoreBuild.dedupLayoutDir(root) + "/_id_bloom"
+    val ahead = new java.io.File(s"$side/bloom-5")
+    Files.copy(new java.io.File(s"$side/bloom-m1").toPath, ahead.toPath)
+    try {
+      val rows = Doctor.check(spark, root)
+      val auth = rows.filter(r => r._1 == "dedup" && r._2 == "authority")
+      assert(auth.exists(r => r._3 == "warn" && r._4.contains("one batch ahead")),
+        s"in-flight window must warn: $auth")
+      assert(!auth.exists(_._3 == "fail"),
+        s"the routine crash window must NOT read as corruption: $auth")
+    } finally { ahead.delete(); () }
+  }
+
+  test("TWO records ahead of the log is a stale sidecar: FAILURE") {
+    val side = StoreBuild.dedupLayoutDir(root) + "/_id_bloom"
+    val a = new java.io.File(s"$side/bloom-98")
+    val b = new java.io.File(s"$side/bloom-99")
+    Files.copy(new java.io.File(s"$side/bloom-m1").toPath, a.toPath)
+    Files.copy(new java.io.File(s"$side/bloom-m1").toPath, b.toPath)
     try {
       val rows = Doctor.check(spark, root)
       assert(rows.exists(r => r._1 == "dedup" && r._2 == "authority" &&
         r._3 == "fail" && r._4.contains("AHEAD")),
-        s"stale sidecar must fail: ${rows.filter(_._1 == "dedup")}")
-    } finally { stale.delete(); () }
+        s"a sidecar that outlived its log must fail: ${rows.filter(_._1 == "dedup")}")
+    } finally { a.delete(); b.delete(); () }
   }
 
   test("versioned lifecycle: orphan version warns, dangling pointer fails") {
@@ -77,11 +96,25 @@ class DoctorSpec extends SparkSpec {
     val broken = VectorLayout.fsck(spark, vroot)
     assert(broken.exists(r => r._1 == "version" && r._2 == "fail" &&
       r._3.contains("missing dir")))
+    // losing every pointer strands the version dirs: the root would
+    // resolve as an EMPTY plain layout — fail, not "plain ok"
+    assert(new java.io.File(vroot + "/_CURRENT_v1").delete())
+    assert(new java.io.File(vroot + "/_CURRENT_v3").delete())
+    val stranded = VectorLayout.fsck(spark, vroot)
+    assert(stranded.exists(r => r._1 == "version" && r._2 == "fail" &&
+      r._3.contains("empty plain layout")),
+      s"lost pointers must not read as a healthy plain root: $stranded")
   }
 
   test("a published marker whose folded partition is lost is a failure") {
     import spark.implicits._
-    val dedupRoot = StoreBuild.dedupLayoutDir(root)
+    // own root: this test mutates destructively, and the shared root
+    // must stay healthy for any test that runs after (or is filtered
+    // to run without) the earlier ones
+    val r2 = Files.createTempDirectory("graft-doctor2").toString
+    val dedupRoot = StoreBuild.dedupLayoutDir(r2)
+    DedupLayout.materialize(spark,
+      Tables.documents(spark, Sf).select(col("doc_id"), col("text")), dedupRoot)
     // a base-only store folds nothing (by design) — append one real
     // batch so the compact below publishes a marker + generation
     DedupLayout.append(spark,
@@ -89,7 +122,16 @@ class DoctorSpec extends SparkSpec {
         (900002L, "doctor spec arrival two")).toDF("doc_id", "text"),
       dedupRoot, batchId = 1L)
     DedupLayout.compact(spark, dedupRoot)
-    val clean = Doctor.check(spark, root)
+    // a live tail after the fold: with partitions still present, a
+    // missing generation is provably a LOSS (an always-empty store —
+    // zero partitions total — is only ever a warn: indistinguishable
+    // from a legitimate empty fold by metadata alone)
+    // the arrival duplicates batch 1's text so the append MINES a pair
+    // and the pairs store gains a live __batch_id=2 partition
+    DedupLayout.append(spark,
+      Seq((900003L, "doctor spec arrival one")).toDF("doc_id", "text"),
+      dedupRoot, batchId = 2L)
+    val clean = Doctor.check(spark, r2)
     assert(fails(clean).isEmpty, s"compacted store must be clean: ${fails(clean)}")
     // destroy the folded generation partition under pairs (gen 1 = -2)
     val gen = new java.io.File(dedupRoot + "/pairs/__batch_id=-2")
@@ -98,7 +140,7 @@ class DoctorSpec extends SparkSpec {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(gen)
-    val rows = Doctor.check(spark, root)
+    val rows = Doctor.check(spark, r2)
     assert(rows.exists(r => r._1 == "dedup" && r._2 == "pairs.generation" &&
       r._3 == "fail" && r._4.contains("unreadable")),
       s"lost fold must fail: ${rows.filter(_._1 == "dedup")}")

@@ -214,6 +214,63 @@ class VectorStreamSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("pin fsck: healthy sidecar is ok; each planted debris/corruption reads at its severity") {
+    val layout = Files.createTempDirectory("graft-vqf").toString + "/vectors"
+    graft.sources.VectorLayout.materialize(spark, Sf, layout)
+    val qdir = Files.createTempDirectory("graft-vqf-q")
+    val out = Files.createTempDirectory("graft-vqf-out").toString + "/results"
+    val ckpt = Files.createTempDirectory("graft-vqf-ck").toString + "/ck"
+    val wmDir = new java.io.File(out + "__watermarks")
+
+    val queries = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").between(20, 22))
+      .select(col("vec_id"), col("embedding"))
+    writeOneFile(queries.filter(col("vec_id") < 22), qdir, "q1.parquet")
+    writeOneFile(queries.filter(col("vec_id") === 22), qdir, "q2.parquet")
+    val q = VectorStream.probeLayoutSink(
+      VectorStream.read(spark, qdir.toString), Sf, layout, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows() = VectorStream.fsckPins(spark, out, ckpt)
+    assert(rows() === Seq(("pins", "ok", "2 pin record(s), committed batch 1")),
+      s"fresh sidecar must be clean: ${rows()}")
+
+    // crashed writer temp: warn, and an AGED one is swept by the prune
+    val temp = new java.io.File(wmDir, "wm-1.tmp-deadbeef")
+    assert(temp.createNewFile())
+    assert(rows().exists(r => r._1 == "pins.stage" && r._2 == "warn"))
+    assert(temp.setLastModified(
+      System.currentTimeMillis() - 2 * graft.sources.VectorLayout.StageGraceMs))
+    VectorStream.pruneWatermarks(spark, out, ckpt)
+    assert(!temp.exists(), "an aged temp must be swept by the prune")
+    assert(!rows().exists(_._1 == "pins.stage"), "swept temp must clear the warn")
+
+    // a record pinning a GC'd layout dir: the one state that breaks a
+    // replay outright — fail, with the remediation named
+    val orphan = new java.io.File(wmDir, "wm-9")
+    java.nio.file.Files.writeString(orphan.toPath, "/nonexistent/layout/v9\n5\n")
+    try {
+      val r = rows()
+      assert(r.exists(x => x._1 == "pins" && x._2 == "fail" &&
+        x._3.contains("no longer exists")), s"GC'd pin must fail: $r")
+      assert(r.exists(x => x._2 == "warn" && x._3.contains("ahead of committed")),
+        "a record past the checkpoint also warns as foreign")
+    } finally { orphan.delete(); () }
+
+    // a torn (malformed) record self-heals at the batch's next attempt:
+    // warn, never fail
+    val torn = new java.io.File(wmDir, "wm-1")
+    val saved = java.nio.file.Files.readAllBytes(torn.toPath)
+    java.nio.file.Files.writeString(torn.toPath, "half a record")
+    try {
+      val r = rows()
+      assert(r.exists(x => x._1 == "pins" && x._2 == "warn" &&
+        x._3.contains("malformed")), s"torn record must warn: $r")
+      assert(!r.exists(_._2 == "fail"))
+    } finally { java.nio.file.Files.write(torn.toPath, saved); () }
+    CacheLife.release(spark)
+  }
+
   test("layout-backed streaming probe matches the batch probe over the on-disk index") {
     val layout = Files.createTempDirectory("graft-vql").toString + "/vectors"
     graft.sources.VectorLayout.materialize(spark, Sf, layout)
