@@ -139,12 +139,18 @@ object Bench {
       if (scaleDir.endsWith("sf0.01")) "/root/testdata/sf0.001" else "none")
     val (scalePart2, _) = scalePass(scaleDir2, "2",
       smallMap.toSeq.sortBy(_._1))
-    // UPWARD decade (opt-in): SPARK_GRAFT_SCALE_UP_DIR names a corpus
-    // LARGER than the main pass (built by graft.ScaleUp). The ratio
-    // direction flips vs the downward passes — t(up)/t(main), expected
-    // at or under the data ratio for linear plans. Everything runs
-    // except the exact-quadratic kernel family ([[UpExcluded]]).
-    val upDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR", "none")
+    // UPWARD decade: SPARK_GRAFT_SCALE_UP_DIR names a corpus LARGER
+    // than the main pass (built by graft.ScaleUp). The ratio direction
+    // flips vs the downward passes — t(up)/t(main), expected at or
+    // under the data ratio for linear plans. Everything runs except
+    // the exact-quadratic kernel family ([[UpExcluded]]). Defaults to
+    // the standard generator output when it exists on disk (so a
+    // driver run that sets no env still measures the up decade);
+    // SPARK_GRAFT_SCALE_UP_DIR=none opts out explicitly.
+    val defaultUp = "testdata_up/sf1"
+    val upDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP_DIR",
+      if (sfDir.endsWith("sf0.1") &&
+        Files.isDirectory(Paths.get(defaultUp))) defaultUp else "none")
     val upPart =
       if (upDir == "none") ""
       else {
