@@ -16,18 +16,27 @@ import graft.sources.{DedupLayout, TextLayout, VectorLayout}
   * Severity contract (shared with the per-store `fsck` methods):
   *   - `ok`/`skip` — healthy, or the component was never built;
   *   - `warn` — debris the protocols already tolerate and their own
-  *     sweeps reclaim (crashed stage dirs, shadowed partitions,
-  *     unpublished folds or versions). Nothing to do, but visible;
+  *     sweeps reclaim (aged crashed stage dirs, shadowed partitions,
+  *     unpublished folds or versions), plus states metadata alone
+  *     cannot split from a healthy one (one id-authority record ahead
+  *     of its log is the routine in-flight append window; a marker
+  *     over a store with zero partitions may be an always-empty fold).
+  *     Nothing forced, but visible;
   *   - `fail` — a view- or guard-breaking inconsistency no protocol
   *     step self-heals: a published compaction marker whose folded
-  *     partition is gone (history silently unreadable), an id-authority
-  *     record ahead of its log (duplicate ids silently pass), labels
-  *     covering batches the edge store does not hold, a version
-  *     pointer naming a missing dir. Each `fail` detail names the
-  *     remediation.
+  *     partition is gone while live partitions remain (history
+  *     silently unreadable), TWO or more id-authority records ahead of
+  *     their log (a sequential append leaves at most one — the sidecar
+  *     outlived its log and silently mis-guards re-appended ids),
+  *     labels covering batches the band store does not hold, a version
+  *     pointer naming a missing dir, version dirs stranded with no
+  *     pointer at all. Each `fail` detail names the remediation.
   *
-  * Usage: `runMain graft.Doctor <storeRoot>` — prints one line per
-  * check, exits non-zero iff any check failed.
+  * Usage: `runMain graft.Doctor <storeRoot> [<streamOutDir>
+  * <checkpoint>]...` — prints one line per check, exits non-zero iff
+  * any check failed. The optional pairs reach each probe stream's pin
+  * sidecar ([[graft.streaming.VectorStream.fsckPins]]), which is keyed
+  * by the stream's output dir and invisible from the store root.
   */
 object Doctor {
 

@@ -458,22 +458,28 @@ object DedupLayout {
             s"covered-batch meta unreadable (${e.getClass.getSimpleName}) — " +
               "torn writeLabels; rebuild via a cold refreshLabels"))
         case scala.util.Success(covered) =>
-          LogCompaction.effectiveMaxBatch(spark, edgesDir(root), mk) match {
+          // compare against the BAND store — the same anchor
+          // refreshLabels advances `covered` from (the store append
+          // writes LAST). The edge store is the WRONG yardstick: a
+          // batch that mines zero pairs writes no edges partition
+          // (dynamic overwrite of zero rows), so a healthy dup-free
+          // root routinely has covered > edges-max
+          LogCompaction.effectiveMaxBatch(spark, bandsDir(root), mk) match {
             case Some(mb) if covered > mb =>
               Seq(("labels", "fail",
-                s"labels cover batch $covered but the edge log's max is $mb — " +
+                s"labels cover batch $covered but the band log's max is $mb — " +
                   "labels from another life; re-run a cold refreshLabels"))
             case None if covered > LogCompaction.BaseBatch =>
               Seq(("labels", "fail",
-                s"labels cover batch $covered but the edge store is MISSING — " +
+                s"labels cover batch $covered but the band store is MISSING — " +
                   "labels outlived their store; re-run a cold refreshLabels"))
             case None =>
               Seq(("labels", "warn",
-                "label store present but no edge store — labels cover only the " +
-                  "base; harmless, but the root looks partially wiped"))
+                "label store present but no band store — the root looks " +
+                  "partially wiped; a cold refreshLabels rebuilds"))
             case mb =>
               Seq(("labels", "ok",
-                s"covered=$covered, edge log max=${mb.getOrElse(-1L)}" +
+                s"covered=$covered, band log max=${mb.getOrElse(-1L)}" +
                   (if (mb.exists(_ > covered)) " (refresh pending — normal)" else "")))
           }
       }

@@ -615,10 +615,15 @@ object IdAuthority {
         "no _id_bloom sidecar (pre-upgrade root; the first append bootstraps one)"))
     val out = Seq.newBuilder[(String, String, String)]
     val entries = f.listStatus(d).toSeq
-    val stages = entries.count(_.getPath.getName.startsWith(".bloom-"))
+    // the liveness-grace convention: only an AGED staging dir is
+    // crashed debris; a young one may be a live sharded publish
+    val now = System.currentTimeMillis()
+    val stages = entries.count(s =>
+      s.getPath.getName.startsWith(".bloom-") &&
+        s.getModificationTime < now - VectorLayout.StageGraceMs)
     if (stages > 0)
       out += (("authority.stage", "warn",
-        s"$stages crashed .bloom-* staging dir(s); prune reclaims aged ones"))
+        s"$stages crashed .bloom-* staging dir(s); prune reclaims them"))
     val recs = entries.flatMap(s => decodeId(s.getPath.getName).map(_ -> s))
     val foreign = entries.count(s => !s.getPath.getName.startsWith(".")) - recs.size
     if (foreign > 0)
@@ -639,10 +644,17 @@ object IdAuthority {
                 "this sidecar outlived its log and silently mis-guards re-appended ids; " +
                 "wipe _id_bloom and re-seed (recordBase)"))
           else if (ahead.size == 1)
+            // metadata alone cannot split this state: batch ids are
+            // monotonic but NOT necessarily dense, so bloom-99 over a
+            // log max of 3 is equally an in-flight append under a
+            // sparse id scheme or a pruned-to-one-record stale sidecar
+            // over a restored log — name both readings and the test
             out += (("authority", "warn",
-              s"record bloom-${encodeId(ahead.head)} is one batch ahead of the log " +
-                s"(max batch $mb) — an in-flight or crashed append (self-heals on " +
-                "redelivery); if no append is running, wipe _id_bloom and re-seed"))
+              s"record bloom-${encodeId(ahead.head)} is ahead of the log " +
+                s"(max batch $mb) — an in-flight or crashed append " +
+                "(self-heals on that batch's redelivery), OR a sidecar " +
+                "that outlived a restored/truncated log; if no append " +
+                "is running, wipe _id_bloom and re-seed"))
         case None =>
           out += (("authority", "warn",
             s"sidecar holds ${recs.size} record(s) but the guarded log is absent — " +

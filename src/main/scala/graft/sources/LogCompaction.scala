@@ -339,10 +339,19 @@ object LogCompaction {
       out += (("partitions", "fail", s"unparseable partition dir '$n'"))
     }
     val ids = batchDirs.flatMap(_._2).distinct
-    val stages = level1.count(_.getPath.getName.startsWith(".compact-"))
-    if (stages > 0)
+    // a fold's stage lives for minutes — only one that outlived the
+    // liveness grace is crashed debris (the VectorLayout.StageGraceMs
+    // convention); a younger one may be a live compact mid-fold
+    val now = System.currentTimeMillis()
+    val (aged, live) = level1.filter(_.getPath.getName.startsWith(".compact-"))
+      .partition(_.getModificationTime < now - VectorLayout.StageGraceMs)
+    if (aged.nonEmpty)
       out += (("stage", "warn",
-        s"$stages crashed .compact-* stage dir(s); sweep/vacuum reclaims"))
+        s"${aged.size} crashed .compact-* stage dir(s); sweep/vacuum reclaims"))
+    if (live.nonEmpty)
+      out += (("stage", "ok",
+        s"${live.size} stage dir(s) younger than the liveness grace " +
+          "(a compact may be in flight)"))
     val gens = ids.filter(_ < BaseBatch)
     m match {
       case Some(mk) =>

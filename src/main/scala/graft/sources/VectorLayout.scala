@@ -624,24 +624,47 @@ object VectorLayout {
       .collect { case n if n.length > 1 && n.head == 'v' &&
         isVersionNum(n.tail) => n.tail.toInt }
       .toSeq
-    val stages = level1.count { s =>
+    // a stage dir is only CRASHED debris once it outlives the liveness
+    // grace — a younger one is likely a live retrain mid-build (the
+    // gcVersions sweep convention; flagging a running maintenance job
+    // as a crash would make every doctor-during-retrain cry wolf)
+    val now = System.currentTimeMillis()
+    val (agedStages, liveStages) = level1.filter { s =>
       val n = s.getPath.getName
       n.startsWith(".retrain-") || n.startsWith(".mat-")
-    }
+    }.partition(_.getModificationTime < now - StageGraceMs)
     val stageRows =
-      if (stages == 0) Nil
-      else Seq(("version.stage", "warn",
-        s"$stages crashed .retrain-*/.mat-* stage dir(s) — a full layout " +
-          "copy each; the maintenance sweep reclaims aged ones"))
+      (if (agedStages.isEmpty) Nil
+       else Seq(("version.stage", "warn",
+         s"${agedStages.size} crashed .retrain-*/.mat-* stage dir(s) — a full " +
+           "layout copy each; the maintenance sweep reclaims them"))) ++
+      (if (liveStages.isEmpty) Nil
+       else Seq(("version.stage", "ok",
+         s"${liveStages.size} stage dir(s) younger than the liveness grace " +
+           "(a retrain/materialize may be in flight)")))
     currentVersion(spark, root) match {
       case None if vdirs.nonEmpty =>
-        // version dirs with no pointer: resolve() serves the root as a
-        // PLAIN layout holding no data — every probe comes back empty
-        // while the real data sits unreachable in v<N>
-        stageRows :+ (("version", "fail",
-          s"version dir(s) v${vdirs.sorted.mkString(", v")} exist but no " +
-            s"$PointerPrefix* marker does — the root resolves as an empty " +
-            s"plain layout; re-create $PointerPrefix${vdirs.max} to restore service"))
+        // version dirs with no pointer: resolve() falls back to the
+        // ROOT as a plain layout — which serves either nothing, or
+        // (on a root upgraded from a plain life) STALE root-level
+        // data, while the real layouts sit unreachable in v<N>
+        val plainData = level1.exists(s => s.isDirectory &&
+          s.getPath.getName.contains("="))
+        val served =
+          if (plainData)
+            "the root serves its STALE pre-versioning plain data"
+          else "every probe of the root comes back empty"
+        stageRows ++
+          (if (plainData)
+            LogCompaction.fsckLog(spark, root,
+                LogCompaction.marker(spark, root), nested = true)
+              .map { case (c, s, d) => (s"plain.$c", s, d) }
+          else Nil) :+
+          (("version", "fail",
+            s"version dir(s) v${vdirs.sorted.mkString(", v")} exist but no " +
+              s"$PointerPrefix* marker does — $served; re-create the marker " +
+              s"for the newest PUBLISHED version (a crashed retrain's dir may " +
+              "be newer than the last published one)"))
       case None =>
         stageRows ++ LogCompaction.fsckLog(spark, root,
             LogCompaction.marker(spark, root), nested = true)

@@ -188,6 +188,21 @@ object VectorStream {
         victims.map(_._1)
     }
 
+  /** The wm-record format, in ONE place for writer ([[pinnedSnapshot]])
+    * and reader/doctor ([[fsckPins]]): line 1 = resolved layout dir,
+    * line 2 = pinned layout watermark. None on any torn/short read.
+    */
+  private def readPin(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    scala.util.Try {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.split("\n")
+    }.toOption
+      .filter(l => l.length == 2 && l(1).matches("-?\\d+"))
+      .map(l => (l(0), l(1).toLong))
+
   /** Read-only integrity report of a stream's pin sidecar — the
     * [[graft.Doctor]] leg the store-root fsck cannot reach (pins are
     * keyed by each stream's OUTPUT dir, which only the stream owner
@@ -217,8 +232,14 @@ object VectorStream {
         s"${markers.size} _pruned-* markers (crashed retire) — only the max " +
           s"floor ${markers.max} is consulted; the next prune retires the rest"))
     val floor = markers.maxOption
-    val recs = names.filter(n => n.startsWith("wm-") && !n.contains(".tmp-"))
-      .flatMap(n => asId(n.stripPrefix("wm-"))).sorted
+    val recNames = names.filter(n => n.startsWith("wm-") && !n.contains(".tmp-"))
+    val recs = recNames.flatMap(n => asId(n.stripPrefix("wm-"))).sorted
+    val foreign = recNames.size - recs.size +
+      names.count(n => !n.startsWith("wm-") && !n.startsWith("_pruned-") &&
+        !n.startsWith("."))
+    if (foreign > 0)
+      out += (("pins", "warn",
+        s"$foreign unrecognized file(s) in the pin sidecar (ignored by every reader)"))
     floor.foreach { w =>
       val below = recs.filter(_ < w)
       if (below.nonEmpty)
@@ -228,19 +249,23 @@ object VectorStream {
     }
     var malformed = 0
     var broken = List.empty[Long]
+    val conf = spark.sparkContext.hadoopConfiguration
     recs.foreach { id =>
-      val p = new org.apache.hadoop.fs.Path(dir, s"wm-$id")
-      val parsed = scala.util.Try {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.trim.split("\n")
-      }.toOption.filter(l => l.length == 2 && l(1).matches("-?\\d+"))
-      parsed match {
+      readPin(fs, new org.apache.hadoop.fs.Path(dir, s"wm-$id")) match {
         case None => malformed += 1
-        case Some(lines) =>
-          if (!fs.exists(new org.apache.hadoop.fs.Path(lines(0))))
-            broken ::= id
+        case Some((pinnedDir, _)) =>
+          // the pinned LAYOUT may live on a different filesystem than
+          // the output dir (file: results over an hdfs:/s3a: layout) —
+          // resolve the pinned path's OWN FS, and treat an unresolvable
+          // scheme as malformed rather than crashing the report
+          scala.util.Try {
+            val pp = new org.apache.hadoop.fs.Path(pinnedDir)
+            pp.getFileSystem(conf).exists(pp)
+          } match {
+            case scala.util.Success(false) => broken ::= id
+            case scala.util.Success(true) => ()
+            case scala.util.Failure(_) => malformed += 1
+          }
       }
     }
     if (malformed > 0)
@@ -294,15 +319,7 @@ object VectorStream {
     // every subsequent retry of the batch
     def parse(): Option[(String, Long)] =
       if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val lines = txt.trim.split("\n")
-        if (lines.length == 2 && lines(1).matches("-?\\d+"))
-          Some((lines(0), lines(1).toLong))
-        else { fs.delete(p, false); None }
-      }
+      else readPin(fs, p).orElse { fs.delete(p, false); None }
     parse().getOrElse {
       // no record: first attempt — unless the batch fell below the
       // prune floor, where a missing record means FINALIZED: re-pinning

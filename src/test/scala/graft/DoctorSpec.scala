@@ -39,6 +39,10 @@ class DoctorSpec extends SparkSpec {
     val junk = new java.io.File(
       StoreBuild.textLayoutDir(root) + "/tokens/.compact-junk")
     assert(junk.mkdirs())
+    // a YOUNG stage dir may be a live fold (ok, not warn) — age it
+    // past the liveness grace so it reads as crashed debris
+    assert(junk.setLastModified(System.currentTimeMillis() -
+      2 * sources.VectorLayout.StageGraceMs))
     try {
       val rows = Doctor.check(spark, root)
       val w = rows.find(r => r._1 == "text" && r._2 == "tokens.stage")
@@ -58,7 +62,7 @@ class DoctorSpec extends SparkSpec {
     try {
       val rows = Doctor.check(spark, root)
       val auth = rows.filter(r => r._1 == "dedup" && r._2 == "authority")
-      assert(auth.exists(r => r._3 == "warn" && r._4.contains("one batch ahead")),
+      assert(auth.exists(r => r._3 == "warn" && r._4.contains("ahead of the log")),
         s"in-flight window must warn: $auth")
       assert(!auth.exists(_._3 == "fail"),
         s"the routine crash window must NOT read as corruption: $auth")
@@ -102,7 +106,7 @@ class DoctorSpec extends SparkSpec {
     assert(new java.io.File(vroot + "/_CURRENT_v3").delete())
     val stranded = VectorLayout.fsck(spark, vroot)
     assert(stranded.exists(r => r._1 == "version" && r._2 == "fail" &&
-      r._3.contains("empty plain layout")),
+      r._3.contains("comes back empty")),
       s"lost pointers must not read as a healthy plain root: $stranded")
   }
 
