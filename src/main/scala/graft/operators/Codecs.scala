@@ -481,9 +481,14 @@ object Codecs {
             handler = ascii(body + 8)
           case "mdhd" =>
             // version 1 widens creation/modification to 64 bits,
-            // pushing timescale from body+12 to body+20
-            if (end - body < 16) fail("mdhd too short")
+            // pushing timescale from body+12 to body+20 — so the bounds
+            // guard must be per-version (24 bytes for v1, 16 for v0),
+            // else a short v1 box would read the NEXT box's header
+            // bytes as its timescale
+            if (end - body < 1) fail("mdhd too short")
             val version = bytes(body.toInt) & 0xff
+            if (end - body < (if (version == 1) 24 else 16))
+              fail(s"mdhd (version $version) too short")
             timescale = readU32(body + (if (version == 1) 20 else 12))
           case "stsd" =>
             if (end - body < 16) fail("stsd too short")

@@ -197,10 +197,13 @@ object Multimodal {
 
   /** Resize: payload-to-payload transform keeping metadata consistent.
     * PGM images get a REAL nearest-neighbor resample (decode → sample
-    * pixels → re-encode, still a valid PGM); AVI videos re-encode the
-    * container at the new header dims (frame content is the stream
-    * codec's business — see [[Codecs]] on the GRFT fourcc boundary);
-    * any other visual format keeps the byte-decimation stub.
+    * pixels → re-encode, still a valid PGM); AVI and MP4 videos
+    * re-encode the container at the new header dims (frame content is
+    * the stream codec's business — see [[Codecs]] on the GRFT fourcc
+    * boundary); any other visual format REFUSES loudly — the same
+    * honesty contract as [[sampleFrames]]: a byte-decimation fallback
+    * here would silently ship fabricated pixels the first time a new
+    * format reaches the pipeline.
     */
   def resize(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
@@ -214,10 +217,15 @@ object Multimodal {
           val v = Codecs.decodeAvi(m.payload)
           m.copy(width = w, height = h,
             payload = Codecs.encodeAvi(w, h, v.usPerFrame, v.frames))
+        } else if (m.format == "mp4") {
+          val v = Codecs.decodeMp4(m.payload)
+          m.copy(width = w, height = h,
+            payload = Codecs.encodeMp4(w, h, v.usPerFrame, v.frames))
         } else {
-          val scale = math.max(1, m.payload.length / math.max(1, (w * h) / 64))
-          val resized = m.payload.grouped(scale).map(_.head).toArray // ??? real resample
-          m.copy(width = w, height = h, payload = resized)
+          throw new IllegalArgumentException(
+            s"resize: visual format '${m.format}' unsupported " +
+              "(pgm resamples; avi and mp4 re-encode; see Codecs) — " +
+              "refusing rather than fabricating resized bytes")
         }
       }
     }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
@@ -77,6 +78,23 @@ object DedupLayout {
   private[graft] val EdgeBuckets = 32
 
   private def srcBucket = pmod(hash(col("src")), lit(EdgeBuckets))
+
+  /** Declared schemas for the two stores whose row set can be EMPTY —
+    * a dup-free corpus (or any clean arrival batch) mines zero pairs,
+    * and Spark cannot infer a schema from a fileless parquet dir, so
+    * every pair/edge read declares its schema instead of inferring.
+    * (Shingles/bands always carry one row per document, so their reads
+    * can only hit a fileless dir on a zero-document root — refused
+    * upstream.) Partition columns included: `__batch_id` (and the edge
+    * store's `src_bucket`) must be declared for partition discovery to
+    * type them when declared-schema reads meet a populated store.
+    */
+  private val PairsSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField(BatchCol, LongType)))
+  private val EdgesSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("src_bucket", IntegerType), StructField(BatchCol, LongType)))
 
   /** Dynamic overwrite: replaces ONLY this batch's partitions. */
   private def writeBatch(df: DataFrame, batchId: Long, dir: String,
@@ -266,7 +284,8 @@ object DedupLayout {
     */
   private[graft] def edgesView(spark: SparkSession, root: String,
                                buckets: Option[Seq[Int]]): DataFrame = {
-    val t = LogCompaction.view(spark.read.parquet(edgesDir(root)),
+    val t = LogCompaction.view(
+      spark.read.schema(EdgesSchema).parquet(edgesDir(root)),
       LogCompaction.marker(spark, root))
     buckets.fold(t)(bs => t.filter(col("src_bucket").isin(bs: _*)))
       .drop(BatchCol, "src_bucket")
@@ -315,7 +334,7 @@ object DedupLayout {
     if (maxBatch <= covered) return
     val newPairs = readStore(spark, pairsDir(root), mk,
       beforeBatch = Some(maxBatch + 1),
-      afterBatch = Some(covered)).localCheckpoint()
+      afterBatch = Some(covered), schema = Some(PairsSchema)).localCheckpoint()
     val edges = edgesView(spark, root,
       buckets = Some(frontierBuckets(spark, root, newPairs))).localCheckpoint()
     val old = labels(spark, root)
@@ -383,9 +402,10 @@ object DedupLayout {
     Seq(
       LogCompaction.StoreSpec(shinglesDir(root), Seq(BatchCol), flat),
       LogCompaction.StoreSpec(bandsDir(root), Seq(BatchCol), flat),
-      LogCompaction.StoreSpec(pairsDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(pairsDir(root), Seq(BatchCol), flat,
+        schema = Some(PairsSchema)),
       LogCompaction.StoreSpec(edgesDir(root), Seq(BatchCol, "src_bucket"),
-        _.repartition(col("src_bucket"))))
+        _.repartition(col("src_bucket")), schema = Some(EdgesSchema)))
   }
 
   def labels(spark: SparkSession, root: String): DataFrame =
@@ -399,8 +419,10 @@ object DedupLayout {
   private def readStore(spark: SparkSession, dir: String,
                         mk: Option[LogCompaction.Marker],
                         beforeBatch: Option[Long],
-                        afterBatch: Option[Long] = None): DataFrame = {
-    val t = LogCompaction.view(spark.read.parquet(dir), mk)
+                        afterBatch: Option[Long] = None,
+                        schema: Option[StructType] = None): DataFrame = {
+    val t = LogCompaction.view(
+      schema.fold(spark.read)(spark.read.schema).parquet(dir), mk)
     // batch filters ride the partition column: metadata pruning, the
     // excluded partitions' files are never listed into the scan. They
     // compose with the compaction view literally: the folded partition's
@@ -413,7 +435,8 @@ object DedupLayout {
   }
 
   def pairs(spark: SparkSession, root: String): DataFrame =
-    readStore(spark, pairsDir(root), LogCompaction.marker(spark, root), None)
+    readStore(spark, pairsDir(root), LogCompaction.marker(spark, root), None,
+      schema = Some(PairsSchema))
 
   def bands(spark: SparkSession, root: String,
             beforeBatch: Option[Long] = None): DataFrame =

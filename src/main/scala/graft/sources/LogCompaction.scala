@@ -66,6 +66,18 @@ object LogCompaction {
 
   final case class Marker(gen: Int, watermark: Long)
 
+  /** Sentinel file a fold leaves in a store dir when it covered ZERO
+    * rows: a zero-row dynamic overwrite writes no generation partition,
+    * so without the receipt a legitimately empty fold (a dup-free
+    * corpus' pairs store) and a LOST fold would be indistinguishable
+    * from metadata — and [[fsckLog]] would have to choose between a
+    * false-positive `fail` on healthy roots and a silent pass on
+    * corrupted ones. Underscore-prefixed, so every data-source listing
+    * ignores it.
+    */
+  private[sources] def emptyFoldReceipt(gen: Int): String = s"_empty-gen-$gen"
+  private[sources] val EmptyFoldReceiptRe = "^_empty-gen-([0-9]+)$".r
+
   private def markerDir(root: String) = root.stripSuffix("/") + "/_compaction"
 
   private def fs(spark: SparkSession, path: String) =
@@ -134,13 +146,24 @@ object LogCompaction {
       java.util.UUID.randomUUID().toString
     try {
       rows.write.mode("overwrite").parquet(stage)
-      distribute(spark.read.parquet(stage))
+      val staged = spark.read.parquet(stage)
+      // an empty fold writes NO generation partition (dynamic overwrite
+      // of zero rows) — leave the receipt instead, so fsck can prove
+      // the missing partition legitimate; a non-empty retry of a
+      // crashed empty attempt REUSES the gen number (gen increments
+      // only at publish), so it must also clear a stale receipt
+      val emptyFold = staged.isEmpty
+      distribute(staged)
         .withColumn(BatchCol, lit(compactedId(gen)))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy(partitionCols: _*)
         .parquet(dir)
+      val f = fs(spark, dir)
+      val receipt = new Path(dir.stripSuffix("/"), emptyFoldReceipt(gen))
+      if (emptyFold) { if (!f.exists(receipt)) f.create(receipt, false).close() }
+      else f.delete(receipt, false)
     } finally {
       fs(spark, dir).delete(new Path(stage), true)
     }
@@ -202,9 +225,12 @@ object LogCompaction {
           .foreach(v => if (v != keep && (v <= w || v < BaseBatch))
             f.delete(s.getPath, true))
     }
+    val keepReceipt = emptyFoldReceipt((-1L - keep).toInt)
     f.listStatus(p).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith(".compact-")) f.delete(s.getPath, true)
+      else if (EmptyFoldReceiptRe.findFirstIn(n).isDefined && n != keepReceipt)
+        f.delete(s.getPath, false) // shadowed prior generations' receipts
       else if (nested && s.isDirectory && n.contains("=") &&
         !n.startsWith(BatchCol)) sweepIn(s.getPath)
     }
@@ -212,10 +238,13 @@ object LogCompaction {
   }
 
   /** One store to fold: its dir, its FULL partition spec in directory
-    * order, and the file-count shaper ([[foldStore]]).
+    * order, the file-count shaper ([[foldStore]]), and — for stores
+    * whose row set can be empty (a fileless dir defeats schema
+    * inference) — the declared read schema.
     */
   final case class StoreSpec(dir: String, partitionCols: Seq[String],
-                             distribute: DataFrame => DataFrame)
+                             distribute: DataFrame => DataFrame,
+                             schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** The whole protocol, once — resolve marker, derive the watermark
     * from `watermarkDir` (the store written LAST per batch, so a listed
@@ -263,7 +292,8 @@ object LogCompaction {
       val p = new Path(s.dir)
       if (fs(spark, s.dir).exists(p))
         foldStore(spark, s.dir,
-          foldable(spark.read.parquet(s.dir), mk, w).drop(BatchCol),
+          foldable(s.schema.fold(spark.read)(spark.read.schema)
+            .parquet(s.dir), mk, w).drop(BatchCol),
           gen, s.partitionCols, s.distribute)
     }
     publish(spark, markerRoot, gen, w)
@@ -356,15 +386,34 @@ object LogCompaction {
     m match {
       case Some(mk) =>
         val expect = compactedId(mk.gen)
-        if (!gens.contains(expect) && ids.nonEmpty)
+        // A store whose foldable set was EMPTY writes no generation
+        // partition (dynamic overwrite of zero rows — e.g. a dup-free
+        // corpus mines no pairs/edges under the dedup root's shared
+        // marker), which from the partition listing alone is
+        // indistinguishable from a fold whose output was LOST. The
+        // protocol therefore leaves evidence: [[foldStore]] writes the
+        // [[emptyFoldReceipt]] sentinel exactly when the fold covered
+        // zero rows (and removes it when it didn't), so a published
+        // marker is always backed by the generation partition OR the
+        // receipt — absence of both is provable loss, presence of the
+        // receipt is a provably legitimate empty fold even when live
+        // batches have landed above the watermark since.
+        val receipted = f.exists(new Path(p, emptyFoldReceipt(mk.gen)))
+        if (!gens.contains(expect) && receipted)
+          out += (("generation", "ok",
+            s"generation ${mk.gen} folded zero rows (receipt " +
+              s"${emptyFoldReceipt(mk.gen)} present — normal for e.g. a " +
+              "dup-free corpus' pairs store); live tail unaffected"))
+        if (!gens.contains(expect) && !receipted && ids.nonEmpty)
           out += (("generation", "fail",
             s"marker gen-${mk.gen} published but no $BatchCol=$expect " +
-              s"partition exists — history at or below wm=${mk.watermark} is unreadable"))
-        // no partitions at all: a store whose foldable set was empty
-        // writes no generation dir (dynamic overwrite of zero rows) —
-        // legitimate for a store that never had rows; flag it, since a
-        // fully LOST store under a marker looks identical from metadata
-        if (!gens.contains(expect) && ids.isEmpty)
+              s"partition exists and no ${emptyFoldReceipt(mk.gen)} receipt " +
+              s"marks it empty — history at or below wm=${mk.watermark} is unreadable"))
+        // no partitions at all AND no receipt: an always-empty store
+        // compacted before the receipt protocol (normal), or a fully
+        // lost one — flag without failing, there is no live tail a
+        // reader could be silently missing history against
+        if (!gens.contains(expect) && !receipted && ids.isEmpty)
           out += (("generation", "warn",
             s"marker gen-${mk.gen} published but the store has no partitions — " +
               "an always-empty store's fold (normal), or a fully lost one; " +

@@ -304,4 +304,59 @@ class CodecSpec extends SparkSpec {
     // nearest-neighbor: sampled pixel (x, y) comes from (2x, 2y)
     assert(img.pixels.toSeq === Seq.tabulate(16)(i => ((i / 4) * 2 * 8 + (i % 4) * 2).toByte))
   }
+
+  test("resize of an MP4 re-encodes the container at the new dims, frames intact") {
+    import spark.implicits._
+    val frames = Seq.tabulate(3)(i => Array.tabulate(10)(j => (i * 10 + j).toByte))
+    val m = Multimodal.Media(11L, "video", "mp4", 16, 16, 0, 750L,
+      Codecs.encodeMp4(16, 16, 250000, frames))
+    val out = Multimodal.resize(Seq(m).toDS(), 8, 8).collect().head
+    val v = Codecs.decodeMp4(out.payload)
+    assert(v.width === 8 && v.height === 8 && v.usPerFrame === 250000)
+    assert(v.frames.map(_.toSeq) === frames.map(_.toSeq))
+  }
+
+  test("resize REFUSES an unknown visual format, naming it — no fabricated bytes") {
+    import spark.implicits._
+    val m = Multimodal.Media(12L, "image", "webp", 16, 16, 0, 0L,
+      Array.tabulate(64)(_.toByte))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resize(Seq(m).toDS(), 8, 8).collect()
+    }
+    // the refusal (not a fabricated payload) must surface, naming the format
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("webp")), s"expected a refusal naming 'webp', got $e")
+  }
+
+  test("a SHORT version-1 mdhd is refused, not silently misread as the next box") {
+    // v1 widens creation/modification to 64 bits: timescale moves to
+    // body+20, so a v1 box needs a 24-byte body where v0 needs 16. A
+    // 16-byte v1 body must refuse — the pre-guard walker would have
+    // read the NEXT box's header bytes as the timescale.
+    val good = Codecs.encodeMp4(64, 64, 250000,
+      Seq.tabulate(2)(i => Array.tabulate(8)(j => (i + j).toByte)))
+    def at(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      good.indices.find(i => i + 4 <= good.length &&
+        good.slice(i, i + 4).sameElements(p)).get
+    }
+    val mdhdAt = at("mdhd") // fourcc offset; box starts 4 bytes earlier
+    val oldBox = 32 // encoder's mdhd: 8 header + 24 body (v0)
+    val shortBox = Array[Byte](0, 0, 0, 24) ++ "mdhd".getBytes("US-ASCII") ++
+      (Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](12)(0)) // version 1, 16-byte body
+    // splice in the short box and shrink each enclosing container's
+    // declared size by the 8 bytes removed (mdat precedes moov in this
+    // encoder, so no chunk offset shifts)
+    val spliced = good.take(mdhdAt - 4) ++ shortBox ++
+      good.drop(mdhdAt - 4 + oldBox)
+    for (parent <- Seq("moov", "trak", "mdia")) {
+      val p = at(parent) - 4
+      val oldSize = java.nio.ByteBuffer.wrap(spliced, p, 4).getInt
+      java.nio.ByteBuffer.wrap(spliced, p, 4).putInt(oldSize - 8)
+    }
+    val e = intercept[IllegalArgumentException](Codecs.decodeMp4(spliced))
+    assert(e.getMessage.contains("mdhd"), s"refusal must name the box: $e")
+  }
 }

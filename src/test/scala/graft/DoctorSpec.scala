@@ -110,6 +110,40 @@ class DoctorSpec extends SparkSpec {
       s"lost pointers must not read as a healthy plain root: $stranded")
   }
 
+  test("a legitimately EMPTY fold under a live tail is receipted ok, not a loss") {
+    import spark.implicits._
+    // the round-10 advice false-positive: a dup-free corpus mines no
+    // pairs/edges, so their folds cover zero rows and write no
+    // generation partition; when LATER batches mine pairs (live tail
+    // above the watermark), the missing generation used to read as
+    // "history unreadable" — Doctor exiting non-zero on a healthy
+    // root. The fold now leaves an _empty-gen-<g> receipt, making the
+    // empty fold PROVABLE rather than ambiguous.
+    val r3 = Files.createTempDirectory("graft-doctor3").toString
+    val dedupRoot = StoreBuild.dedupLayoutDir(r3)
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    DedupLayout.materialize(spark, docs(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      2L -> "kilo lima mike november oscar papa quebec romeo sierra tango",
+      3L -> "uniform victor whiskey xray yankee zulu one two three four"),
+      dedupRoot)
+    DedupLayout.append(spark, docs(
+      4L -> "five six seven eight nine ten eleven twelve thirteen fourteen"),
+      dedupRoot, batchId = 1L)
+    DedupLayout.compact(spark, dedupRoot) // pairs/edges folds are empty
+    // a later arrival DUPLICATES batch 1's text: pairs gains a live
+    // partition above the watermark — the exact ambiguous shape
+    DedupLayout.append(spark, docs(
+      5L -> "five six seven eight nine ten eleven twelve thirteen fourteen"),
+      dedupRoot, batchId = 2L)
+    val rows = Doctor.check(spark, r3)
+    assert(fails(rows).isEmpty,
+      s"empty fold must not read as corruption: ${fails(rows)}")
+    assert(rows.exists(r => r._1 == "dedup" && r._2 == "pairs.generation" &&
+      r._3 == "ok" && r._4.contains("zero rows")),
+      s"the receipt must prove the empty fold: ${rows.filter(_._1 == "dedup")}")
+  }
+
   test("a published marker whose folded partition is lost is a failure") {
     import spark.implicits._
     // own root: this test mutates destructively, and the shared root
