@@ -49,11 +49,11 @@ object Tables {
     deriveTs(load(spark, sfDir, "events"))
 
   /** The one place the ts-normalization contract lives (batch AND
-    * streaming paths share it — see the events scaladoc above; note
-    * the batch path auto-detects the physical shape from the inferred
-    * schema, while the streaming file source must DECLARE one —
-    * EventStream.schema pins the current generation's micros shape, so
-    * only batch reads remain bi-generational). Output
+    * streaming paths share it — see the events scaladoc above; the
+    * batch path auto-detects the physical shape from the inferred
+    * schema, and the streaming file source probes the same inferred
+    * schema from the footers at stream start — EventStream.schemaOf —
+    * so BOTH paths are generation-proof). Output
     * is shape-independent: `ts_ns` long (exact; `div 1000` = floor for
     * the post-1970 data — integer div, a double division would lose
     * precision above 2^53) and `ts` micros timestamp. For a

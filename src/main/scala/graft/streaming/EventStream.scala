@@ -25,11 +25,11 @@ case class AsofMatch(err_id: Long, user_id: Long, err_ts_us: Long,
   */
 object EventStream {
 
-  /** Raw schema of the events parquet — file sources require an
-    * explicit schema. `ts` is declared as it is physically stored in
-    * the current corpus generation (TIMESTAMP(MICROS), no UTC
-    * adjustment → ntz); Tables.deriveTs normalizes it to the shared
-    * `ts_ns` + `ts` contract exactly as the batch path does.
+  /** Fallback schema for an EMPTY landing zone (file sources require an
+    * explicit schema and there are no footers to probe yet): the
+    * current corpus generation's physical shape (TIMESTAMP(MICROS), no
+    * UTC adjustment → ntz). Populated dirs never use this — see
+    * [[schemaOf]].
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,10 +39,24 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The events schema AS STORED, probed from the parquet footers with
+    * a batch reader at stream start (a footer read, not a data scan).
+    * The driver has regenerated the corpus across physical timestamp
+    * types before (TIMESTAMP(NANOS) ↔ TIMESTAMP(MICROS)); a PINNED
+    * declared schema breaks every streaming suite on each flip, while
+    * the batch path shrugs because [[graft.Tables.deriveTs]] normalizes
+    * whatever the reader infers. Probing gives the stream the exact
+    * shape the batch reader sees — `nanosAsLong` included, under which
+    * a NANOS column infers as plain LONG — and deriveTs does the rest.
+    */
+  def schemaOf(spark: SparkSession, dir: String): StructType =
+    try spark.read.parquet(dir).schema
+    catch { case _: org.apache.spark.sql.AnalysisException => schema }
+
   def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
     graft.Tables.deriveTs(
       spark.readStream
-        .schema(schema)
+        .schema(schemaOf(spark, dir))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(dir))
 

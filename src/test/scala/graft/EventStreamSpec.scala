@@ -159,6 +159,62 @@ class EventStreamSpec extends SparkSpec {
       s"stream ids (${streamed.length}) != batch distinct ids (${batchIds.length})")
   }
 
+  test("streaming source follows the corpus' PHYSICAL timestamp shape (regeneration-proof)") {
+    import org.apache.spark.sql.functions._
+    // The driver has regenerated the corpus across physical timestamp
+    // types before (NANOS ↔ MICROS); a pinned declared schema broke the
+    // streaming suites each flip. EventStream.schemaOf probes the
+    // footers, so a drain over each physically-different corpus must
+    // work UNMODIFIED and agree with the batch path over the same dir.
+    def drainCounts(dir: String, name: String): Map[String, Long] = {
+      val q = EventStream.countByDay(EventStream.read(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        assert(q.awaitTermination(120000), "stream did not drain in 120s")
+        spark.table(name).collect()
+          .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+    def batchCounts(dir: String): Map[String, Long] =
+      Tables.deriveTs(spark.read.parquet(dir))
+        .groupBy(to_date(col("ts")).as("period_date")).count().collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+
+    val base = Tables.events(spark, Sf)
+      .select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+
+    // shape 1: the NANOS generation as the reader sees it — under
+    // nanosAsLong a TIMESTAMP(NANOS) column infers as a plain LONG of
+    // epoch nanos, so a long `ts` column IS that generation's shape
+    val nanosDir = Files.createTempDirectory("graft-shape-nanos").toString
+    base.withColumnRenamed("ts_ns", "ts")
+      .write.mode("overwrite").parquet(nanosDir)
+    assert(EventStream.schemaOf(spark, nanosDir)("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(drainCounts(nanosDir, "shape_nanos") === batchCounts(nanosDir))
+
+    // shape 2: a tz-adjusted MILLIS generation (another plausible
+    // regeneration drift — infers as TimestampType, not the pinned ntz)
+    val millisDir = Files.createTempDirectory("graft-shape-millis").toString
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try base.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_ns")
+      .write.mode("overwrite").parquet(millisDir)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    assert(EventStream.schemaOf(spark, millisDir)("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(drainCounts(millisDir, "shape_millis") === batchCounts(millisDir))
+
+    // an EMPTY landing zone still yields a readable stream (fallback
+    // schema): no footers to probe, but read() must not throw
+    val emptyDir = Files.createTempDirectory("graft-shape-empty").toString
+    assert(EventStream.schemaOf(spark, emptyDir) === EventStream.schema)
+    EventStream.read(spark, emptyDir) // must construct without throwing
+  }
+
   test("stateful streaming as-of join equals the batch union-window as-of after drain") {
     val dir = Files.createTempDirectory("graft-asof")
     Files.copy(Paths.get(s"$Sf/events.parquet"),
