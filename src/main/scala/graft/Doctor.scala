@@ -78,20 +78,31 @@ object Doctor {
           s"pin fsck crashed (${e.getClass.getSimpleName}: ${e.getMessage})"))
     }
 
-  def main(args: Array[String]): Unit = {
+  /** The CLI body, separated from [[main]] so the operator-facing
+    * contract is spec-driven end to end (DoctorSpec): exactly one
+    * printed line per check plus a summary line, and the returned
+    * process exit code is non-zero iff any check failed. `out` is the
+    * line sink ([[main]] passes println).
+    */
+  def run(spark: SparkSession, args: Seq[String],
+          out: String => Unit = println): Int = {
     require(args.length >= 1 && args.length % 2 == 1,
       "usage: Doctor <storeRoot> [<streamOutDir> <checkpoint>]...")
-    val spark = Sessions.local()
     val rows = check(spark, args(0)) ++
-      args.drop(1).grouped(2).collect { case Array(o, c) =>
+      args.drop(1).grouped(2).collect { case Seq(o, c) =>
         checkStream(spark, o, c)
       }.flatten
     rows.foreach { case (family, c, status, detail) =>
-      println(f"[doctor] $status%-4s $family%-8s $c%-22s $detail")
+      out(f"[doctor] $status%-4s $family%-8s $c%-22s $detail")
     }
     val fails = rows.count(_._3 == "fail")
-    println(s"[doctor] ${rows.size} checks, $fails failed")
-    spark.stop()
-    if (fails > 0) sys.exit(1)
+    out(s"[doctor] ${rows.size} checks, $fails failed")
+    if (fails > 0) 1 else 0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val code = try run(spark, args.toSeq) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

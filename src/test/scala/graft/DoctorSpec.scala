@@ -110,6 +110,39 @@ class DoctorSpec extends SparkSpec {
       s"lost pointers must not read as a healthy plain root: $stranded")
   }
 
+  test("CLI contract: one line per check, remediation on every fail, exit iff fail") {
+    // healthy root: exit 0, one line per check row + one summary line
+    val lines = scala.collection.mutable.Buffer[String]()
+    assert(Doctor.run(spark, Seq(root), lines += _) === 0)
+    val rows = Doctor.check(spark, root)
+    assert(lines.length === rows.length + 1,
+      s"expected one line per check + summary, got ${lines.length} for ${rows.length}")
+    assert(lines.forall(_.startsWith("[doctor] ")))
+    assert(lines.last.endsWith("0 failed"))
+    // broken root (the TWO-records-ahead stale sidecar): exit 1, and
+    // every fail line carries remediation text, not just the diagnosis
+    val side = StoreBuild.dedupLayoutDir(root) + "/_id_bloom"
+    val a = new java.io.File(s"$side/bloom-98")
+    val b = new java.io.File(s"$side/bloom-99")
+    Files.copy(new java.io.File(s"$side/bloom-m1").toPath, a.toPath)
+    Files.copy(new java.io.File(s"$side/bloom-m1").toPath, b.toPath)
+    try {
+      val bad = scala.collection.mutable.Buffer[String]()
+      assert(Doctor.run(spark, Seq(root), bad += _) === 1,
+        "a failing check must surface as a non-zero exit code")
+      val failLines = bad.filter(_.startsWith("[doctor] fail"))
+      assert(failLines.nonEmpty)
+      assert(failLines.forall(l => l.contains("wipe") || l.contains("re-seed") ||
+        l.contains("rebuild") || l.contains("restore")),
+        s"every fail line must name its remediation: $failLines")
+      assert(bad.last.endsWith(s"${failLines.length} failed"))
+    } finally { a.delete(); b.delete(); () }
+    // malformed usage refuses loudly rather than checking the wrong thing
+    intercept[IllegalArgumentException](Doctor.run(spark, Seq.empty, _ => ()))
+    intercept[IllegalArgumentException](
+      Doctor.run(spark, Seq(root, "streamOutWithoutCheckpoint"), _ => ()))
+  }
+
   test("a legitimately EMPTY fold under a live tail is receipted ok, not a loss") {
     import spark.implicits._
     // the round-10 advice false-positive: a dup-free corpus mines no
