@@ -8,9 +8,18 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: only dump queries whose name starts with one of
     // the comma-separated prefixes (local iteration; the driver always
-    // passes 2 args)
-    val prefixes = args.lift(2).getOrElse("").split(',').toSeq
-    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
+    // passes 2 args) — or, as `exclude:a,b,c`, dump everything EXCEPT
+    // the named queries (the up-corpus pass skips the exact-O(n²)
+    // kernel family the same way Bench.UpExcluded does)
+    val arg2 = args.lift(2).getOrElse("")
+    val excluded: Set[String] =
+      if (arg2.startsWith("exclude:"))
+        arg2.stripPrefix("exclude:").split(',').toSet
+      else Set.empty
+    val prefixes =
+      (if (arg2.startsWith("exclude:")) "" else arg2).split(',').toSeq
+    def selected(name: String): Boolean =
+      prefixes.exists(name.startsWith) && !excluded.contains(name)
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

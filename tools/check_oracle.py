@@ -6,17 +6,27 @@ Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same sf dir,
 sorts columns by name and rows by all columns, and diffs values.
 """
-import json, math, sys, glob
+import json, math, sys, glob, time
 import duckdb
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+# optional 3rd arg: write a per-query JSON record (the driver's
+# CORRECTNESS_r{N}.json shape) to this path
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+record = {}
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 con = duckdb.connect()
+import os
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # driver corpora are single files; Spark-written corpora (graft.ScaleUp's
+    # up-scale output) are directories of part files — read either shape
+    path = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -32,23 +42,42 @@ def norm(df):
 
 fails = 0
 for name in sorted(oracle):
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "oracle_sec": None}
+    record[name] = rec
     paths = glob.glob(f"{outdir}/{name}/*.parquet")
     if not paths:
-        print(f"MISSING  {name}"); fails += 1; continue
-    got = norm(pd.concat([pd.read_parquet(p) for p in paths]))
-    want = norm(con.execute(oracle[name]).df())
+        print(f"MISSING  {name}"); rec["err"] = "missing spark result"
+        fails += 1; continue
+    try:
+        got = norm(pd.concat([pd.read_parquet(p) for p in paths]))
+        t0 = time.time()
+        want = norm(con.execute(oracle[name]).df())
+        rec["oracle_sec"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); rec["err"] = str(e)[:300]
+        fails += 1; continue
+    rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
     if list(got.columns) != list(want.columns):
         print(f"SCHEMA   {name}: got {list(got.columns)} want {list(want.columns)}")
-        fails += 1; continue
+        rec["err"] = "schema mismatch"; fails += 1; continue
+    rec["schema_match"] = True
     if len(got) != len(want):
-        print(f"ROWS     {name}: got {len(got)} want {len(want)}"); fails += 1; continue
+        print(f"ROWS     {name}: got {len(got)} want {len(want)}")
+        rec["err"] = "row count mismatch"; fails += 1; continue
+    rec["rows_match"] = True
     if not got.equals(want):
         diff = (got != want) & ~(got.isna() & want.isna())
         bad = diff.any(axis=1)
         print(f"VALUES   {name}: {int(bad.sum())}/{len(got)} rows differ")
         print(pd.concat([got[bad].head(3).add_suffix("_got"),
                          want[bad].head(3).add_suffix("_want")], axis=1).to_string())
-        fails += 1; continue
+        rec["err"] = "value mismatch"; fails += 1; continue
+    rec["hash_match"] = True
     print(f"OK       {name} ({len(got)} rows)")
 print(f"\n{len(oracle)-fails}/{len(oracle)} pass")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(record, f, indent=2, sort_keys=True)
 sys.exit(1 if fails else 0)
