@@ -179,6 +179,34 @@ class IdAuthoritySpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("a second concurrent appender refuses while the writer lease is held") {
+    val root = Files.createTempDirectory("graft-ida-lease").toString
+    IdAuthority.recordBase(spark, root, ids(0, 1000), baseBatch = -1L)
+    // writer A is mid-append: its create-exclusive lease is on disk
+    val lease = new java.io.File(root, "_id_bloom/_writer-lease")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalStateException] {
+      IdAuthority.guardAndRecord(spark, root, batchId = 0L,
+        arrivalIds = ids(5000, 5100), priorIds = ids(0, 1000),
+        who = "spec-writer-B", what = "spec prefix")
+    }
+    assert(e.getMessage.contains("writer lease") &&
+      e.getMessage.contains("single-writer"), e.getMessage)
+    assert(lease.exists(), "the refused appender must not break a live lease")
+    // nothing was recorded: the refused append left no bloom-0
+    assert(bloomFiles(root) === Seq("bloom-m1"))
+
+    // writer A crashed: once the lease outlives the liveness grace the
+    // next append breaks it, proceeds, and releases
+    assert(lease.setLastModified(System.currentTimeMillis() -
+      2 * graft.sources.VectorLayout.StageGraceMs))
+    IdAuthority.guardAndRecord(spark, root, batchId = 0L,
+      arrivalIds = ids(5000, 5100), priorIds = ids(0, 1000),
+      who = "spec-writer-B", what = "spec prefix")
+    assert(bloomFiles(root) === Seq("bloom-0", "bloom-m1"))
+    assert(!lease.exists(), "the lease must be released after the record publishes")
+  }
+
   test("compaction prunes the finalized records; the newest survives") {
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
     val root = Files.createTempDirectory("graft-ida-prune").toString
