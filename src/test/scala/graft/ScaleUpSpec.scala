@@ -138,4 +138,78 @@ class ScaleUpSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("replica aliasing"))
   }
+
+  // ---- the >26-copy family (second upward decade, round-10 stretch) ----
+
+  /** Every copy's composite cipher must be a distinct substitution, and
+    * any two copies' comparison map must fix at most 2 letters per
+    * class (the affine fixed-point bound the scaladoc argues) — that is
+    * what keeps multi-char shingles within-copy at 100 copies.
+    */
+  test("affine cipher: 100 copies are pairwise distinct with <=2 fixed letters per class") {
+    import spark.implicits._
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val images: Seq[String] = Seq(alphabet).toDF("s")
+      .select((0 until 100).map(k => ScaleUp.cipherText(col("s"), k).as(s"c$k")): _*)
+      .head().toSeq.map(_.asInstanceOf[String])
+    assert(images.head === alphabet, "copy 0 must be the identity")
+    assert(images.distinct.size === 100, "all 100 letter maps must differ")
+    for (a <- images.indices; b <- (a + 1) until images.size) {
+      val fixed = images(a).zip(images(b)).count { case (x, y) => x == y }
+      assert(fixed <= 2,
+        s"copies $a,$b agree on $fixed letters — affine bound is 2")
+    }
+  }
+
+  test("masked affine permutation: orthogonal (within-copy cosines exact) and distinct past the dim") {
+    import spark.implicits._
+    val dim = 64
+    val x = Array.tabulate(dim)(i => math.sin(i * 1.7).toFloat)
+    val y = Array.tabulate(dim)(i => math.cos(i * 0.9).toFloat)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (p, q) => p.toDouble * q }.sum
+      d / math.sqrt(a.map(v => v.toDouble * v).sum * b.map(v => v.toDouble * v).sum)
+    }
+    val base = cos(x, y)
+    // k and k+dim share the rotation lag — only the sign mask separates
+    // them; both must preserve the within-copy cosine bit-near-exactly
+    for (k <- Seq(1, 5, 63, 64, 70, 99)) {
+      val row = Seq((x, y)).toDF("x", "y").select(
+        ScaleUp.transformVec(col("x"), k, dim).as("tx"),
+        ScaleUp.transformVec(col("y"), k, dim).as("ty")).head()
+      val tx = row.getSeq[Float](0).toArray
+      val ty = row.getSeq[Float](1).toArray
+      assert(math.abs(cos(tx, ty) - base) < 1e-6,
+        s"copy $k transform must preserve within-copy cosine")
+    }
+    val t64 = Seq(Tuple1(x)).toDF("x")
+      .select(ScaleUp.transformVec(col("x"), 64, dim).as("t")).head()
+      .getSeq[Float](0).toArray
+    assert(!t64.sameElements(x),
+      "copy 64 must differ from copy 0 even though the rotation lag repeats")
+  }
+
+  test("pairwise embedding verifier stays bounded past the dim (sign masks carry it)") {
+    // 70 copies > dim=64: pure rotation would alias copies (k, k+64)
+    // byte-for-byte (fraction 1.0); the sign mask must keep every pair
+    // under the bound
+    val worst = ScaleUp.verifyEmbeddingNeutrality(
+      spark, Sf, 70, SimilarityQueries.PairThreshold)
+    assert(worst <= ScaleUp.MaxAliasFraction)
+  }
+
+  test("text guard refuses >40 copies on a digit-heavy corpus, passes on this one") {
+    assert(ScaleUp.verifyTextNeutrality(spark, Sf, 100) <= ScaleUp.MaxDigitFraction)
+    val tmp = Files.createTempDirectory("graft-digits").toString
+    import spark.implicits._
+    Seq((1L, "4711 0815 12345", "und", "synth", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.verifyTextNeutrality(spark, tmp, ScaleUp.MaxDigitCopies + 1)
+    }
+    assert(e.getMessage.contains("digit"))
+    // at or under the digit-map family size the same corpus is fine
+    ScaleUp.verifyTextNeutrality(spark, tmp, ScaleUp.MaxDigitCopies)
+  }
 }
