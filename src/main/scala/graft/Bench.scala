@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
+import graft.operators.{DedupQueries, SimilarityQueries, SubstrDedup, TextQueries}
 
 object Bench {
 
@@ -25,6 +25,7 @@ object Bench {
                       queryFilter: String => Boolean = _ => true)
       : (Seq[(String, Double)], Seq[(String, Double)], Seq[String]) = {
     val builders = (DedupQueries.indexBuilders(spark, sfDir) ++
+      SubstrDedup.indexBuilders(spark, sfDir) ++
       SimilarityQueries.indexBuilders(spark, sfDir) ++
       TextQueries.indexBuilders(spark, sfDir))
       .filter { case (name, _) => builderFilter(name) }

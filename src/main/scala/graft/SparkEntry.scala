@@ -30,14 +30,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ SqlQueries.queries ++
-      MultimodalQueries.queries ++ TemporalQueries.queries
+      DedupQueries.queries ++ SubstrDedup.queries ++ SimilarityQueries.queries ++
+      SqlQueries.queries ++ MultimodalQueries.queries ++ TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ RelationalQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle ++ SqlQueries.oracle ++
-      MultimodalQueries.oracle ++ TemporalQueries.oracle
+      DedupQueries.oracle ++ SubstrDedup.oracle ++ SimilarityQueries.oracle ++
+      SqlQueries.oracle ++ MultimodalQueries.oracle ++ TemporalQueries.oracle
 }

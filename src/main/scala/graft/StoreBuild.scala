@@ -43,6 +43,7 @@ object StoreBuild {
         org.apache.spark.sql.functions.col("text"))
     val builders =
       operators.DedupQueries.indexBuilders(spark, sfDir) ++
+      operators.SubstrDedup.indexBuilders(spark, sfDir) ++
       operators.SimilarityQueries.indexBuilders(spark, sfDir) ++
       operators.TextQueries.indexBuilders(spark, sfDir) ++
       Seq(

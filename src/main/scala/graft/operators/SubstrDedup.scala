@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T, TextOracle => O}
+
+/** Duplicate-PASSAGE dedup (the "ExactSubstr" family): find exact token
+  * windows that occur more than once anywhere in the corpus, merge the
+  * hits into maximal per-document spans, and emit the passage-removed
+  * corpus — the substring-granularity companion to the document-level
+  * MinHash pipeline in [[DedupQueries]]. Document-level dedup keeps or
+  * drops whole documents; this family excises the duplicated PASSAGE
+  * (boilerplate headers, licence blocks, syndicated paragraphs) while
+  * keeping the unique remainder — the other standard LLM-corpus dedup
+  * operation (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", arXiv:2107.06499, which removes repeated ≥50-token
+  * substrings found via a suffix array).
+  *
+  * Spark-first shape (a suffix array is a single-machine construction;
+  * the distributed equivalent is windowed hashing):
+  *   - one narrow pass emits every W-token window as (doc_id, pos, h)
+  *     where h = md5 of the window text — a FIXED-width key, so shuffle
+  *     bytes are independent of W (a 50-token production window would
+  *     otherwise ship ~300 raw bytes per position); md5 (128-bit) rather
+  *     than the 60-bit [[T.tokenHash]] idiom because here a collision
+  *     MARKS A FALSE DUPLICATE SPAN: at 10¹² windows a 60-bit key
+  *     expects ~10⁵ colliding pairs, md5 expects ~10⁻¹³.
+  *   - duplicated windows are a count ≥ 2 over that key: a plain
+  *     high-entropy groupBy with map-side partials — never a self-join,
+  *     never quadratic. Count ≥ 2 is over ALL occurrences, so a window
+  *     repeated WITHIN one document is duplicated too (same semantics as
+  *     the suffix-array formulation, which has no document boundary).
+  *   - hit positions come back via one hash-keyed equi-join, then merge
+  *     into maximal spans with the sessionize idiom (running max of
+  *     span end, new-span flag, running-sum span id) — windows are
+  *     partitioned BY DOC and bounded by document length, never global.
+  *   - the passage-removed text is an anti-join of token positions
+  *     against covered positions (equi-join on (doc_id, pos) — the
+  *     covered set is spans exploded, disjoint by construction) and a
+  *     per-doc ordered re-join; every aggregate is bounded by one
+  *     document's length.
+  *
+  * W here is 8 tokens (the synthetic docs average ~50 tokens; 50-token
+  * windows would mark nothing). Production uses 50 — only the constant
+  * changes, not the plan: the md5 key keeps every shuffle fixed-width.
+  *
+  * Outputs are token-granular: `span_start`/`span_end` index the
+  * whitespace tokens of [[T.tokens]] (0-based, inclusive), and the clean
+  * text is the kept tokens re-joined with single spaces (token-normalized,
+  * the same convention the chunker and packer already use).
+  */
+object SubstrDedup {
+
+  /** Window width in tokens. Production: 50 (arXiv:2107.06499 §4.1). */
+  val W = 8
+
+  private val toks: Column = T.tokens(col("text"))
+  private val oToks: String = O.tokens("text")
+
+  /** md5 of the W tokens starting at 0-based `i`, space-joined. */
+  private def gramHash(ts: Column, i: Column): Column =
+    md5(concat_ws(" ", (0 until W).map(k => element_at(ts, i + k + 1)): _*))
+
+  /** (doc_id, pos, h): one row per W-token window. Docs shorter than W
+    * emit nothing (guarded — Spark's `sequence(0, -1)` counts DOWN).
+    * CacheLife-shared: the duplicate-count groupBy and the hit join both
+    * read it, and a real pipeline materializes the window index once.
+    */
+  private def posGrams(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"substr.grams:$dir")(
+      gramsOver(Tables.spread(s, Tables.documents(s, dir))))
+
+  /** The window index over ANY (doc_id, text) frame. */
+  private[graft] def gramsOver(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("ts")) >= W,
+            transform(sequence(lit(0), size(col("ts")) - W), i => gramHash(col("ts"), i)))
+            .otherwise(lit(Array.empty[String]))).as(Seq("pos", "h")))
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, span_tokens), positions token-granular inclusive. Two
+    * overlapping or ADJACENT duplicated windows merge (their covered
+    * token ranges form one contiguous region).
+    */
+  def spans(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"substr.spans:$dir")(spansOver(posGrams(s, dir)))
+
+  /** Duplicate-count + hit join + per-doc interval merge over a
+    * (doc_id, pos, h) window index — exposed for SubstrDedupSpec's
+    * planted-passage tests.
+    */
+  private[graft] def spansOver(g: DataFrame): DataFrame = {
+    val dup = g.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
+    val hits = g.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spanned = hits
+      // running max END of every PRIOR window in this doc: the merge
+      // frontier. null on the first row → always a new span.
+      .withColumn("prev_end",
+        max(col("pos") + (W - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull, lit(1))
+          .otherwise((col("pos") > col("prev_end") + 1).cast("int")))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+    spanned.groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"), (max("pos") + (W - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Per-document duplicated-token coverage over the WHOLE corpus
+    * (docs with no duplicated span report 0): the table a curator
+    * thresholds to decide excise-vs-drop. Spans are disjoint per doc by
+    * construction, so coverage is a plain sum.
+    */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    statsOver(Tables.documents(s, dir), spans(s, dir))
+
+  private[graft] def statsOver(docs: DataFrame, sp: DataFrame): DataFrame = {
+    val perDoc = sp.groupBy("doc_id").agg(sum("span_tokens").as("dup_tokens"))
+    docs
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6))
+          .as("dup_fraction"))
+  }
+
+  /** The passage-removed corpus: every document with its duplicated
+    * spans' tokens excised and the remainder re-joined with single
+    * spaces. A document that is ENTIRELY duplicated text (e.g. a
+    * byte-identical copy of W+ tokens) survives as an empty string —
+    * the span accounting stays visible in `n_removed` rather than the
+    * row vanishing.
+    */
+  def clean(s: SparkSession, dir: String): DataFrame =
+    cleanOver(Tables.documents(s, dir), spans(s, dir))
+
+  private[graft] def cleanOver(docs: DataFrame, sp: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), toks.as("ts"))
+    val tokRows = t.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+    val covered = sp
+      .select(col("doc_id"), explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("kt"))
+      .select(col("doc_id"),
+        array_join(transform(col("kt"), x => x.getField("tok")), " ").as("clean_text"),
+        size(col("kt")).as("n_kept"))
+    t.select(col("doc_id"), size(col("ts")).as("n_toks"))
+      .join(keptAgg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
+  }
+
+  /** Named builders for the CacheLife window/span stores (bench
+    * attribution + StoreBuild materialization, same contract as the
+    * sibling modules).
+    */
+  def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "substr.grams" -> (() => { posGrams(s, dir).count(); () }),
+    "substr.spans" -> (() => { spans(s, dir).count(); () }),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substr_spans" -> (spans _),
+    "dedup_substr_stats" -> (stats _),
+    "dedup_substr_clean" -> (clean _),
+  )
+
+  // ---- DuckDB oracle: same windows, same md5 keys, same merge ----
+
+  /** CTE chain `t` (tokens) → `g` (positional window hashes). DuckDB
+    * lists index 1-based: window at 0-based pos i is toks[i+1 .. i+W].
+    */
+  private val oGramParts: String = (1 to W).map(k => s"toks[i+$k]").mkString(", ")
+  private val oGramCtes: String =
+    s"""t AS (SELECT doc_id, $oToks AS toks FROM documents),
+       |g AS (SELECT doc_id, i AS pos, md5(concat_ws(' ', $oGramParts)) AS h
+       |      FROM t, unnest(range(0, greatest(len(toks) - ${W - 1}, 0))) AS u(i))""".stripMargin.replace("\n", " ")
+
+  /** CTEs through merged spans `sp(doc_id, span_start, span_end)`. */
+  private val oSpanCtes: String =
+    s"""$oGramCtes,
+       |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+       |fl AS (SELECT doc_id, pos,
+       |  CASE WHEN prev_end IS NULL THEN 1 WHEN pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+       |  FROM (SELECT doc_id, pos,
+       |    max(pos + ${W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM hits)),
+       |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${W - 1} AS span_end
+       |  FROM (SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM fl)
+       |  GROUP BY doc_id, span_id)""".stripMargin.replace("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_substr_spans" ->
+      (s"""WITH $oSpanCtes
+          |SELECT doc_id, span_start, span_end,
+          |  span_end - span_start + 1 AS span_tokens FROM sp""".stripMargin.replace("\n", " ")),
+    "dedup_substr_stats" ->
+      (s"""WITH $oSpanCtes,
+          |pd AS (SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens FROM sp GROUP BY doc_id)
+          |SELECT t.doc_id, len(t.toks) AS n_tokens,
+          |  coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+          |  CASE WHEN len(t.toks) = 0 THEN 0.0
+          |       ELSE round(coalesce(pd.dup_tokens, 0)::DOUBLE / len(t.toks), 6) END AS dup_fraction
+          |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "dedup_substr_clean" ->
+      (s"""WITH $oSpanCtes,
+          |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+          |        FROM t, unnest(range(0, len(toks))) AS u(i)),
+          |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+          |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          |       COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+          |  len(t.toks) - coalesce(ka.n_kept, 0) AS n_removed
+          |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin.replace("\n", " ")),
+  )
+}

@@ -268,4 +268,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join") && (p.contains("bi") && p.contains("bj")), p)
   }
+
+  test("substr spans: partial-agg'd hash count, hash-keyed hit join, doc-partitioned merge") {
+    val p = plan(SubstrDedup.queries("dedup_substr_spans")(spark, Sf))
+    // duplicated windows are a COUNT over the md5 key (map-side partials
+    // below the exchange), never a self-join; a cartesian/BNLJ here would
+    // mean the window index is comparing positions all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchange = p.indexOf("Exchange hashpartitioning(h")
+    assert(exchange >= 0 && p.lastIndexOf("HashAggregate", p.length) > exchange, p)
+    // the interval merge must be partitioned BY DOC — a global window
+    // would funnel every hit position into one task
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    CacheLife.release(spark) // spans ride the cached window index
+  }
+
+  test("substr clean is equi-keyed throughout: anti-join excision, no global window") {
+    val p = plan(SubstrDedup.queries("dedup_substr_clean")(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p) // covered positions excised by (doc_id, pos) equi-key
+    assert(!p.contains("windowspecdefinition()"), p)
+    CacheLife.release(spark)
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SubstrDedup
+import graft.operators.SubstrDedup.W
+
+/** Duplicate-passage dedup (ExactSubstr family): planted-passage golden
+  * tests over a synthetic corpus (exact span positions known by
+  * construction) plus full brute-force parity at sf0.001 — the DuckDB
+  * hash-compare at sf0.01 is the cross-engine gate; this suite pins the
+  * SEMANTICS (window duplication, maximal merge, excision) in-process.
+  */
+class SubstrDedupSpec extends SparkSpec {
+
+  // ---- planted corpus: spans knowable by hand ----
+  // P = 9 tokens -> two overlapping W=8 windows wherever it appears.
+  private val P = (1 to 9).map(i => s"p$i").mkString(" ")
+  private def plantedDocs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, s"u1 u2 $P u3"),            // P at tokens 2..10
+      (2L, s"$P v1 v2"),               // P at tokens 0..8
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ")), // unique, no spans
+      (4L, "x1 x2 x3 x4 x5"),          // shorter than W: no windows
+      (5L, ((1 to 8).map(i => s"q$i") ++ Seq("z") ++ (1 to 8).map(i => s"q$i")).mkString(" ")),
+      // ^ within-doc repeat: spans [0,7] and [9,16], 'z' splits them
+      (6L, P),                          // entirely duplicated text
+    ).toDF("doc_id", "text")
+  }
+
+  private def plantedSpans: Set[(Long, Long, Long)] = Set(
+    (1L, 2L, 10L), (2L, 0L, 8L), (5L, 0L, 7L), (5L, 9L, 16L), (6L, 0L, 8L))
+
+  test("planted passages: spans land exactly where constructed") {
+    val got = SubstrDedup.spansOver(SubstrDedup.gramsOver(plantedDocs)).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
+        r.getAs[Number]("span_end").longValue())).toSet
+    assert(got == plantedSpans)
+  }
+
+  test("planted passages: clean excises exactly the spans, empty-doc row survives") {
+    val docs = plantedDocs
+    val sp = SubstrDedup.spansOver(SubstrDedup.gramsOver(docs))
+    val byId = SubstrDedup.cleanOver(docs, sp).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getAs[Number]("n_removed").longValue()))).toMap
+    assert(byId(1L) == (("u1 u2 u3", 9L)))
+    assert(byId(2L) == (("v1 v2", 9L)))
+    assert(byId(3L) == (((1 to 10).map(i => s"w$i").mkString(" "), 0L)))
+    assert(byId(4L) == (("x1 x2 x3 x4 x5", 0L)))
+    assert(byId(5L) == (("z", 16L)))
+    assert(byId(6L) == (("", 9L))) // fully-duplicated doc stays visible
+  }
+
+  test("planted passages: stats coverage fractions") {
+    val docs = plantedDocs
+    val sp = SubstrDedup.spansOver(SubstrDedup.gramsOver(docs))
+    val byId = SubstrDedup.statsOver(docs, sp).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number]("n_tokens").longValue(),
+        r.getAs[Number]("dup_tokens").longValue(), r.getDouble(3)))).toMap
+    assert(byId(1L) == ((12L, 9L, 0.75)))
+    assert(byId(4L) == ((5L, 0L, 0.0)))
+    assert(byId(6L) == ((9L, 9L, 1.0)))
+    assert(byId.size == 6) // zero-span docs present with 0
+  }
+
+  // ---- brute-force parity on the real corpus ----
+
+  /** T.tokens twin: whitespace split of trimmed text, empties dropped. */
+  private def tok(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  private def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val windows = docs.flatMap { case (id, text) =>
+      val ts = tok(text)
+      if (ts.length < W) Seq.empty
+      else (0 to ts.length - W).map(i => (id, i, ts.slice(i, i + W).mkString(" ")))
+    }
+    val dup = windows.groupBy(_._3).filter(_._2.size >= 2).keySet
+    windows.filter(w => dup(w._3)).groupBy(_._1).flatMap { case (id, hs) =>
+      val starts = hs.map(_._2).sorted
+      // interval merge of [s, s+W-1]
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      starts.foreach { s =>
+        if (spans.nonEmpty && s <= spans.last._2 + 1) {
+          val (a, b) = spans.last; spans(spans.length - 1) = (a, math.max(b, s + W - 1))
+        } else spans += ((s, s + W - 1))
+      }
+      spans.map { case (a, b) => (id, a.toLong, b.toLong, (b - a + 1).toLong) }
+    }.toSet
+  }
+
+  test("sf0.001 parity: spans match the brute-force reference") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteSpans(docs)
+    val got = SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
+        r.getAs[Number]("span_end").longValue(),
+        r.getAs[Number]("span_tokens").longValue())).toSet
+    assert(want.nonEmpty, "corpus should contain duplicated windows at this sf")
+    assert(got == want)
+  }
+
+  test("sf0.001 cross-query consistency: stats == spans rollup, clean removes dup_tokens") {
+    val spans = SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("span_tokens").longValue()))
+    val wantDup = spans.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val stats = SubstrDedup.queries("dedup_substr_stats")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("n_tokens").longValue(),
+        r.getAs[Number]("dup_tokens").longValue(), r.getDouble(3)))
+    stats.foreach { case (id, n, dup, frac) =>
+      assert(dup == wantDup.getOrElse(id, 0L), s"doc $id dup_tokens")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (n > 0) assert(math.abs(frac - dup.toDouble / n) < 1e-6)
+    }
+    val clean = SubstrDedup.queries("dedup_substr_clean")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number]("n_removed").longValue()))
+    val statsById = stats.map(s => s._1 -> s).toMap
+    assert(clean.length == stats.length) // every doc survives as a row
+    clean.foreach { case (id, text, removed) =>
+      val (_, n, dup, _) = statsById(id)
+      assert(removed == dup, s"doc $id n_removed != dup_tokens")
+      val keptToks = if (text.isEmpty) 0 else tok(text).length
+      assert(keptToks == n - removed, s"doc $id kept token count")
+    }
+  }
+
+  test("spans are maximal: disjoint and non-adjacent per doc, each >= W tokens") {
+    val byDoc = SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
+        r.getAs[Number]("span_end").longValue(), r.getAs[Number]("span_tokens").longValue()))
+      .groupBy(_._1)
+    byDoc.values.foreach { sp =>
+      val sorted = sp.sortBy(_._2)
+      sorted.foreach { case (_, a, b, n) =>
+        assert(b >= a && n == b - a + 1 && n >= W)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1, "adjacent spans unmerged")
+        case _ =>
+      }
+    }
+  }
+}
