@@ -572,7 +572,41 @@ object TextQueries {
       .join(curriculum(s, dir).select(col("doc_id"), col("phase")), Seq("doc_id"))
   }
 
+  // ---- Deterministic global training-order shuffle ----
+  // The step after the manifest: a training run must visit documents in
+  // an order UNCORRELATED with ingest order (doc_id and source are
+  // correlated — sequential reading would feed the model one feed at a
+  // time), yet byte-reproducible across job retries and re-runs. So the
+  // "random" order is the md5 idiom again, seeded per epoch: key =
+  // md5(seed : doc_id). Shard = 40 hash bits mod S (the file a doc
+  // lands in), ord = rank of the key within the shard (the offset
+  // inside that file). S is the parallelism/file-size knob — at 100 TB
+  // thousands of shards, each a sequential write of one ordered
+  // partition (the window is PER SHARD, same discipline as
+  // packContexts: a global order would funnel the corpus through one
+  // task, and a globally-sorted layout buys nothing — consumers read
+  // shards concurrently anyway). Changing the seed re-deals the whole
+  // corpus: epoch 2 is one constant away. Input is the TRAIN side of
+  // the deduped corpus (survivors ∩ md5-split), riding the memoized
+  // label store — composing verdicts, not re-scanning text.
+  val ShuffleSeed = "ep1"
+  val ShuffleShards = 8
+
+  def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    val trainSide = graft.functions.Buckets.mdBucket(col("doc_id").cast("string"), 100) < 80
+    DedupQueries.survivors(s, dir).select(col("doc_id"))
+      .filter(trainSide)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(ShuffleSeed), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 10), 16, 10).cast("long"), lit(ShuffleShards)))
+      .select(col("doc_id"), col("shard"), row_number().over(w).as("ord"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_global_shuffle" -> (globalShuffle _),
     "text_export_manifest" -> (exportManifest _),
     "text_sample_mix" -> (sampleMix _),
     "text_split_report" -> (splitReport _),
@@ -614,6 +648,16 @@ object TextQueries {
          | ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 1000)} AS b,
          | ${graft.functions.Buckets.sqlBucket("source", 600)} + 200 AS rate_permille
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
+    "text_global_shuffle" ->
+      (s"""${DedupQueries.oClusterCtes},
+          |gsv AS (SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+          |  WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id),
+          |gtr AS (SELECT doc_id, md5(concat_ws(':', '$ShuffleSeed', doc_id::VARCHAR)) AS k
+          |  FROM gsv WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} < 80),
+          |gsh AS (SELECT doc_id, k, (('0x' || substr(k, 1, 10))::BIGINT % $ShuffleShards) AS shard FROM gtr)
+          |SELECT doc_id, shard,
+          |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS ord
+          |FROM gsh""".stripMargin.replace("\n", " ")),
     "text_corpus_funnel" -> {
       val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
       val alphaR = O.charClassRatio("text", "[a-z ]")

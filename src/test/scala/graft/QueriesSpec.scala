@@ -255,6 +255,34 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("global shuffle: dense per-shard order over exactly the train survivors, scrambled") {
+    val rows = TextQueries.globalShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // membership: exactly the train side (md5 bucket < 80) of the survivors
+    val want = DedupQueries.survivors(spark, Sf).collect().map(_.getLong(0))
+      .filter(id => java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(10), 16) % 100 < 80)
+      .toSet
+    assert(rows.map(_._1).toSet == want)
+    // each shard's ords are dense 1..n (a materializer can write shard
+    // files by ord with no gaps), and shards partition the doc set
+    rows.groupBy(_._2).foreach { case (shard, sr) =>
+      assert(shard >= 0 && shard < TextQueries.ShuffleShards)
+      assert(sr.map(_._3).sorted.toSeq == (1 to sr.length).toSeq, s"shard $shard ords not dense")
+    }
+    // the order must be UNCORRELATED with doc_id order: within some
+    // shard, consecutive ords must invert doc_id at least once
+    val inverted = rows.groupBy(_._2).values.exists { sr =>
+      sr.sortBy(_._3).sliding(2).exists { case Array(a, b) => b._1 < a._1; case _ => false }
+    }
+    assert(inverted, "hash order degenerated to doc_id order")
+    // determinism: a second run is byte-identical
+    val again = TextQueries.globalShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    CacheLife.release(spark)
+  }
+
   test("semantic dedup keeps each cell's min id and drops only documented vectors") {
     val rows = SimilarityQueries.semanticDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
