@@ -95,9 +95,24 @@ object SubstrDedup {
     * (doc_id, pos, h) window index — exposed for SubstrDedupSpec's
     * planted-passage tests.
     */
-  private[graft] def spansOver(g: DataFrame): DataFrame = {
+  private[graft] def spansOver(g: DataFrame): DataFrame =
+    mergeSpans(dupHits(g))
+
+  /** Positions whose window recurs anywhere in the index (count ≥ 2
+    * over the md5 key — map-side partials, never a self-join).
+    */
+  private[graft] def dupHits(g: DataFrame): DataFrame = {
     val dup = g.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("h")
-    val hits = g.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    g.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Merge hit positions (each covering [pos, pos+W-1]) into maximal
+    * per-doc spans — the sessionize idiom, windows bounded by doc
+    * length. Shared by the exact and winnowed span queries (winnowed
+    * anchors inside one duplicated region are ≤ [[WinnowW]] < W apart,
+    * so their covers always overlap and the same merge rule applies).
+    */
+  private[graft] def mergeSpans(hits: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spanned = hits
       // running max END of every PRIOR window in this doc: the merge
@@ -162,6 +177,88 @@ object SubstrDedup {
         (col("n_toks") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
   }
 
+  // ---- Winnowing: the fingerprint-SELECTION scale path ----
+  // The full window index is one row per token (~10¹² rows at 100 TB).
+  // Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+  // algorithm) keeps only each trailing-w-window's minimum hash
+  // (rightmost on ties), shrinking the index toward 2/(w+1) of the
+  // positions while GUARANTEEING any exact match of
+  // t = W + WinnowW − 1 tokens still shares a selected fingerprint on
+  // both sides (selection depends only on the w−1 surrounding hashes,
+  // which are identical inside a matching region). The trade is
+  // recall at match EDGES and sub-t matches — measured, not assumed:
+  // [[winnowRecall]] reports token-level recall against the exact
+  // spans. Precision costs nothing: a flagged selected fingerprint has
+  // corpus count ≥ 2 a fortiori, so winnowed covers ⊆ exact covers.
+  //
+  // The window-minimum is one trailing-w window per doc (doc-bounded,
+  // like the merge), with rightmost-min encoded arithmetically:
+  // enc = selector·2^[[PosBits]] + (2^PosBits − 1 − pos), so min(enc)
+  // IS (min selector, max pos) — no struct ordering, identical integer
+  // arithmetic on both engines. The 28-bit selector only picks the
+  // anchor (ties break by position); duplicate DETECTION still runs on
+  // the full md5. Docs longer than 2^PosBits tokens refuse loudly
+  // rather than wrap the encoding (curriculum-guard precedent).
+  val WinnowW = 4
+  val PosBits = 20
+  private val PosMask = (1L << PosBits) - 1
+
+  /** The winnowed fingerprint index: (doc_id, pos, h) for SELECTED
+    * positions only — the store a plagiarism/dedup deployment ships.
+    */
+  private def winnowFp(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"substr.winnow-fp:$dir")(winnowFpOver(posGrams(s, dir)))
+
+  private[graft] def winnowFpOver(g: DataFrame): DataFrame = {
+    val selKey = conv(substring(col("h"), 1, 7), 16, 10).cast("long")
+    val enc = when(col("pos") > PosMask, raise_error(concat(
+        lit(s"winnowing position encoding holds ${PosBits} bits; doc "),
+        col("doc_id"), lit(" has token positions past "), lit(PosMask.toString))))
+      .otherwise(selKey * (PosMask + 1) + (lit(PosMask) - col("pos")))
+    val trailing = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    val sel = g
+      .withColumn("enc", enc)
+      .withColumn("win", min(col("enc")).over(trailing))
+      .filter(col("pos") >= WinnowW - 1) // only full windows select
+      .select(col("doc_id"), (lit(PosMask) - pmod(col("win"), lit(PosMask + 1))).as("pos"))
+      .distinct()
+    sel.join(g, Seq("doc_id", "pos")) // recover the full md5 at the anchor
+  }
+
+  /** Approximate duplicated spans from the winnowed index alone —
+    * [[mergeSpans]] applies unchanged because anchors inside one
+    * duplicated region sit ≤ WinnowW < W apart, so their covers always
+    * overlap.
+    */
+  def winnowSpans(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"substr.winnow-spans:$dir")(
+      mergeSpans(dupHits(winnowFp(s, dir))))
+
+  /** The index-health eval: how much smaller is the winnowed index and
+    * how much duplicated-token coverage it loses vs the exact spans —
+    * the number that justifies (or refutes) deploying the lossy path.
+    * Four model-sized (1-row) aggregates broadcast into one row.
+    */
+  def winnowRecall(s: SparkSession, dir: String): DataFrame = {
+    val exCov = spans(s, dir)
+      .select(col("doc_id"), explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val wnCov = winnowSpans(s, dir)
+      .select(col("doc_id"), explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val nw = broadcast(posGrams(s, dir).agg(count(lit(1)).as("n_windows")))
+    val nf = broadcast(winnowFp(s, dir).agg(count(lit(1)).as("n_fingerprints")))
+    val ne = broadcast(exCov.agg(count(lit(1)).as("n_exact_tokens")))
+    val nc = broadcast(exCov.join(wnCov, Seq("doc_id", "pos"))
+      .agg(count(lit(1)).as("n_covered_tokens")))
+    nw.crossJoin(nf).crossJoin(ne).crossJoin(nc)
+      .select(col("n_windows"), col("n_fingerprints"),
+        round(col("n_fingerprints").cast("double") / col("n_windows"), 6).as("index_fraction"),
+        col("n_exact_tokens"), col("n_covered_tokens"),
+        when(col("n_exact_tokens") === 0, lit(1.0))
+          .otherwise(round(col("n_covered_tokens").cast("double") / col("n_exact_tokens"), 6))
+          .as("token_recall"))
+  }
+
   /** Named builders for the CacheLife window/span stores (bench
     * attribution + StoreBuild materialization, same contract as the
     * sibling modules).
@@ -169,12 +266,16 @@ object SubstrDedup {
   def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "substr.grams" -> (() => { posGrams(s, dir).count(); () }),
     "substr.spans" -> (() => { spans(s, dir).count(); () }),
+    "substr.winnow_fp" -> (() => { winnowFp(s, dir).count(); () }),
+    "substr.winnow_spans" -> (() => { winnowSpans(s, dir).count(); () }),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_spans" -> (spans _),
     "dedup_substr_stats" -> (stats _),
     "dedup_substr_clean" -> (clean _),
+    "dedup_substr_winnow_spans" -> (winnowSpans _),
+    "dedup_substr_winnow_recall" -> (winnowRecall _),
   )
 
   // ---- DuckDB oracle: same windows, same md5 keys, same merge ----
@@ -203,7 +304,56 @@ object SubstrDedup {
        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM fl)
        |  GROUP BY doc_id, span_id)""".stripMargin.replace("\n", " ")
 
+  /** Winnow CTE chain on top of [[oSpanCtes]] (which provides `t`, `g`,
+    * and exact spans `sp`): encode → trailing-window min → decode →
+    * recover md5 → duplicated selected → merge. Arithmetic mirrors
+    * [[winnowFpOver]] constant for constant.
+    */
+  private val oWinnowCtes: String = {
+    val mask = PosMask
+    val mod = PosMask + 1
+    s"""$oSpanCtes,
+       |wenc AS (SELECT doc_id, pos,
+       |  (('0x' || substr(h, 1, 7))::BIGINT * $mod + ($mask - pos)) AS enc FROM g),
+       |wmin AS (SELECT doc_id, pos,
+       |  min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS win FROM wenc),
+       |wsel AS (SELECT DISTINCT doc_id, ($mask - (win % $mod)) AS pos
+       |  FROM wmin WHERE pos >= ${WinnowW - 1}),
+       |wfp AS (SELECT g.doc_id, g.pos, g.h FROM wsel
+       |  JOIN g ON wsel.doc_id = g.doc_id AND wsel.pos = g.pos),
+       |wdup AS (SELECT h FROM wfp GROUP BY h HAVING COUNT(*) >= 2),
+       |whits AS (SELECT doc_id, pos FROM wfp JOIN wdup USING (h)),
+       |wfl AS (SELECT doc_id, pos,
+       |  CASE WHEN prev_end IS NULL THEN 1 WHEN pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+       |  FROM (SELECT doc_id, pos,
+       |    max(pos + ${W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM whits)),
+       |wsp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${W - 1} AS span_end
+       |  FROM (SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM wfl)
+       |  GROUP BY doc_id, span_id)""".stripMargin.replace("\n", " ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_substr_winnow_spans" ->
+      (s"""WITH $oWinnowCtes
+          |SELECT doc_id, span_start, span_end,
+          |  span_end - span_start + 1 AS span_tokens FROM wsp""".stripMargin.replace("\n", " ")),
+    "dedup_substr_winnow_recall" ->
+      (s"""WITH $oWinnowCtes,
+          |excov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |wncov AS (SELECT doc_id, u.pos FROM wsp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |ns AS (SELECT (SELECT COUNT(*) FROM g) AS n_windows,
+          |  (SELECT COUNT(*) FROM wfp) AS n_fingerprints,
+          |  (SELECT COUNT(*) FROM excov) AS n_exact_tokens,
+          |  (SELECT COUNT(*) FROM excov JOIN wncov USING (doc_id, pos)) AS n_covered_tokens)
+          |SELECT n_windows, n_fingerprints,
+          |  round(n_fingerprints::DOUBLE / n_windows, 6) AS index_fraction,
+          |  n_exact_tokens, n_covered_tokens,
+          |  CASE WHEN n_exact_tokens = 0 THEN 1.0
+          |       ELSE round(n_covered_tokens::DOUBLE / n_exact_tokens, 6) END AS token_recall
+          |FROM ns""".stripMargin.replace("\n", " ")),
     "dedup_substr_spans" ->
       (s"""WITH $oSpanCtes
           |SELECT doc_id, span_start, span_end,

@@ -127,6 +127,80 @@ class SubstrDedupSpec extends SparkSpec {
     }
   }
 
+  // ---- winnowing ----
+
+  /** Reference winnowing: trailing-WinnowW window min of
+    * (28-bit md5-prefix selector, rightmost tie-break), per doc.
+    */
+  private def bruteWinnow(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val W = SubstrDedup.W
+    val w = SubstrDedup.WinnowW
+    docs.flatMap { case (id, text) =>
+      val ts = tok(text)
+      if (ts.length < W) Seq.empty
+      else {
+        val hs = (0 to ts.length - W).map { i =>
+          java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils
+              .md5Hex(ts.slice(i, i + W).mkString(" ")).take(7), 16)
+        }
+        (w - 1 until hs.length).flatMap { e =>
+          val window = (e - w + 1 to e)
+          val minKey = window.map(hs).min
+          val pick = window.filter(p => hs(p) == minKey).max // rightmost min
+          Some((id, pick.toLong))
+        }
+      }
+    }.toSet
+  }
+
+  test("winnowed selection matches the reference algorithm position for position") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = bruteWinnow(docs)
+    val got = SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(
+        Tables.documents(spark, Sf).select("doc_id", "text"))).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("pos").longValue())).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("winnowing guarantee: a shared passage of t = W+WinnowW-1 tokens is flagged in both docs") {
+    import spark.implicits._
+    val t = SubstrDedup.W + SubstrDedup.WinnowW - 1
+    val shared = (1 to t).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"a1 a2 a3 $shared a4"),
+      (20L, s"$shared b1 b2 b3 b4"),
+      (30L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val sp = SubstrDedup.mergeSpans(SubstrDedup.dupHits(
+      SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(docs))))
+    val byDoc = sp.collect().map(_.getLong(0)).toSet
+    assert(byDoc == Set(10L, 20L), s"guarantee violated: flagged $byDoc")
+  }
+
+  test("sf0.001 winnow spans are a subset of exact spans' coverage; recall row is consistent") {
+    def cover(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.flatMap { r =>
+        val (id, a, b) = (r.getLong(0), r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())
+        (a to b).map(p => (id, p))
+      }.toSet
+    val ex = cover(SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect())
+    val wn = cover(SubstrDedup.queries("dedup_substr_winnow_spans")(spark, Sf).collect())
+    assert(wn.nonEmpty && wn.subsetOf(ex), "winnowed covers must never exceed exact covers")
+    val r = SubstrDedup.queries("dedup_substr_winnow_recall")(spark, Sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nw, nf) = (row.getLong(0), row.getLong(1))
+    val (nex, ncov) = (row.getLong(3), row.getLong(4))
+    assert(nex == ex.size && ncov == wn.size, "counts must equal the span covers")
+    assert(nf < nw, "winnowing must shrink the index")
+    val frac = row.getDouble(2)
+    assert(frac > 0.1 && frac < 0.8, s"index fraction $frac implausible for w=${SubstrDedup.WinnowW}")
+    assert(row.getDouble(5) == BigDecimal(ncov.toDouble / nex)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    CacheLife.release(spark)
+  }
+
   test("spans are maximal: disjoint and non-adjacent per doc, each >= W tokens") {
     val byDoc = SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
