@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{DedupLayout, TextLayout, VectorLayout}
+import graft.sources.{DedupLayout, SubstrLayout, TextLayout, VectorLayout}
 
 /** Store fsck — the read-only third leg of the store lifecycle
   * tooling: [[StoreBuild]] lays the artifacts down, [[StoreMaintain]]
@@ -59,6 +59,7 @@ object Doctor {
       }
     tag("dedup", DedupLayout.fsck(spark, StoreBuild.dedupLayoutDir(root))) ++
       tag("text", TextLayout.fsck(spark, StoreBuild.textLayoutDir(root))) ++
+      tag("substr", SubstrLayout.fsck(spark, StoreBuild.substrLayoutDir(root))) ++
       tag("vectors", VectorLayout.fsck(spark, StoreBuild.vectorLayoutDir(root)))
   }
 

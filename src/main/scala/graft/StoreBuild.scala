@@ -34,6 +34,12 @@ object StoreBuild {
   def textLayoutDir(root: String): String =
     root.stripSuffix("/") + "/text.layout"
 
+  /** Root of the incremental winnowed-fingerprint store
+    * ([[graft.sources.SubstrLayout]]).
+    */
+  def substrLayoutDir(root: String): String =
+    root.stripSuffix("/") + "/substr.layout"
+
   /** Run every builder against `root`; returns (name, seconds) lines. */
   def buildAll(spark: SparkSession, sfDir: String,
                root: String): Seq[(String, Double)] = {
@@ -54,7 +60,9 @@ object StoreBuild {
         "dedup.incr_layout" -> (() =>
           sources.DedupLayout.materialize(spark, docs, dedupLayoutDir(root))),
         "text.incr_layout" -> (() =>
-          sources.TextLayout.materialize(spark, docs, textLayoutDir(root))))
+          sources.TextLayout.materialize(spark, docs, textLayoutDir(root))),
+        "substr.incr_layout" -> (() =>
+          sources.SubstrLayout.materialize(spark, docs, substrLayoutDir(root))))
     builders.map { case (name, run) =>
       val t0 = System.nanoTime()
       run()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{DedupLayout, TextLayout, VectorLayout}
+import graft.sources.{DedupLayout, SubstrLayout, TextLayout, VectorLayout}
 
 /** The scheduled MAINTENANCE job — [[StoreBuild]]'s operational twin.
   * StoreBuild lays the artifacts down once; streaming ingest
@@ -57,6 +57,11 @@ object StoreMaintain {
       s"watermark=${DedupLayout.compact(spark, dedupRoot)}"
     out += "text.compact" ->
       s"watermark=${TextLayout.compact(spark, textRoot)}"
+    val substrRoot = StoreBuild.substrLayoutDir(root)
+    out += "substr.compact" ->
+      (if (SubstrLayout.exists(spark, substrRoot))
+        s"watermark=${SubstrLayout.compact(spark, substrRoot)}"
+      else "skipped: no layout") // roots built before the substr family
     if (!VectorLayout.exists(spark, vecRoot)) {
       // the dedup/text steps above no-op gracefully on an absent store,
       // but every vector action below starts from a layout read — on a

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.SubstrDedup
+
+/** Incremental WINNOWED-FINGERPRINT store on disk — the substring-dedup
+  * twin of [[TextLayout]] (tokens), [[DedupLayout]] (minhash bands),
+  * and [[VectorLayout]] (ANN cells): the fourth index family gets the
+  * same accrete-then-fold lifecycle the other three have.
+  *
+  * What a deployment actually keeps for duplicate-passage detection is
+  * the winnowed index ([[SubstrDedup.winnowFpOver]] — ~2/(w+1) of the
+  * positions, the measured-recall scale path), so that is what this
+  * layout stores. Arrivals fingerprint ONCE into TWO batch-partitioned
+  * parquet logs:
+  *
+  *   - the FINGERPRINT log (doc_id, pos, h) — selected anchors with
+  *     their positions, the rows span queries join back to;
+  *   - per-batch HASH-COUNT partials (h, n) — winnowing and windowing
+  *     are pure per-document functions and each doc lives in exactly
+  *     one batch, so the batch counts SUM to the global count and the
+  *     duplicated-hash set re-derives from the narrow two-column
+  *     partials (map-side combined on the high-entropy key), never by
+  *     re-counting the wide log.
+  *
+  * Re-derivation is mandatory, not an optimization: appending a batch
+  * can flip a hash's global count 1 → 2, which adds duplicate spans to
+  * documents ingested LONG AGO — a snapshotted span table would
+  * silently miss exactly the duplication an append introduces.
+  * [[spans]] therefore re-derives from the current totals;
+  * SubstrLayoutSpec plants that shape (base doc unique until a later
+  * batch duplicates its passage) and holds append ≡ rebuild.
+  *
+  * Idempotence and guards are the family contract verbatim:
+  * fingerprinting is pure per-document, each append dynamic-overwrites
+  * its own `__batch_id` partition (redelivery and wiped-checkpoint
+  * replay rewrite byte-identical files), an arrival doc_id already in
+  * the log prefix refuses via the [[IdAuthority]] bloom sidecar (a
+  * re-appended doc would double its hash counts and self-duplicate),
+  * and the [[LogCompaction]] protocol folds the finalized prefix —
+  * count partials are batch-order-invariant sums, so folding changes
+  * bytes on disk and nothing above them.
+  */
+object SubstrLayout {
+
+  private val BatchCol = LogCompaction.BatchCol
+  private val BaseBatch = LogCompaction.BaseBatch
+
+  private def fpDir(root: String) = root.stripSuffix("/") + "/substr_fp"
+  private def countsDir(root: String) = root.stripSuffix("/") + "/substr_counts"
+
+  private def winnowed(spark: SparkSession, docs: DataFrame): DataFrame =
+    SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(
+      Tables.spread(spark, docs.select(col("doc_id"), col("text")))))
+
+  private def partials(fp: DataFrame): DataFrame =
+    fp.groupBy("h").agg(count(lit(1)).as("n"))
+
+  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One-time fingerprint of `docs` (doc_id, text) into the base batch. */
+  def materialize(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    // fresh rebuild: a surviving compaction marker would filter out the
+    // new base batches (LogCompaction.reset scaladoc)
+    LogCompaction.reset(spark, root)
+    IdAuthority.recordBase(spark, root, docs.select(col("doc_id")), BaseBatch)
+    val fp = winnowed(spark, docs).localCheckpoint() // one fingerprint pass, two stores
+    fp.withColumn(BatchCol, lit(BaseBatch))
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(fpDir(root))
+    partials(fp).withColumn(BatchCol, lit(BaseBatch))
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(countsDir(root))
+  }
+
+  /** Fingerprint ONLY the arrival batch into its own partitions of both
+    * logs. Guard contract as [[TextLayout.append]]: a finalized batch id
+    * refuses ([[LogCompaction.guardAppend]]); an arrival doc_id already
+    * in the prefix refuses (bloom sidecar, exact probe on hits; the
+    * prefix is the FINGERPRINT log — the store carrying doc ids — so a
+    * torn append still guards); same-batch-id redelivery passes and
+    * overwrites byte-identically. Works on an EMPTY root: the first
+    * append is the base.
+    */
+  def append(spark: SparkSession, arrivals: DataFrame, root: String,
+             batchId: Long): Unit = {
+    val mk = LogCompaction.marker(spark, root)
+    LogCompaction.guardAppend(mk, batchId, "SubstrLayout.append")
+    IdAuthority.guardAndRecord(spark, root, batchId,
+      arrivals.select(col("doc_id")),
+      priorIds = if (storeExists(spark, fpDir(root)))
+        LogCompaction.view(spark.read.parquet(fpDir(root)), mk)
+          .filter(col(BatchCol) < batchId)
+          .select(col("doc_id")).distinct()
+      else arrivals.limit(0).select(col("doc_id")),
+      who = "SubstrLayout.append", what = "fingerprint-log prefix")
+    val fp = winnowed(spark, arrivals).localCheckpoint()
+    fp.withColumn(BatchCol, lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(BatchCol)
+      .parquet(fpDir(root))
+    // counts land LAST: a batch visible here is complete in both logs —
+    // the compaction watermark anchor
+    partials(fp).withColumn(BatchCol, lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(BatchCol)
+      .parquet(countsDir(root))
+  }
+
+  /** Fold both logs' finalized prefix into one generation partition
+    * ([[LogCompaction]] protocol; the derived views are batch-order-
+    * invariant, so only bytes on disk change). Returns the watermark.
+    */
+  def compact(spark: SparkSession, root: String,
+              upToBatch: Option[Long] = None,
+              sweepNow: Boolean = true): Long = {
+    val w = LogCompaction.run(spark, root, watermarkDir = countsDir(root),
+      stores = compactStores(spark, root), upToBatch = upToBatch,
+      sweepNow = sweepNow)
+    IdAuthority.prune(spark, root, w)
+    w
+  }
+
+  /** Deferred-sweep reclamation (see [[TextLayout.vacuum]]). */
+  def vacuum(spark: SparkSession, root: String): Unit =
+    LogCompaction.vacuum(spark, root, compactStores(spark, root).map(_.dir))
+
+  private def compactStores(spark: SparkSession,
+                            root: String): Seq[LogCompaction.StoreSpec] = {
+    val flat = (df: DataFrame) =>
+      df.coalesce(spark.sessionState.conf.numShufflePartitions)
+    Seq(LogCompaction.StoreSpec(fpDir(root), Seq(BatchCol), flat),
+      LogCompaction.StoreSpec(countsDir(root), Seq(BatchCol), flat))
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean =
+    storeExists(spark, fpDir(root))
+
+  /** The winnowed fingerprint rows across all live batches. */
+  def fingerprints(spark: SparkSession, root: String): DataFrame =
+    LogCompaction.view(spark.read.parquet(fpDir(root)),
+      LogCompaction.marker(spark, root)).drop(BatchCol)
+
+  /** The per-batch (h, n) hash-count partials. */
+  def hashCounts(spark: SparkSession, root: String): DataFrame =
+    LogCompaction.view(spark.read.parquet(countsDir(root)),
+      LogCompaction.marker(spark, root)).drop(BatchCol)
+
+  /** Duplicate-passage spans over the CURRENT store state — the same
+    * merge the registered `dedup_substr_winnow_spans` runs
+    * ([[SubstrDedup.mergeSpans]]); the duplicated-hash set re-derives
+    * from the narrow count partials, the positions come from one
+    * hash-keyed equi-join against the fingerprint log.
+    */
+  def spans(spark: SparkSession, root: String): DataFrame = {
+    val dup = hashCounts(spark, root)
+      .groupBy("h").agg(sum("n").as("tot")).filter(col("tot") >= 2).select("h")
+    SubstrDedup.mergeSpans(
+      fingerprints(spark, root).join(dup, Seq("h"))
+        .select(col("doc_id"), col("pos")))
+  }
+
+  /** Read-only integrity report — the [[graft.Doctor]] leg: both batch
+    * logs via [[LogCompaction.fsckLog]] plus the id-authority sidecar
+    * cross-checked against the fingerprint log (the prefix [[append]]
+    * guards on).
+    */
+  def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
+    val mk = LogCompaction.marker(spark, root)
+    val logRows = Seq(
+      "fingerprints" -> fpDir(root), "counts" -> countsDir(root)).flatMap {
+      case (n, d) => LogCompaction.fsckLog(spark, d, mk)
+        .map { case (c, s, det) => (s"$n.$c", s, det) }
+    }
+    logRows ++ IdAuthority.fsck(spark, root,
+      LogCompaction.effectiveMaxBatch(spark, fpDir(root), mk))
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SubstrDedup
+import graft.sources.SubstrLayout
+import graft.streaming.SubstrStream
+
+/** The incremental winnowed-fingerprint store: appended batches must
+  * re-derive EXACTLY the registered corpus-wide winnow spans (including
+  * duplication an append introduces retroactively), redelivery must
+  * change nothing (count-checked), compaction must change bytes only,
+  * and the streaming twin must reach batch parity from an empty root.
+  */
+class SubstrLayoutSpec extends SparkSpec {
+
+  private def spanSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
+      r.getAs[Number]("span_end").longValue())).toSet
+
+  test("appended batches re-derive the registered winnow spans; re-append is idempotent") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-sl").toString
+    val m = col("doc_id") % 4
+
+    SubstrLayout.materialize(spark, docs.filter(m < 2), root)
+    SubstrLayout.append(spark, docs.filter(m === 2), root, batchId = 0L)
+    SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+
+    // the fingerprint log holds exactly the corpus-wide winnowed index
+    val total = SubstrLayout.fingerprints(spark, root).count()
+    val want = SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(docs)).count()
+    assert(total === want, s"fingerprint log holds $total rows, corpus winnows to $want")
+
+    // spans over the store == the registered (oracle-checked) query
+    val derived = spanSet(SubstrLayout.spans(spark, root))
+    val registered = spanSet(SubstrDedup.queries("dedup_substr_winnow_spans")(spark, Sf))
+    assert(derived.nonEmpty && derived === registered,
+      "spans from the incremental store drifted from dedup_substr_winnow_spans")
+
+    // idempotence: re-running batch 1 overwrites its own partitions
+    SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    assert(SubstrLayout.fingerprints(spark, root).count() === total,
+      "re-appending a batch must not grow the fingerprint log")
+    assert(SubstrLayout.hashCounts(spark, root).agg(sum("n")).head.getLong(0) === total,
+      "re-appending a batch must not grow the count partials")
+    CacheLife.release(spark)
+  }
+
+  test("a later batch retroactively adds spans to a doc ingested earlier") {
+    import spark.implicits._
+    val t = SubstrDedup.W + SubstrDedup.WinnowW - 1
+    val shared = (1 to t + 1).map(i => s"r$i").mkString(" ")
+    val root = Files.createTempDirectory("graft-sl-retro").toString
+    SubstrLayout.materialize(spark,
+      Seq((1L, s"base1 base2 $shared base3"),
+          (2L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text"), root)
+    assert(spanSet(SubstrLayout.spans(spark, root)).isEmpty,
+      "the base corpus has no duplicated passage yet")
+    SubstrLayout.append(spark,
+      Seq((3L, s"$shared tail1 tail2")).toDF("doc_id", "text"), root, batchId = 0L)
+    val docsWithSpans = spanSet(SubstrLayout.spans(spark, root)).map(_._1)
+    assert(docsWithSpans === Set(1L, 3L),
+      s"the append must flag BOTH the new doc and the base doc, got $docsWithSpans")
+  }
+
+  test("append refuses a doc_id replayed under a NEW batch id") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-sl-guard").toString
+    val m = col("doc_id") % 4
+    SubstrLayout.materialize(spark, docs.filter(m < 3), root)
+    SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 0L)
+    val e = intercept[Exception] {
+      SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("already exists in the fingerprint-log prefix")),
+      s"expected the replay refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("compaction folds both logs to one generation; spans unchanged; fsck stays clean") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-sl-fold").toString
+    val m = col("doc_id") % 4
+    SubstrLayout.materialize(spark, docs.filter(m < 2), root)
+    SubstrLayout.append(spark, docs.filter(m === 2), root, batchId = 0L)
+    SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    val before = spanSet(SubstrLayout.spans(spark, root))
+
+    val w = SubstrLayout.compact(spark, root)
+    assert(w === 1L, s"watermark should cover the last complete batch, got $w")
+    Seq("substr_fp", "substr_counts").foreach { store =>
+      val dirs = new java.io.File(s"$root/$store").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+      assert(dirs.length === 1, s"$store should fold to ONE generation dir, " +
+        s"got ${dirs.map(_.getName).toSeq}")
+    }
+    assert(spanSet(SubstrLayout.spans(spark, root)) === before,
+      "compaction must change bytes on disk, never the span view")
+
+    val report = SubstrLayout.fsck(spark, root)
+    assert(report.nonEmpty && !report.exists(_._2 == "fail"),
+      s"fsck after a clean fold must not fail: $report")
+    // and a finalized batch refuses further appends
+    val e = intercept[IllegalStateException] {
+      SubstrLayout.append(spark, docs.filter(m === 3), root, batchId = 1L)
+    }
+    assert(e.getMessage.contains("finalized"), e.getMessage)
+  }
+
+  private def writeOneFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-ss-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("streamed arrivals on an EMPTY root reach batch parity; replay adds nothing") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val m = col("doc_id") % 3
+    val root = Files.createTempDirectory("graft-ss-root").toString
+    val qdir = Files.createTempDirectory("graft-ss-q")
+    writeOneFile(docs.filter(m === 0), qdir, "arrivals1.parquet")
+    writeOneFile(docs.filter(m === 1), qdir, "arrivals2.parquet")
+    writeOneFile(docs.filter(m === 2), qdir, "arrivals3.parquet")
+
+    def drain(checkpoint: String): Unit = {
+      val q = SubstrStream.ingestSink(
+        SubstrStream.read(spark, qdir.toString), root, checkpoint)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(Files.createTempDirectory("graft-ss-ck").toString + "/ck")
+
+    val total = SubstrLayout.fingerprints(spark, root).count()
+    assert(total === SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(docs)).count())
+    val streamed = spanSet(SubstrLayout.spans(spark, root))
+    val registered = spanSet(SubstrDedup.queries("dedup_substr_winnow_spans")(spark, Sf))
+    assert(streamed === registered,
+      "spans from the streamed store drifted from dedup_substr_winnow_spans")
+
+    drain(Files.createTempDirectory("graft-ss-ck2").toString + "/ck")
+    assert(SubstrLayout.fingerprints(spark, root).count() === total,
+      "replay with a wiped checkpoint grew the fingerprint log")
+    assert(SubstrLayout.hashCounts(spark, root).agg(sum("n")).head.getLong(0) === total,
+      "replay with a wiped checkpoint grew the count partials")
+    CacheLife.release(spark)
+  }
+}

@@ -19,6 +19,14 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 con = duckdb.connect()
 import os
+# Survive the big scale passes: spill hash joins/aggregates to disk
+# instead of dying, and honor an explicit cap so a concurrently running
+# Spark JVM can't push the process into the kernel OOM killer (the
+# default limit is 80% of physical RAM with no spill directory).
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver corpora are single files; Spark-written corpora (graft.ScaleUp's
