@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{DedupLayout, TextLayout, VectorLayout}
-import graft.streaming.{DedupStream, TextStream, VectorStream}
+import graft.sources.{DedupLayout, SubstrLayout, TextLayout, VectorLayout}
+import graft.streaming.{DedupStream, SubstrStream, TextStream, VectorStream}
 
 /** End-to-end streaming drain at a NAMED corpus scale — the scripted
   * run that backs the design prose in [[sources.LogCompaction]] ("a
@@ -17,8 +17,9 @@ import graft.streaming.{DedupStream, TextStream, VectorStream}
   *      [[DedupLayout.materialize]] / [[TextLayout.materialize]]);
   *   2. the held-out 20% lands in a file landing zone split into N
   *      files → N micro-batches (`maxFilesPerTrigger=1`), and all
-  *      three ingest streams drain it ([[DedupStream.ingestSink]],
-  *      [[TextStream.ingestSink]], [[VectorStream.ingestSink]]);
+  *      four ingest streams drain it ([[DedupStream.ingestSink]],
+  *      [[TextStream.ingestSink]], [[SubstrStream.ingestSink]],
+  *      [[VectorStream.ingestSink]]);
   *   3. [[StoreMaintain.maintainAll]] runs the between-drains
   *      maintenance (label refresh, log compaction, drift read);
   *   4. [[Doctor.run]] fscks the root — the process exit code is the
@@ -53,6 +54,9 @@ object StreamDrain {
       DedupLayout.materialize(spark, docs.filter(!holdDocs), dedupRoot))
     timed("base: text.materialize")(
       TextLayout.materialize(spark, docs.filter(!holdDocs), textRoot))
+    val substrRoot = StoreBuild.substrLayoutDir(root)
+    timed("base: substr.materialize")(
+      SubstrLayout.materialize(spark, docs.filter(!holdDocs), substrRoot))
     timed("base: vectors.materialize")(
       VectorLayout.materializeWhere(spark, sfDir, vecRoot, !holdVecs))
 
@@ -75,6 +79,8 @@ object StreamDrain {
       DedupStream.read(spark, docLanding), dedupRoot, s"$ckpt/dedup"))
     drain("text ingest", TextStream.ingestSink(
       TextStream.read(spark, docLanding), textRoot, s"$ckpt/text"))
+    drain("substr ingest", SubstrStream.ingestSink(
+      SubstrStream.read(spark, docLanding), substrRoot, s"$ckpt/substr"))
     drain("vector ingest", VectorStream.ingestSink(
       VectorStream.read(spark, vecLanding), sfDir, vecRoot, s"$ckpt/vecs"))
 
