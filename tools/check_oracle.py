@@ -27,6 +27,14 @@ os.makedirs("/tmp/duckdb_spill", exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 if os.environ.get("GRAFT_DUCKDB_MEM"):
     con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+# GRAFT_ORACLE_ONLY=a,b,c restricts the compare to the named queries.
+# The big scale passes accumulate process memory across hundreds of
+# heavy oracles (DuckDB buffer blocks + pandas fragmentation) until
+# allocations fail mid-pass; chunking into fresh processes — one
+# invocation per subset, merge the JSON records — sidesteps it.
+if os.environ.get("GRAFT_ORACLE_ONLY"):
+    keep = set(os.environ["GRAFT_ORACLE_ONLY"].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver corpora are single files; Spark-written corpora (graft.ScaleUp's
