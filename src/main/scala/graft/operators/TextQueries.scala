@@ -572,6 +572,123 @@ object TextQueries {
       .join(curriculum(s, dir).select(col("doc_id"), col("phase")), Seq("doc_id"))
   }
 
+  // ---- DSIR importance weights (Data Selection via Importance
+  // Resampling, Xie et al., NeurIPS 2023) ----
+  // THE published method for selecting raw-corpus documents that look
+  // like a target domain: hash n-gram features into B buckets, estimate
+  // bucket distributions over the target and the raw corpus, and score
+  // each document by its summed log importance ratio — documents whose
+  // feature profile resembles the target score high and are kept with
+  // probability ∝ weight. Target here = the `src0` feed (the reference
+  // corpus a curator points at; per-source token distributions are the
+  // one measurable domain difference in this corpus — the languages
+  // share a vocabulary outside a few stopwords, measured before
+  // settling on this target); features = word-unigram OCCURRENCES
+  // (count-based, per the paper) bucketed by the md5 idiom.
+  //
+  // The log is where the cross-engine contract bites: this engine bans
+  // transcendentals (an engine-native log differs in the last ulp),
+  // and plain floor(log₂) — the text_zipf idiom — quantizes at 1 bit,
+  // which measured as ZERO separation here (post-hash bucket ratios
+  // sit under 2×). So the weight uses FIXED-POINT log₂ with
+  // [[DsirFracBits]] fractional bits, by the classic repeated-squaring
+  // algorithm: normalize the mantissa to [2³⁰, 2³¹), square it F
+  // times, each square's overflow past 2⁶¹ is the next fraction bit.
+  // Every step is integer multiply/compare/shift — bit-identical on
+  // both engines by construction (truncation included), the same
+  // determinism class as the md5-hex arithmetic everywhere else:
+  //   log2fp(x) = ilog2(x)·2^F + Σ bit_k·2^(F−k)
+  //   llr[b]    = log2fp((c_t[b]+1)·(N_r+B)) − log2fp((c_r[b]+1)·(N_t+B))
+  // (Laplace-smoothed), and a doc's weight is Σ llr over its feature
+  // occurrences — an exact integer in units of 2⁻⁸ bits. Products stay
+  // in Long while N+B ≤ √2⁶³ (≈3·10⁹ occurrences per histogram); past
+  // it the expression raise_errors naming the sharded-histogram
+  // remediation (curriculum-guard precedent) rather than overflow.
+  //
+  // Shape at scale: one narrow feature pass; the only shuffle keys the
+  // B-row histogram (map-side combined); totals are a 1-row broadcast,
+  // the llr table a B-row broadcast joined back to the feature stream;
+  // one per-doc sum with partials. The fixed-point log runs on B rows,
+  // never per corpus row. Docs with no token carry no weight and are
+  // omitted, like the other feature-conditioned reports.
+  val DsirB = 64
+  val DsirFracBits = 8
+  val DsirTarget = "src0"
+  private val DsirMaxN = 3037000499L - DsirB // floor(sqrt(2^63)) - B
+
+  /** Fixed-point log₂ (F fractional bits) of positive Long column `in`,
+    * as STAGED columns over a (histogram-sized) frame — one
+    * mantissa/accumulator column pair per squaring step, so the plan
+    * holds F small projections instead of an exponentially nested
+    * expression tree (each step reads its predecessor twice).
+    */
+  private[graft] def log2FixedCol(df0: DataFrame, in: String, out: String,
+                                  f: Int = DsirFracBits): DataFrame = {
+    val e = s"__${out}_e"; val m = s"__${out}_m"
+    val a = s"__${out}_acc"; val sq = s"__${out}_sq"; val bit = s"__${out}_b"
+    var d = df0
+      .withColumn(e, length(bin(col(in))) - 1)
+      .withColumn(m, when(col(e) >= 30, call_function("shiftright", col(in), col(e) - 30))
+        .otherwise(call_function("shiftleft", col(in), lit(30) - col(e))))
+      .withColumn(a, lit(0L))
+    for (_ <- 1 to f) {
+      d = d.withColumn(sq, col(m) * col(m))
+        .withColumn(bit, (col(sq) >= (1L << 61)).cast("long"))
+        .withColumn(m, call_function("shiftright", col(sq), (lit(30) + col(bit)).cast("int")))
+        .withColumn(a, col(a) * 2 + col(bit))
+    }
+    d.withColumn(out, col(e).cast("long") * (1L << f) + col(a)).drop(e, m, a, sq, bit)
+  }
+
+  /** DuckDB spelling of [[log2FixedCol]] applied to BOTH llr inputs at
+    * once: stage CTEs `l0..lF` over the histogram, generated from the
+    * same constants so the two engines cannot drift.
+    */
+  private def oLog2FixedStages(f: Int = DsirFracBits): String = {
+    def norm(x: String, e: String) =
+      s"(CASE WHEN $e >= 30 THEN $x >> ($e - 30) ELSE $x << (30 - $e) END)"
+    val l0 =
+      s"""l0 AS (SELECT b, ea, eb, ${norm("xa", "ea")} AS ma, ${norm("xb", "eb")} AS mb,
+         |  0::BIGINT AS aa, 0::BIGINT AS ab FROM
+         |  (SELECT b, xa, xb, (length(bin(xa)) - 1)::BIGINT AS ea,
+         |    (length(bin(xb)) - 1)::BIGINT AS eb FROM hx))""".stripMargin
+    val stages = (1 to f).map { k =>
+      def step(m: String, a: String) = {
+        val bit = s"(CASE WHEN $m * $m >= ${1L << 61} THEN 1 ELSE 0 END)"
+        (s"(($m * $m) >> (30 + $bit))", s"($a * 2 + $bit)")
+      }
+      val (ma2, aa2) = step("ma", "aa"); val (mb2, ab2) = step("mb", "ab")
+      s"""l$k AS (SELECT b, ea, eb, $ma2 AS ma, $mb2 AS mb, $aa2 AS aa, $ab2 AS ab
+         |  FROM l${k - 1})""".stripMargin
+    }
+    (l0 +: stages).mkString(", ").replace("\n", " ")
+  }
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), (col("source") === DsirTarget).as("is_target"),
+        explode(toks).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        graft.functions.Buckets.mdBucket(col("gram"), DsirB).as("b"))
+    val hist = feats.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+    val tot = broadcast(hist.agg(sum("c_t").as("nt"), sum("c_r").as("nr")))
+    val guarded = when(col("nr") > DsirMaxN,
+      raise_error(lit("DSIR histogram exceeds the exact-Long bound (N+B > sqrt(2^63)): " +
+        "shard the histogram per corpus partition and sum the fixed-point logs")))
+      .otherwise(col("nr"))
+    val hx = hist.crossJoin(tot).select(col("b"),
+      ((col("c_t") + 1) * (guarded + DsirB)).as("xa"),
+      ((col("c_r") + 1) * (col("nt") + DsirB)).as("xb"))
+    val llr = broadcast(
+      log2FixedCol(log2FixedCol(hx, "xa", "la"), "xb", "lb")
+        .select(col("b"), (col("la") - col("lb")).as("llr")))
+    feats.join(llr, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("llr").as("llr_sum"))
+  }
+
   // ---- Deterministic global training-order shuffle ----
   // The step after the manifest: a training run must visit documents in
   // an order UNCORRELATED with ingest order (doc_id and source are
@@ -606,6 +723,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_weights" -> (dsirWeights _),
     "text_global_shuffle" -> (globalShuffle _),
     "text_export_manifest" -> (exportManifest _),
     "text_sample_mix" -> (sampleMix _),
@@ -648,6 +766,22 @@ object TextQueries {
          | ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 1000)} AS b,
          | ${graft.functions.Buckets.sqlBucket("source", 600)} + 200 AS rate_permille
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
+    "text_dsir_weights" ->
+      (s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+          |f AS (SELECT doc_id, (source = '$DsirTarget') AS is_target, u.tok AS gram
+          |      FROM t, unnest(toks) AS u(tok)),
+          |fb AS (SELECT doc_id, is_target, ${graft.functions.Buckets.sqlBucket("gram", DsirB)} AS b FROM f),
+          |h AS (SELECT b, COUNT(*) AS c_r,
+          |      CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+          |      FROM fb GROUP BY b),
+          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS nt, CAST(SUM(c_r) AS BIGINT) AS nr FROM h),
+          |hx AS (SELECT b, (c_t + 1) * (nr + $DsirB) AS xa, (c_r + 1) * (nt + $DsirB) AS xb
+          |       FROM h, tot),
+          |${oLog2FixedStages()},
+          |llr AS (SELECT b, (ea * ${1L << DsirFracBits} + aa) - (eb * ${1L << DsirFracBits} + ab) AS llr
+          |        FROM l$DsirFracBits)
+          |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(llr) AS BIGINT) AS llr_sum
+          |FROM fb JOIN llr USING (b) GROUP BY doc_id""".stripMargin.replace("\n", " ")),
     "text_global_shuffle" ->
       (s"""${DedupQueries.oClusterCtes},
           |gsv AS (SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id

@@ -255,6 +255,39 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("fixed-point log2 tracks the real log within quantization error") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 7L, 100L, 1023L, 1024L, 123456789L,
+      (1L << 40) - 1, (1L << 52) + 12345L, Long.MaxValue / 3)
+    val rows = TextQueries.log2FixedCol(xs.toDF("x"), "x", "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (x, l) =>
+      val want = math.log(x.toDouble) / math.log(2.0)
+      val got = l.toDouble / (1L << TextQueries.DsirFracBits)
+      // repeated squaring truncates downward: got <= log2(x), within
+      // the 2^-F quantum plus accumulated truncation
+      assert(got <= want + 1e-9 && want - got < 0.01,
+        s"log2fp($x) = $got, real ${"%.6f".format(want)}")
+    }
+  }
+
+  test("DSIR weights: target-source docs score measurably above the rest; deterministic") {
+    val src = Tables.documents(spark, Sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextQueries.dsirWeights(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    val (t, rest) = rows.partition(r => src(r._1) == TextQueries.DsirTarget)
+    assert(t.nonEmpty && rest.nonEmpty)
+    def meanPerTok(g: Array[(Long, Long, Long)]) =
+      g.map(r => r._3.toDouble / r._2).sum / g.length
+    assert(meanPerTok(t) > meanPerTok(rest),
+      s"selection pressure inverted: target ${meanPerTok(t)} vs rest ${meanPerTok(rest)}")
+    val again = TextQueries.dsirWeights(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("global shuffle: dense per-shard order over exactly the train survivors, scrambled") {
     val rows = TextQueries.globalShuffle(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
