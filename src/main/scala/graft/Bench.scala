@@ -171,6 +171,12 @@ object Bench {
     val (upPart, upMap) =
       if (upDir == "none") ("", Map.empty[String, Double])
       else {
+        // name the resolved dir: the relative candidate wins when the
+        // bench runs from the repo root and the absolute fallback wins
+        // elsewhere — printing which one makes a stale-corpus mixup
+        // visible (round-11 review: the fallback path is machine-
+        // specific; SPARK_GRAFT_SCALE_UP_DIR is the portable override)
+        println(s"[bench] upward-decade corpus: $upDir")
         warmup(upDir, n => !UpExcluded.contains(n))
         val (upBuilds, upQ, upErrs) =
           runPass(spark, upDir, 1,
@@ -211,6 +217,7 @@ object Bench {
     val up2Part =
       if (up2Dir == "none") ""
       else {
+        println(s"[bench] second-upward-decade corpus: $up2Dir")
         val budget = sys.env.getOrElse("SPARK_GRAFT_UP2_BUDGET_SEC", "300").toDouble
         val mainMap = mains.toMap
         val candidates = upMap.toSeq

@@ -283,7 +283,15 @@ object ScaleUp {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$src/embeddings.parquet")
       .select(col("embedding").cast("array<float>")).as[Array[Float]]
-    val dim = vecs.head().length
+    // refuse loudly on an empty table — head() on an empty Dataset
+    // dies with a bare NoSuchElementException, against this module's
+    // named-refusal convention (round-11 review)
+    val first = vecs.take(1)
+    require(first.nonEmpty,
+      s"$src/embeddings.parquet has no rows — cannot derive the embedding " +
+        "dimension for the similarity-neutrality check; scale a corpus " +
+        "that actually contains embeddings")
+    val dim = first.head.length
     val masks = Array.tabulate(copies)(k => signMask(k, dim))
     // precomputed permutations: perms(k)(i) = source index of out[i]
     val perms = Array.tabulate(copies) { k =>

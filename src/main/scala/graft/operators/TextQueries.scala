@@ -84,6 +84,7 @@ object TextQueries {
     "text.vocab" -> (() => { tokenFreq(s, dir).count(); () }),
     "text.tf" -> (() => { tfStore(s, dir).count(); () }),
     "text.funnel_flags" -> (() => { funnelFlags(s, dir).count(); () }),
+    "text.dsir_feats" -> (() => { dsirFeats(s, dir).count(); () }),
   )
 
   // ---- Corpus token frequency: explode → agg → top-k ----
@@ -664,12 +665,22 @@ object TextQueries {
     (l0 +: stages).mkString(", ").replace("\n", " ")
   }
 
+  /** The bucketed feature stream — CacheLife-shared because BOTH the
+    * histogram and the per-doc scoring join read it (round-11 review:
+    * uncached, the corpus tokenize+explode ran twice per query — the
+    * two consumers shuffle on different keys, so ReuseExchange cannot
+    * dedup them).
+    */
+  private def dsirFeats(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"text.dsir-feats:$dir")(
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), (col("source") === DsirTarget).as("is_target"),
+          explode(toks).as("gram"))
+        .select(col("doc_id"), col("is_target"),
+          graft.functions.Buckets.mdBucket(col("gram"), DsirB).as("b")))
+
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), (col("source") === DsirTarget).as("is_target"),
-        explode(toks).as("gram"))
-      .select(col("doc_id"), col("is_target"),
-        graft.functions.Buckets.mdBucket(col("gram"), DsirB).as("b"))
+    val feats = dsirFeats(s, dir)
     val hist = feats.groupBy("b").agg(
       count(lit(1)).as("c_r"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))

@@ -229,26 +229,31 @@ object DedupLayout {
           .select(col("doc_id")).distinct()
       else arrivals.limit(0).select(col("doc_id")),
       who = "DedupLayout.append", what = "index prefix")
-    val newSh = shingled(spark, arrivals).localCheckpoint()
-    val newBands = DedupQueries.lshBandsOver(newSh)
-      .localCheckpoint() // the rectangle join + store write both read it
-    val existing =
-      if (storeExists(spark, bandsDir(root)))
-        readStore(spark, bandsDir(root), mk, beforeBatch = Some(batchId))
-      else newBands.limit(0)
-    val newPairs = newBands.as("n")
-      .join(existing.unionByName(newBands).as("u"), Seq("band", "key"))
-      .filter(col("n.doc_id") =!= col("u.doc_id"))
-      .select(least(col("n.doc_id"), col("u.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("u.doc_id")).as("doc_b"))
-      .distinct()
-      .localCheckpoint()
-    writeBatch(newSh, batchId, shinglesDir(root))
-    writeBatch(newPairs, batchId, pairsDir(root))
-    writeBatch(symmetrized(newPairs), batchId, edgesDir(root),
-      extraParts = Seq("src_bucket"))
-    writeBatch(newBands, batchId, bandsDir(root))
-    newPairs
+    try {
+      val newSh = shingled(spark, arrivals).localCheckpoint()
+      val newBands = DedupQueries.lshBandsOver(newSh)
+        .localCheckpoint() // the rectangle join + store write both read it
+      val existing =
+        if (storeExists(spark, bandsDir(root)))
+          readStore(spark, bandsDir(root), mk, beforeBatch = Some(batchId))
+        else newBands.limit(0)
+      val newPairs = newBands.as("n")
+        .join(existing.unionByName(newBands).as("u"), Seq("band", "key"))
+        .filter(col("n.doc_id") =!= col("u.doc_id"))
+        .select(least(col("n.doc_id"), col("u.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("u.doc_id")).as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      writeBatch(newSh, batchId, shinglesDir(root))
+      writeBatch(newPairs, batchId, pairsDir(root))
+      writeBatch(symmetrized(newPairs), batchId, edgesDir(root),
+        extraParts = Seq("src_bucket"))
+      writeBatch(newBands, batchId, bandsDir(root))
+      newPairs
+    } finally IdAuthority.completeAppend(spark, root)
+    // ^ the writer lease guardAndRecord left held spans every log
+    // write above — released here (or kept by a process crash, which
+    // is the two-records-ahead protection; see IdAuthority.LeaseName)
   }
 
   /** The edge-store hash buckets a warm refresh must read: every node

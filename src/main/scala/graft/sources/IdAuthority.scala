@@ -163,17 +163,24 @@ object IdAuthority {
     * log partitions land, so two in-flight appends leave two records
     * ahead of the log. The store protocols are single-writer-per-root
     * by contract ([[LogCompaction]]'s compactor stance); the lease
-    * ENFORCES it at the one step whose interleaving corrupts: an
-    * append CREATE-EXCLUSIVEs this marker before consulting its guard
-    * authority and deletes it after its record publishes, so a second
-    * concurrent appender refuses loudly instead of corrupting. A
-    * crashed holder's lease is broken once it outlives the liveness
-    * grace ([[VectorLayout.StageGraceMs]], the `.compact-` stage-dir
-    * convention). The break itself is delete-then-create — two
-    * breakers racing inside that window is a double-crash-overlap
-    * pathology the lease narrows but cannot close without the
-    * conditional writes the FS contract lacks; [[fsck]] still detects
-    * the two-ahead aftermath either way.
+    * ENFORCES it across the WHOLE record-then-log sequence: an append
+    * CREATE-EXCLUSIVEs this marker before consulting its guard
+    * authority, and the lease is held THROUGH the caller's store
+    * writes — [[guardAndRecord]] returns with the lease still held and
+    * the layout releases via [[completeAppend]] only after its last
+    * log partition lands (round-11 review: releasing at record-publish
+    * time serialized only the short guard step, so two appenders could
+    * still each crash post-record pre-log and leave the two-ahead
+    * state). A refusal inside guardAndRecord releases before throwing
+    * (a refused append is not in flight); an exception in the caller's
+    * writes releases via its try/finally; a PROCESS crash leaves the
+    * lease, which is exactly the protection — the next appender waits
+    * out the liveness grace ([[VectorLayout.StageGraceMs]], the
+    * `.compact-` stage-dir convention) before breaking it. The break
+    * itself is delete-then-create — two breakers racing inside that
+    * window is a double-crash-overlap pathology the lease narrows but
+    * cannot close without the conditional writes the FS contract
+    * lacks; [[fsck]] still detects the two-ahead aftermath either way.
     */
   private[sources] val LeaseName = "_writer-lease"
   private def leasePath(root: String) =
@@ -184,9 +191,17 @@ object IdAuthority {
     val f = fs(spark, root)
     val p = leasePath(root)
     f.mkdirs(p.getParent)
+    // only "already exists" means held — any other IOException is a
+    // real FS fault and must surface as itself, not as a phantom
+    // concurrent appender (round-11 review). Local FS raw-throws a
+    // plain IOException for an existing path, HDFS the typed subclass.
     def tryCreate(): Boolean =
       try { f.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.toLowerCase.contains("exist") => false
+      }
     if (tryCreate()) return
     val st = Try(f.getFileStatus(p)).toOption
     val age = st.map(s => System.currentTimeMillis() - s.getModificationTime)
@@ -466,13 +481,25 @@ object IdAuthority {
   def guardAndRecord(spark: SparkSession, root: String, batchId: Long,
                      arrivalIds: DataFrame, priorIds: => DataFrame,
                      who: String, what: String): Unit = {
-    // single-writer enforcement: held from before the guard reads its
-    // authority until after the record publishes — the exact TOCTOU
-    // window a concurrent appender would corrupt (see [[LeaseName]])
+    // single-writer enforcement: acquired before the guard reads its
+    // authority and HELD PAST RETURN, through the caller's store
+    // writes — the record-ahead-of-log window closes only when the log
+    // partitions land, so the layout releases via [[completeAppend]]
+    // after its last write (see [[LeaseName]]). A refusal here is not
+    // an in-flight append: release before rethrowing.
     acquireLease(spark, root, who, batchId)
     try guardAndRecordLeased(spark, root, batchId, arrivalIds, priorIds, who, what)
-    finally releaseLease(spark, root)
+    catch { case e: Throwable => releaseLease(spark, root); throw e }
   }
+
+  /** Release the append lease [[guardAndRecord]] left held — call in a
+    * `finally` AFTER the append's last store write. On a process crash
+    * the lease survives instead, and the next appender waits out the
+    * liveness grace — that persistence IS the two-records-ahead
+    * protection.
+    */
+  def completeAppend(spark: SparkSession, root: String): Unit =
+    releaseLease(spark, root)
 
   private def guardAndRecordLeased(spark: SparkSession, root: String, batchId: Long,
                                    arrivalIds: DataFrame, priorIds: => DataFrame,

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Tables
 import graft.operators.SubstrDedup
@@ -52,6 +53,19 @@ object SubstrLayout {
   private def fpDir(root: String) = root.stripSuffix("/") + "/substr_fp"
   private def countsDir(root: String) = root.stripSuffix("/") + "/substr_counts"
 
+  /** Declared schemas — BOTH stores can legitimately be EMPTY (every
+    * doc shorter than W + WinnowW − 1 tokens winnows to nothing, so an
+    * all-short-doc corpus writes only _SUCCESS) and Spark cannot infer
+    * a schema from a fileless parquet dir; every read declares instead
+    * of inferring (the DedupLayout pairs/edges precedent).
+    */
+  private val FpSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", LongType),
+    StructField("h", StringType), StructField(BatchCol, LongType)))
+  private val CountsSchema = StructType(Seq(
+    StructField("h", StringType), StructField("n", LongType),
+    StructField(BatchCol, LongType)))
+
   private def winnowed(spark: SparkSession, docs: DataFrame): DataFrame =
     SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(
       Tables.spread(spark, docs.select(col("doc_id"), col("text")))))
@@ -93,26 +107,31 @@ object SubstrLayout {
     IdAuthority.guardAndRecord(spark, root, batchId,
       arrivals.select(col("doc_id")),
       priorIds = if (storeExists(spark, fpDir(root)))
-        LogCompaction.view(spark.read.parquet(fpDir(root)), mk)
+        LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)), mk)
           .filter(col(BatchCol) < batchId)
           .select(col("doc_id")).distinct()
       else arrivals.limit(0).select(col("doc_id")),
       who = "SubstrLayout.append", what = "fingerprint-log prefix")
-    val fp = winnowed(spark, arrivals).localCheckpoint()
-    fp.withColumn(BatchCol, lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy(BatchCol)
-      .parquet(fpDir(root))
-    // counts land LAST: a batch visible here is complete in both logs —
-    // the compaction watermark anchor
-    partials(fp).withColumn(BatchCol, lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy(BatchCol)
-      .parquet(countsDir(root))
+    try {
+      val fp = winnowed(spark, arrivals).localCheckpoint()
+      fp.withColumn(BatchCol, lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(BatchCol)
+        .parquet(fpDir(root))
+      // counts land LAST: a batch visible here is complete in both
+      // logs — the compaction watermark anchor
+      partials(fp).withColumn(BatchCol, lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(BatchCol)
+        .parquet(countsDir(root))
+    } finally IdAuthority.completeAppend(spark, root)
+    // ^ the writer lease guardAndRecord left held spans both log
+    // writes — released here (or kept by a process crash, which is the
+    // two-records-ahead protection; see IdAuthority.LeaseName)
   }
 
   /** Fold both logs' finalized prefix into one generation partition
@@ -137,8 +156,10 @@ object SubstrLayout {
                             root: String): Seq[LogCompaction.StoreSpec] = {
     val flat = (df: DataFrame) =>
       df.coalesce(spark.sessionState.conf.numShufflePartitions)
-    Seq(LogCompaction.StoreSpec(fpDir(root), Seq(BatchCol), flat),
-      LogCompaction.StoreSpec(countsDir(root), Seq(BatchCol), flat))
+    Seq(LogCompaction.StoreSpec(fpDir(root), Seq(BatchCol), flat,
+        schema = Some(FpSchema)),
+      LogCompaction.StoreSpec(countsDir(root), Seq(BatchCol), flat,
+        schema = Some(CountsSchema)))
   }
 
   def exists(spark: SparkSession, root: String): Boolean =
@@ -146,12 +167,12 @@ object SubstrLayout {
 
   /** The winnowed fingerprint rows across all live batches. */
   def fingerprints(spark: SparkSession, root: String): DataFrame =
-    LogCompaction.view(spark.read.parquet(fpDir(root)),
+    LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)),
       LogCompaction.marker(spark, root)).drop(BatchCol)
 
   /** The per-batch (h, n) hash-count partials. */
   def hashCounts(spark: SparkSession, root: String): DataFrame =
-    LogCompaction.view(spark.read.parquet(countsDir(root)),
+    LogCompaction.view(spark.read.schema(CountsSchema).parquet(countsDir(root)),
       LogCompaction.marker(spark, root)).drop(BatchCol)
 
   /** Duplicate-passage spans over the CURRENT store state — the same

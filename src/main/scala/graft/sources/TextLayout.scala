@@ -101,19 +101,24 @@ object TextLayout {
           .select(col("doc_id")).distinct()
       else arrivals.limit(0).select(col("doc_id")),
       who = "TextLayout.append", what = "token-log prefix")
-    val log = exploded(spark, arrivals).localCheckpoint()
-    log.withColumn(BatchCol, lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy(BatchCol)
-      .parquet(tokensDir(root))
-    partials(log).withColumn(BatchCol, lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy(BatchCol)
-      .parquet(countsDir(root))
+    try {
+      val log = exploded(spark, arrivals).localCheckpoint()
+      log.withColumn(BatchCol, lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(BatchCol)
+        .parquet(tokensDir(root))
+      partials(log).withColumn(BatchCol, lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(BatchCol)
+        .parquet(countsDir(root))
+    } finally IdAuthority.completeAppend(spark, root)
+    // ^ the writer lease guardAndRecord left held spans both log
+    // writes — released here (or kept by a process crash, which is the
+    // two-records-ahead protection; see IdAuthority.LeaseName)
   }
 
   /** Fold both logs' finalized prefix into one generation partition —

@@ -36,6 +36,7 @@ class IdAuthoritySpec extends SparkSpec {
       arrivalIds = ids(5000, 5100),
       priorIds = sys.error("clean batch must not evaluate the exact prefix"),
       who = "spec", what = "spec prefix")
+    IdAuthority.completeAppend(spark, root) // lease held through the caller's writes
     assert(bloomFiles(root) === Seq("bloom-0", "bloom-m1"))
   }
 
@@ -54,6 +55,7 @@ class IdAuthoritySpec extends SparkSpec {
     IdAuthority.guardAndRecord(spark, root, batchId = 0L,
       arrivalIds = ids(999, 1010), priorIds = ids(0, 999),
       who = "spec", what = "spec prefix")
+    IdAuthority.completeAppend(spark, root)
   }
 
   test("trust key skips the check; recording continues") {
@@ -64,6 +66,7 @@ class IdAuthoritySpec extends SparkSpec {
       IdAuthority.guardAndRecord(spark, root, batchId = 0L,
         arrivalIds = ids(500, 1500), priorIds = ids(0, 1000),
         who = "spec", what = "spec prefix")
+      IdAuthority.completeAppend(spark, root)
     }
     assert(bloomFiles(root).contains("bloom-0"),
       "trusted appends must still record, so re-enabling the guard needs no rebuild")
@@ -121,6 +124,7 @@ class IdAuthoritySpec extends SparkSpec {
           arrivalIds = ids(5000, 5100),
           priorIds = sys.error("clean batch must not evaluate the exact prefix"),
           who = "spec", what = "spec prefix")
+        IdAuthority.completeAppend(spark, root)
         // duplicate: refuses through the bloom with an exact confirm
         val e = intercept[IllegalStateException] {
           IdAuthority.guardAndRecord(spark, root, batchId = 1L,
@@ -134,6 +138,7 @@ class IdAuthoritySpec extends SparkSpec {
         IdAuthority.guardAndRecord(spark, root, batchId = 1L,
           arrivalIds = ids(999, 1010), priorIds = ids(0, 999),
           who = "spec", what = "spec prefix")
+        IdAuthority.completeAppend(spark, root)
       }
       assert(new java.io.File(sharded, "_id_bloom/bloom-0.d").isDirectory &&
         new java.io.File(sharded, "_id_bloom/bloom-1.d").isDirectory,
@@ -145,6 +150,7 @@ class IdAuthoritySpec extends SparkSpec {
       IdAuthority.guardAndRecord(spark, sharded, batchId = 2L,
         arrivalIds = ids(100000, 170000), priorIds = prefix,
         who = "spec", what = "spec prefix")
+      IdAuthority.completeAppend(spark, sharded)
       assert(new java.io.File(sharded, "_id_bloom/bloom-2.d").isDirectory)
       val e2 = intercept[IllegalStateException] {
         IdAuthority.guardAndRecord(spark, sharded, batchId = 3L,
@@ -197,14 +203,39 @@ class IdAuthoritySpec extends SparkSpec {
     assert(bloomFiles(root) === Seq("bloom-m1"))
 
     // writer A crashed: once the lease outlives the liveness grace the
-    // next append breaks it, proceeds, and releases
+    // next append breaks it and proceeds — and the lease stays HELD
+    // past guardAndRecord, because the record-ahead-of-log window only
+    // closes when the caller's store writes land (round-11 review: a
+    // record-publish-time release serialized only the guard step, so
+    // two appenders could still each crash post-record pre-log and
+    // manufacture the exact two-ahead corruption the lease exists to
+    // prevent)
     assert(lease.setLastModified(System.currentTimeMillis() -
       2 * graft.sources.VectorLayout.StageGraceMs))
     IdAuthority.guardAndRecord(spark, root, batchId = 0L,
       arrivalIds = ids(5000, 5100), priorIds = ids(0, 1000),
       who = "spec-writer-B", what = "spec prefix")
     assert(bloomFiles(root) === Seq("bloom-0", "bloom-m1"))
-    assert(!lease.exists(), "the lease must be released after the record publishes")
+    assert(lease.exists(),
+      "the lease must be HELD through the caller's store writes")
+    IdAuthority.completeAppend(spark, root)
+    assert(!lease.exists(), "completeAppend releases after the last log write")
+  }
+
+  test("a layout append holds the lease across its log writes and releases at the end") {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-ida-lease2").toString
+    val m = col("doc_id") % 2
+    TextLayout.materialize(spark, docs.filter(m === 0), root)
+    TextLayout.append(spark, docs.filter(m === 1), root, batchId = 0L)
+    val lease = new java.io.File(root, "_id_bloom/_writer-lease")
+    assert(!lease.exists(), "a completed append leaves no lease behind")
+    // a guard REFUSAL is not an in-flight append: the lease releases
+    // before the refusal surfaces, so a corrected retry needs no grace
+    intercept[Exception] {
+      TextLayout.append(spark, docs.filter(m === 1), root, batchId = 1L)
+    }
+    assert(!lease.exists(), "a refused append must not leave the lease held")
   }
 
   test("compaction prunes the finalized records; the newest survives") {

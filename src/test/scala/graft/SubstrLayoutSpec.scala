@@ -112,6 +112,28 @@ class SubstrLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("finalized"), e.getMessage)
   }
 
+  test("an all-short-doc corpus leaves EMPTY stores that stay readable and appendable") {
+    import spark.implicits._
+    // every doc under W + WinnowW - 1 = 11 tokens winnows to NOTHING:
+    // both stores are fileless (only _SUCCESS) and every later read
+    // must come back empty instead of dying on schema inference
+    // (round-11 review; the DedupLayout pairs/edges precedent)
+    val root = Files.createTempDirectory("graft-sl-empty").toString
+    SubstrLayout.materialize(spark,
+      Seq((1L, "a b c"), (2L, "d e f g h")).toDF("doc_id", "text"), root)
+    assert(SubstrLayout.fingerprints(spark, root).count() === 0)
+    assert(SubstrLayout.hashCounts(spark, root).count() === 0)
+    assert(SubstrLayout.spans(spark, root).count() === 0)
+    // the next append reads the empty fingerprint log as its id prefix
+    SubstrLayout.append(spark,
+      Seq((3L, "x1 y1 z1")).toDF("doc_id", "text"), root, batchId = 0L)
+    assert(SubstrLayout.fingerprints(spark, root).count() === 0)
+    // zero-row writes materialize no __batch_id dirs, so there is
+    // nothing to fold: compact reports the base watermark untouched
+    assert(SubstrLayout.compact(spark, root) <= 0L)
+    assert(!SubstrLayout.fsck(spark, root).exists(_._2 == "fail"))
+  }
+
   private def writeOneFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
     val tmp = Files.createTempDirectory("graft-ss-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
