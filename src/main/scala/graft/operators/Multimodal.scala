@@ -137,8 +137,10 @@ object Multimodal {
   /** Decode + featurize images: batch-shaped mapPartitions (one codec
     * init per partition, like mapInPandas' per-batch init). PGM
     * payloads go through the REAL parser ([[Codecs.decodePgm]] — header
-    * + raster, end to end); other image formats would fall back to the
-    * declared byte-stub (??? real codecs absent in this environment).
+    * + raster, end to end); any other image format REFUSES loudly —
+    * the same honesty contract as [[resize]] and [[sampleFrames]]: a
+    * payload-bytes fallback here would embed container header bytes as
+    * "pixels" the first time a new format reaches the pipeline.
     * The reported width/height stay the CATALOG metadata (the decoded
     * raster's own dims are the container's business — CodecSpec asserts
     * they match what was encoded).
@@ -150,7 +152,11 @@ object Multimodal {
       it.map { m =>
         val px = m.format match {
           case "pgm" => Codecs.decodePgm(m.payload).pixels
-          case _ => m.payload // ??? real decode(m.format, m.payload)
+          case other =>
+            throw new IllegalArgumentException(
+              s"imageFeatures: image format '$other' unsupported " +
+                "(pgm decodes; see Codecs) — refusing rather than " +
+                "featurizing raw container bytes as pixels")
         }
         val mean = px.map(b => (b & 0xff).toDouble).sum / px.length
         // /256 (not /255): byte/256 is an exact dyadic in BOTH float and
@@ -175,7 +181,8 @@ object Multimodal {
     * the RIFF header in — CodecSpec proves the distinction). The
     * reported sample_rate comes from the CONTAINER's fmt chunk — the
     * decode is load-bearing, unlike the catalog-metadata dims
-    * imageFeatures reports.
+    * imageFeatures reports. Any other audio format REFUSES loudly,
+    * completing the honesty contract across all three modalities.
     */
   def audioFeatures(media: Dataset[Media], dim: Int = 64): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
@@ -185,7 +192,11 @@ object Multimodal {
           case "wav" =>
             val w = Codecs.decodeWav(m.payload)
             (w.sampleRate, w.data)
-          case _ => (m.sample_rate, m.payload) // ??? real decode(m.format)
+          case other =>
+            throw new IllegalArgumentException(
+              s"audioFeatures: audio format '$other' unsupported " +
+                "(wav decodes; see Codecs) — refusing rather than " +
+                "featurizing raw container bytes as samples")
         }
         val mean = samples.map(b => (b & 0xff).toDouble).sum / samples.length
         // /256 exact-dyadic trick, same as imageFeatures

@@ -177,6 +177,30 @@ object SubstrDedup {
         (col("n_toks") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
   }
 
+  /** The excision output at TOKEN granularity: the kept (doc_id, pos,
+    * tok) rows — exactly the set [[clean]] re-joins into strings. This
+    * is the 100×-verifiable spelling of the clean query: the string
+    * form's oracle (ordered `string_agg` over ~150M token rows at
+    * 100×) cannot spill in DuckDB and dies even alone at a 100 GB
+    * memory cap, while this flat anti-join spills fine on both
+    * engines — so the excision path (the family's actual output, where
+    * a span-boundary off-by-one would ship corrupted training text)
+    * gets a green rows+schema+hash row at every scale decade instead
+    * of a by-name exclusion (round-11 verdict #1). Fully-duplicated
+    * docs emit no rows here; their accounting lives in `clean`'s
+    * n_removed.
+    */
+  def cleanTokens(s: SparkSession, dir: String): DataFrame =
+    cleanTokensOver(Tables.documents(s, dir), spans(s, dir))
+
+  private[graft] def cleanTokensOver(docs: DataFrame, sp: DataFrame): DataFrame = {
+    val tokRows = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val covered = sp
+      .select(col("doc_id"), explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+  }
+
   // ---- Winnowing: the fingerprint-SELECTION scale path ----
   // The full window index is one row per token (~10¹² rows at 100 TB).
   // Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
@@ -209,7 +233,13 @@ object SubstrDedup {
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
     graft.CacheLife.cached(s, s"substr.winnow-fp:$dir")(winnowFpOver(posGrams(s, dir)))
 
-  private[graft] def winnowFpOver(g: DataFrame): DataFrame = {
+  /** The SELECTION stage of winnowing alone — (doc_id, pos) of the
+    * chosen anchors, before the md5-recovery join. Split out so the
+    * scale profiler ([[graft.ProfileSubstr]]) can attribute the
+    * builder's cost between the per-token window map and the anchor
+    * join.
+    */
+  private[graft] def winnowSelected(g: DataFrame): DataFrame = {
     val selKey = conv(substring(col("h"), 1, 7), 16, 10).cast("long")
     val enc = when(col("pos") > PosMask, raise_error(concat(
         lit(s"winnowing position encoding holds ${PosBits} bits; doc "),
@@ -217,14 +247,16 @@ object SubstrDedup {
       .otherwise(selKey * (PosMask + 1) + (lit(PosMask) - col("pos")))
     val trailing = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(WinnowW - 1), 0)
-    val sel = g
+    g
       .withColumn("enc", enc)
       .withColumn("win", min(col("enc")).over(trailing))
       .filter(col("pos") >= WinnowW - 1) // only full windows select
       .select(col("doc_id"), (lit(PosMask) - pmod(col("win"), lit(PosMask + 1))).as("pos"))
       .distinct()
-    sel.join(g, Seq("doc_id", "pos")) // recover the full md5 at the anchor
   }
+
+  private[graft] def winnowFpOver(g: DataFrame): DataFrame =
+    winnowSelected(g).join(g, Seq("doc_id", "pos")) // recover the full md5 at the anchor
 
   /** Approximate duplicated spans from the winnowed index alone —
     * [[mergeSpans]] applies unchanged because anchors inside one
@@ -274,6 +306,7 @@ object SubstrDedup {
     "dedup_substr_spans" -> (spans _),
     "dedup_substr_stats" -> (stats _),
     "dedup_substr_clean" -> (clean _),
+    "dedup_substr_clean_tokens" -> (cleanTokens _),
     "dedup_substr_winnow_spans" -> (winnowSpans _),
     "dedup_substr_winnow_recall" -> (winnowRecall _),
   )
@@ -307,14 +340,21 @@ object SubstrDedup {
   /** Winnow CTE chain on top of [[oSpanCtes]] (which provides `t`, `g`,
     * and exact spans `sp`): encode → trailing-window min → decode →
     * recover md5 → duplicated selected → merge. Arithmetic mirrors
-    * [[winnowFpOver]] constant for constant.
+    * [[winnowFpOver]] constant for constant — INCLUDING the PosBits
+    * overflow guard: past-2^PosBits positions error() here exactly
+    * where the Spark side raise_errors, so the two engines refuse
+    * identically instead of diverging error-vs-wrapped-encoding in
+    * the regime the guard names (round-12 advice).
     */
   private val oWinnowCtes: String = {
     val mask = PosMask
     val mod = PosMask + 1
     s"""$oSpanCtes,
        |wenc AS (SELECT doc_id, pos,
-       |  (('0x' || substr(h, 1, 7))::BIGINT * $mod + ($mask - pos)) AS enc FROM g),
+       |  (CASE WHEN pos > $mask THEN CAST(error(
+       |     'winnowing position encoding holds $PosBits bits; doc ' || doc_id ||
+       |     ' has token positions past $mask') AS BIGINT)
+       |   ELSE ('0x' || substr(h, 1, 7))::BIGINT * $mod + ($mask - pos) END) AS enc FROM g),
        |wmin AS (SELECT doc_id, pos,
        |  min(enc) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS win FROM wenc),
@@ -366,6 +406,13 @@ object SubstrDedup {
           |  CASE WHEN len(t.toks) = 0 THEN 0.0
           |       ELSE round(coalesce(pd.dup_tokens, 0)::DOUBLE / len(t.toks), 6) END AS dup_fraction
           |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "dedup_substr_clean_tokens" ->
+      (s"""WITH $oSpanCtes,
+          |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+          |        FROM t, unnest(range(0, len(toks))) AS u(i))
+          |SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          |ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos""".stripMargin.replace("\n", " ")),
     "dedup_substr_clean" ->
       (s"""WITH $oSpanCtes,
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),

@@ -614,8 +614,33 @@ object TextQueries {
   // omitted, like the other feature-conditioned reports.
   val DsirB = 64
   val DsirFracBits = 8
-  val DsirTarget = "src0"
   private val DsirMaxN = 3037000499L - DsirB // floor(sqrt(2^63)) - B
+
+  // ---- Operational knobs (round-11 verdict #4: the DSIR target and
+  // the shuffle epoch were compile-time constants — a second epoch or
+  // a different target feed existed only by recompilation). Both
+  // resolve from the session conf; the ORACLE strings resolve the SAME
+  // key from the active session at generation time ([[oracle]] is a
+  // def), so the two engines cannot see different knob values within
+  // one Verify run.
+  val DsirTargetKey = "spark.graft.dsir.target"
+  val DsirTargetDefault = "src0"
+  val ShuffleSeedKey = "spark.graft.shuffle.seed"
+  val ShuffleSeedDefault = "ep1"
+
+  def dsirTarget(s: SparkSession): String =
+    s.conf.getOption(DsirTargetKey).getOrElse(DsirTargetDefault)
+  def shuffleSeed(s: SparkSession): String =
+    s.conf.getOption(ShuffleSeedKey).getOrElse(ShuffleSeedDefault)
+
+  /** Knob value as the oracle generator sees it: the active (or
+    * default) session's conf, falling back to the compiled default
+    * when no session is live — Verify dumps `oracle_sql.json` with its
+    * session still active, so a knob set there reaches both engines.
+    */
+  private def activeConfOr(key: String, dflt: String): String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key)).getOrElse(dflt)
 
   /** Fixed-point log₂ (F fractional bits) of positive Long column `in`,
     * as STAGED columns over a (histogram-sized) frame — one
@@ -671,13 +696,18 @@ object TextQueries {
     * two consumers shuffle on different keys, so ReuseExchange cannot
     * dedup them).
     */
-  private def dsirFeats(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"text.dsir-feats:$dir")(
+  private def dsirFeats(s: SparkSession, dir: String): DataFrame = {
+    // the cache key carries the resolved target: the feature stream
+    // embeds is_target, so a mid-session knob change must miss the
+    // cache, not silently serve the old target's features
+    val target = dsirTarget(s)
+    graft.CacheLife.cached(s, s"text.dsir-feats:$dir:$target")(
       Tables.spread(s, Tables.documents(s, dir))
-        .select(col("doc_id"), (col("source") === DsirTarget).as("is_target"),
+        .select(col("doc_id"), (col("source") === target).as("is_target"),
           explode(toks).as("gram"))
         .select(col("doc_id"), col("is_target"),
           graft.functions.Buckets.mdBucket(col("gram"), DsirB).as("b")))
+  }
 
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val feats = dsirFeats(s, dir)
@@ -714,10 +744,10 @@ object TextQueries {
   // packContexts: a global order would funnel the corpus through one
   // task, and a globally-sorted layout buys nothing — consumers read
   // shards concurrently anyway). Changing the seed re-deals the whole
-  // corpus: epoch 2 is one constant away. Input is the TRAIN side of
-  // the deduped corpus (survivors ∩ md5-split), riding the memoized
-  // label store — composing verdicts, not re-scanning text.
-  val ShuffleSeed = "ep1"
+  // corpus: epoch 2 is one conf knob away ([[ShuffleSeedKey]]). Input
+  // is the TRAIN side of the deduped corpus (survivors ∩ md5-split),
+  // riding the memoized label store — composing verdicts, not
+  // re-scanning text.
   val ShuffleShards = 8
 
   def globalShuffle(s: SparkSession, dir: String): DataFrame = {
@@ -727,7 +757,7 @@ object TextQueries {
     DedupQueries.survivors(s, dir).select(col("doc_id"))
       .filter(trainSide)
       .select(col("doc_id"),
-        md5(concat_ws(":", lit(ShuffleSeed), col("doc_id").cast("string"))).as("k"))
+        md5(concat_ws(":", lit(shuffleSeed(s)), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
         pmod(conv(substring(col("k"), 1, 10), 16, 10).cast("long"), lit(ShuffleShards)))
       .select(col("doc_id"), col("shard"), row_number().over(w).as("ord"))
@@ -771,7 +801,15 @@ object TextQueries {
         |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
         |  FROM documents)""".stripMargin.replace("\n", " ")
 
-  val oracle: Map[String, String] = Map(
+  /** A def, not a val: the DSIR-target and shuffle-seed knobs resolve
+    * at generation time from the active session, so a Verify run under
+    * non-default conf dumps oracle SQL built from the SAME values the
+    * registered queries used.
+    */
+  def oracle: Map[String, String] = {
+   val dsirTgt = activeConfOr(DsirTargetKey, DsirTargetDefault)
+   val shufSeed = activeConfOr(ShuffleSeedKey, ShuffleSeedDefault)
+   Map(
     "text_sample_mix" ->
       (s"""SELECT doc_id, source, rate_permille FROM (SELECT doc_id, source,
          | ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 1000)} AS b,
@@ -779,7 +817,7 @@ object TextQueries {
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
     "text_dsir_weights" ->
       (s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
-          |f AS (SELECT doc_id, (source = '$DsirTarget') AS is_target, u.tok AS gram
+          |f AS (SELECT doc_id, (source = '$dsirTgt') AS is_target, u.tok AS gram
           |      FROM t, unnest(toks) AS u(tok)),
           |fb AS (SELECT doc_id, is_target, ${graft.functions.Buckets.sqlBucket("gram", DsirB)} AS b FROM f),
           |h AS (SELECT b, COUNT(*) AS c_r,
@@ -797,7 +835,7 @@ object TextQueries {
       (s"""${DedupQueries.oClusterCtes},
           |gsv AS (SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
           |  WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id),
-          |gtr AS (SELECT doc_id, md5(concat_ws(':', '$ShuffleSeed', doc_id::VARCHAR)) AS k
+          |gtr AS (SELECT doc_id, md5(concat_ws(':', '$shufSeed', doc_id::VARCHAR)) AS k
           |  FROM gsv WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} < 80),
           |gsh AS (SELECT doc_id, k, (('0x' || substr(k, 1, 10))::BIGINT % $ShuffleShards) AS shard FROM gtr)
           |SELECT doc_id, shard,
@@ -984,5 +1022,6 @@ object TextQueries {
     "text_token_freq" ->
       (s"SELECT token, COUNT(*) AS cnt FROM (SELECT unnest($oToks) AS token FROM documents) " +
        "GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100"),
-  )
+   )
+  }
 }

@@ -195,12 +195,18 @@ object IdAuthority {
     // real FS fault and must surface as itself, not as a phantom
     // concurrent appender (round-11 review). Local FS raw-throws a
     // plain IOException for an existing path, HDFS the typed subclass.
+    // Message-sniffing alone is NOT enough: "Parent directory does not
+    // exist" / "File does not exist" (sidecar dir pruned concurrently)
+    // also contain 'exist' — so a matching message is only believed
+    // when the lease file is ACTUALLY present; otherwise the original
+    // fault rethrows (round-12 advice).
     def tryCreate(): Boolean =
       try { f.create(p, false).close(); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.toLowerCase.contains("exist") => false
+          if e.getMessage != null && e.getMessage.toLowerCase.contains("exist") =>
+            if (f.exists(p)) false else throw e
       }
     if (tryCreate()) return
     val st = Try(f.getFileStatus(p)).toOption

@@ -19,7 +19,10 @@ import graft.operators.SubstrDedup
   * parquet logs:
   *
   *   - the FINGERPRINT log (doc_id, pos, h) — selected anchors with
-  *     their positions, the rows span queries join back to;
+  *     their positions, the rows span queries join back to, plus one
+  *     PRESENCE row (pos = −1, h = null) per ingested doc so the log
+  *     tracks every batch and every doc_id even when a batch winnows
+  *     to nothing (see [[withPresence]]);
   *   - per-batch HASH-COUNT partials (h, n) — winnowing and windowing
   *     are pure per-document functions and each doc lives in exactly
   *     one batch, so the batch counts SUM to the global count and the
@@ -53,9 +56,9 @@ object SubstrLayout {
   private def fpDir(root: String) = root.stripSuffix("/") + "/substr_fp"
   private def countsDir(root: String) = root.stripSuffix("/") + "/substr_counts"
 
-  /** Declared schemas — BOTH stores can legitimately be EMPTY (every
-    * doc shorter than W + WinnowW − 1 tokens winnows to nothing, so an
-    * all-short-doc corpus writes only _SUCCESS) and Spark cannot infer
+  /** Declared schemas — BOTH stores can still be FILELESS (a zero-doc
+    * materialize writes only _SUCCESS; presence/marker rows cover the
+    * all-SHORT-doc case but not the no-doc one) and Spark cannot infer
     * a schema from a fileless parquet dir; every read declares instead
     * of inferring (the DedupLayout pairs/edges precedent).
     */
@@ -70,8 +73,37 @@ object SubstrLayout {
     SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(
       Tables.spread(spark, docs.select(col("doc_id"), col("text")))))
 
+  /** One PRESENCE row (doc_id, pos = −1, h = null) per ingested doc on
+    * top of the winnowed anchors. Two invariants hang off it (round-12
+    * advice): (a) a batch whose docs ALL winnow to nothing (every doc
+    * shorter than W + WinnowW − 1 tokens) still writes its fp-log
+    * partition, so the log's effectiveMaxBatch keeps pace with the
+    * IdAuthority sidecar — without it, one all-short append tripped
+    * fsck's records-ahead warn and two tripped the wipe-the-sidecar
+    * FAIL on a perfectly healthy store; (b) short docs' ids ENTER the
+    * log prefix, so the doc_id-uniqueness refusal holds for them too —
+    * without it, a short doc re-appended under a new batch id passed
+    * the exact prefix probe (it never reached the fp log). Presence
+    * rows are invisible to every derived view ([[fingerprints]]
+    * filters pos ≥ 0) and cost one narrow row per doc — noise next to
+    * the ~0.4-per-token anchors.
+    */
+  private def withPresence(fp: DataFrame, docs: DataFrame): DataFrame =
+    fp.unionByName(docs.select(col("doc_id"),
+      lit(-1L).as("pos"), lit(null).cast(StringType).as("h")))
+
   private def partials(fp: DataFrame): DataFrame =
     fp.groupBy("h").agg(count(lit(1)).as("n"))
+
+  /** Per-batch count partials plus one (h = null, n = 0) batch-marker
+    * row: the counts log lands LAST and anchors the compaction
+    * watermark, so an all-short batch must be visible here too or the
+    * fold would stall behind it forever. [[hashCounts]] filters the
+    * marker out.
+    */
+  private def partialsWithMarker(spark: SparkSession, fp: DataFrame): DataFrame =
+    partials(fp).unionByName(spark.range(1).select(
+      lit(null).cast(StringType).as("h"), lit(0L).as("n")))
 
   private def storeExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -85,9 +117,9 @@ object SubstrLayout {
     LogCompaction.reset(spark, root)
     IdAuthority.recordBase(spark, root, docs.select(col("doc_id")), BaseBatch)
     val fp = winnowed(spark, docs).localCheckpoint() // one fingerprint pass, two stores
-    fp.withColumn(BatchCol, lit(BaseBatch))
+    withPresence(fp, docs).withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(fpDir(root))
-    partials(fp).withColumn(BatchCol, lit(BaseBatch))
+    partialsWithMarker(spark, fp).withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(countsDir(root))
   }
 
@@ -107,22 +139,21 @@ object SubstrLayout {
     IdAuthority.guardAndRecord(spark, root, batchId,
       arrivals.select(col("doc_id")),
       priorIds = if (storeExists(spark, fpDir(root)))
-        LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)), mk)
-          .filter(col(BatchCol) < batchId)
-          .select(col("doc_id")).distinct()
+        prefixIds(spark, root, mk, batchId)
       else arrivals.limit(0).select(col("doc_id")),
       who = "SubstrLayout.append", what = "fingerprint-log prefix")
     try {
       val fp = winnowed(spark, arrivals).localCheckpoint()
-      fp.withColumn(BatchCol, lit(batchId))
+      withPresence(fp, arrivals).withColumn(BatchCol, lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy(BatchCol)
         .parquet(fpDir(root))
       // counts land LAST: a batch visible here is complete in both
-      // logs — the compaction watermark anchor
-      partials(fp).withColumn(BatchCol, lit(batchId))
+      // logs — the compaction watermark anchor (the marker row keeps
+      // that true even when the batch winnowed to zero anchors)
+      partialsWithMarker(spark, fp).withColumn(BatchCol, lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
@@ -165,15 +196,32 @@ object SubstrLayout {
   def exists(spark: SparkSession, root: String): Boolean =
     storeExists(spark, fpDir(root))
 
-  /** The winnowed fingerprint rows across all live batches. */
+  /** The winnowed fingerprint rows across all live batches — presence
+    * rows (pos = −1) filtered out; the parquet min/max stats on `pos`
+    * make the filter a row-group skip, not a scan.
+    */
   def fingerprints(spark: SparkSession, root: String): DataFrame =
     LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)),
       LogCompaction.marker(spark, root)).drop(BatchCol)
+      .filter(col("pos") >= 0)
 
-  /** The per-batch (h, n) hash-count partials. */
+  /** Every doc_id ever ingested — the append-guard prefix: presence
+    * rows mean this covers short docs the winnow never fingerprints.
+    */
+  private def prefixIds(spark: SparkSession, root: String,
+                        mk: Option[LogCompaction.Marker],
+                        batchId: Long): DataFrame =
+    LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)), mk)
+      .filter(col(BatchCol) < batchId)
+      .select(col("doc_id")).distinct()
+
+  /** The per-batch (h, n) hash-count partials — batch-marker rows
+    * (h = null) filtered out.
+    */
   def hashCounts(spark: SparkSession, root: String): DataFrame =
     LogCompaction.view(spark.read.schema(CountsSchema).parquet(countsDir(root)),
       LogCompaction.marker(spark, root)).drop(BatchCol)
+      .filter(col("h").isNotNull)
 
   /** Duplicate-passage spans over the CURRENT store state — the same
     * merge the registered `dedup_substr_winnow_spans` runs

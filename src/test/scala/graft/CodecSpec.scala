@@ -330,6 +330,32 @@ class CodecSpec extends SparkSpec {
       c.getMessage.contains("webp")), s"expected a refusal naming 'webp', got $e")
   }
 
+  test("imageFeatures REFUSES an unknown image format, naming it — no header-byte pixels") {
+    import spark.implicits._
+    val m = Multimodal.Media(13L, "image", "png", 16, 16, 0, 0L,
+      Array.tabulate(64)(_.toByte))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageFeatures(Seq(m).toDS()).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("png")), s"expected a refusal naming 'png', got $e")
+  }
+
+  test("audioFeatures REFUSES an unknown audio format, naming it — no container-byte samples") {
+    import spark.implicits._
+    val m = Multimodal.Media(14L, "audio", "mp3", 0, 0, 16000, 1000L,
+      Array.tabulate(64)(_.toByte))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(Seq(m).toDS()).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("mp3")), s"expected a refusal naming 'mp3', got $e")
+  }
+
   test("a SHORT version-1 mdhd is refused, not silently misread as the next box") {
     // v1 widens creation/modification to 64 bits: timescale moves to
     // body+20, so a v1 box needs a 24-byte body where v0 needs 16. A

@@ -259,4 +259,46 @@ class IdAuthoritySpec extends SparkSpec {
       e.getMessage)
     CacheLife.release(spark)
   }
+
+  test("a real FS fault whose message contains 'exist' rethrows — not a phantom held lease") {
+    // a faulting scheme whose create always fails with a
+    // does-not-exist message while NO lease file is present: message
+    // sniffing alone classified this as lease-held and surfaced the
+    // misleading single-writer refusal (round-12 advice); the fix
+    // believes the message only when the lease file is ACTUALLY there
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfault.impl", classOf[FaultCreateFs].getName)
+    val local = Files.createTempDirectory("graft-ida-fault").toString
+    val e = intercept[java.io.IOException] {
+      IdAuthority.guardAndRecord(spark, s"graftfault://$local", batchId = 0L,
+        arrivalIds = ids(0, 10), priorIds = ids(0, 0),
+        who = "spec-fault", what = "spec prefix")
+    }
+    assert(e.getMessage.contains("Parent directory does not exist"),
+      s"the underlying FS fault must surface as itself: $e")
+  }
+}
+
+/** Test-only Hadoop FileSystem whose create ALWAYS fails with a
+  * does-not-exist IOException (the real-fault shape the round-12
+  * advice names: sidecar dir deleted concurrently) while the target
+  * file stays absent — everything else behaves as the local FS.
+  */
+class FaultCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfault:///")
+  private def boom(f: org.apache.hadoop.fs.Path): Nothing =
+    throw new java.io.IOException(
+      s"Parent directory does not exist: ${f.getParent}")
+  // RawLocalFileSystem short-circuits the create chain at the 6-arg
+  // non-permission overload — intercept both it and the permission one
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = boom(f)
+  override def create(f: org.apache.hadoop.fs.Path,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = boom(f)
 }

@@ -277,7 +277,7 @@ class QueriesSpec extends SparkSpec {
     val rows = TextQueries.dsirWeights(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty && rows.forall(_._2 > 0))
-    val (t, rest) = rows.partition(r => src(r._1) == TextQueries.DsirTarget)
+    val (t, rest) = rows.partition(r => src(r._1) == TextQueries.DsirTargetDefault)
     assert(t.nonEmpty && rest.nonEmpty)
     def meanPerTok(g: Array[(Long, Long, Long)]) =
       g.map(r => r._3.toDouble / r._2).sum / g.length
@@ -286,6 +286,45 @@ class QueriesSpec extends SparkSpec {
     val again = TextQueries.dsirWeights(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("DSIR target and shuffle seed are conf knobs: non-default values re-weight and re-deal deterministically") {
+    // round-11 verdict #4: both were compile-time constants. Under a
+    // NON-default conf the registered queries must change output (a
+    // different target feed re-weights; a different epoch re-deals),
+    // deterministically (two runs identical), and the ORACLE SQL must
+    // embed the same resolved values the Spark side used.
+    def dsir() = TextQueries.dsirWeights(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def shuffle() = TextQueries.globalShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val dsirDefault = dsir()
+    val shufDefault = shuffle()
+    try {
+      spark.conf.set(TextQueries.DsirTargetKey, "src1")
+      spark.conf.set(TextQueries.ShuffleSeedKey, "ep2")
+      val dsir2 = dsir()
+      val shuf2 = shuffle()
+      assert(dsir2 !== dsirDefault, "a different target feed must re-weight")
+      assert(dsir2 === dsir(), "second-target weights must be deterministic")
+      // n_feats is target-independent (the feature stream is the whole
+      // corpus); only the weights move
+      assert(dsir2.map(r => (r._1, r._2)) === dsirDefault.map(r => (r._1, r._2)))
+      assert(shuf2 !== shufDefault, "a new epoch seed must re-deal the order")
+      assert(shuf2 === shuffle(), "the re-deal must be deterministic")
+      assert(shuf2.map(_._1).toSet === shufDefault.map(_._1).toSet,
+        "membership is epoch-independent: same train survivors, new order")
+      // oracle strings regenerate from the live conf
+      assert(TextQueries.oracle("text_dsir_weights").contains("'src1'"))
+      assert(TextQueries.oracle("text_global_shuffle").contains("'ep2'"))
+    } finally {
+      spark.conf.unset(TextQueries.DsirTargetKey)
+      spark.conf.unset(TextQueries.ShuffleSeedKey)
+    }
+    assert(TextQueries.oracle("text_dsir_weights").contains(
+      s"'${TextQueries.DsirTargetDefault}'"))
+    assert(dsir() === dsirDefault, "unsetting the knob must restore the default weights")
+    CacheLife.release(spark)
   }
 
   test("global shuffle: dense per-shard order over exactly the train survivors, scrambled") {

@@ -127,6 +127,29 @@ class SubstrDedupSpec extends SparkSpec {
     }
   }
 
+  test("clean_tokens is exactly clean's kept set: per-doc ordered re-join reproduces clean_text") {
+    // the token-granular spelling (the oracle row that stays green at
+    // 100x, where the string form's ordered string_agg cannot spill in
+    // DuckDB) must carry the SAME information as the string form
+    val toks = SubstrDedup.queries("dedup_substr_clean_tokens")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val rejoined = toks.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3).mkString(" ")
+    }
+    val clean = SubstrDedup.queries("dedup_substr_clean")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean.nonEmpty)
+    clean.foreach { case (id, text) =>
+      assert(rejoined.getOrElse(id, "") === text,
+        s"doc $id: token-granular kept set drifted from clean_text")
+    }
+    // and positions are a strict subset of [0, n_tokens) with no dups
+    val posSets = toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    posSets.foreach { case (id, ps) =>
+      assert(ps.distinct.length === ps.length, s"doc $id repeated a kept position")
+    }
+  }
+
   // ---- winnowing ----
 
   /** Reference winnowing: trailing-WinnowW window min of

@@ -112,25 +112,45 @@ class SubstrLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("finalized"), e.getMessage)
   }
 
-  test("an all-short-doc corpus leaves EMPTY stores that stay readable and appendable") {
+  test("an all-short-doc corpus stays readable, fsck-clean, and guard-tight") {
     import spark.implicits._
-    // every doc under W + WinnowW - 1 = 11 tokens winnows to NOTHING:
-    // both stores are fileless (only _SUCCESS) and every later read
-    // must come back empty instead of dying on schema inference
-    // (round-11 review; the DedupLayout pairs/edges precedent)
+    // every doc under W + WinnowW - 1 = 11 tokens winnows to NOTHING;
+    // presence rows (pos = -1) keep the fp log tracking batches and
+    // doc ids anyway (round-12 advice: two consecutive all-short
+    // appends used to leave the sidecar two records AHEAD of a log
+    // that never saw them — fsck then FAILED a healthy store with a
+    // wipe-the-sidecar remediation — and a short doc re-appended
+    // under a new batch id slipped past the uniqueness refusal)
     val root = Files.createTempDirectory("graft-sl-empty").toString
     SubstrLayout.materialize(spark,
       Seq((1L, "a b c"), (2L, "d e f g h")).toDF("doc_id", "text"), root)
     assert(SubstrLayout.fingerprints(spark, root).count() === 0)
     assert(SubstrLayout.hashCounts(spark, root).count() === 0)
     assert(SubstrLayout.spans(spark, root).count() === 0)
-    // the next append reads the empty fingerprint log as its id prefix
+    // TWO consecutive all-short appends: the pre-fix records-ahead
+    // false-FAIL shape — the presence rows must keep fsck clean
     SubstrLayout.append(spark,
       Seq((3L, "x1 y1 z1")).toDF("doc_id", "text"), root, batchId = 0L)
-    assert(SubstrLayout.fingerprints(spark, root).count() === 0)
-    // zero-row writes materialize no __batch_id dirs, so there is
-    // nothing to fold: compact reports the base watermark untouched
-    assert(SubstrLayout.compact(spark, root) <= 0L)
+    SubstrLayout.append(spark,
+      Seq((4L, "x2 y2 z2")).toDF("doc_id", "text"), root, batchId = 1L)
+    assert(SubstrLayout.fingerprints(spark, root).count() === 0,
+      "presence rows must stay invisible to the fingerprint view")
+    val report = SubstrLayout.fsck(spark, root)
+    assert(!report.exists(r => r._2 == "fail" || r._2 == "warn"),
+      s"an all-short append sequence is healthy — fsck must agree: $report")
+    // a short doc re-appended under a NEW batch id refuses like any
+    // other: its presence row put it in the log prefix
+    val e = intercept[Exception] {
+      SubstrLayout.append(spark,
+        Seq((3L, "x1 y1 z1")).toDF("doc_id", "text"), root, batchId = 2L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("already exists in the fingerprint-log prefix")),
+      s"expected the replay refusal, got: ${messages(e).mkString(" | ")}")
+    // marker rows keep the counts log anchoring the watermark: the
+    // fold covers both all-short batches instead of stalling at base
+    assert(SubstrLayout.compact(spark, root) === 1L)
     assert(!SubstrLayout.fsck(spark, root).exists(_._2 == "fail"))
   }
 
