@@ -343,6 +343,50 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  // ---- Filtered ANN: metadata predicate + IVF multi-probe ----
+  // The "filtered vector search" shape every production vector store
+  // exposes: top-k among only the vectors matching a metadata
+  // predicate (here label = FilterLabel, ~1/10 of the corpus).
+  // PRE-filter, not post-filter: filtering the probe's top-k AFTER
+  // ranking would return fewer than k rows whenever the unfiltered
+  // shortlist is dominated by non-matching vectors, so the predicate
+  // pushes INTO the cell scan — at 100 TB the corpus is
+  // cell-partitioned parquet and the label predicate rides the scan as
+  // a row-group skip beside the cell partition pruning. The recall
+  // lever is a HIGHER nprobe than the unfiltered probe (5 vs 3):
+  // filtering thins every cell's candidate pool ~10×, so the same
+  // shortlist size needs more cells — the standard filtered-search
+  // adjustment, cost still nprobe × (cell size / selectivity), never
+  // corpus size.
+  val FilterLabel = 3
+  val NProbeFiltered = 5
+
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val cents = embs(s, dir)
+      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qv = embs(s, dir).filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"))
+    // probe-cell choice ranks the NCells centroids — model-sized window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = cents.crossJoin(broadcast(qv))
+      .select(col("cid"),
+        round(call_function("graft_cosine", col("cv"), col("qv")), 6).as("ccos"),
+        col("qv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NProbeFiltered)
+      .select(col("cid").as("qcell"), col("qv"))
+    cells(s, dir)
+      .join(embs(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
+      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .select(col("vec_id"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- IVF multi-probe: scan the nprobe nearest cells, not just one ----
   // The IVF recall lever (mirrors annLshMultiProbe for sign-LSH): a
   // neighbor sitting just across a cell boundary is found by also probing
@@ -1000,6 +1044,7 @@ object SimilarityQueries {
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiProbe _),
+    "sim_ann_filtered" -> (annFiltered _),
     "sim_ann_batch" -> (annIvfBatch _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_cells" -> (kmeansHistogram _),
@@ -1109,6 +1154,17 @@ object SimilarityQueries {
     s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeIvf) " +
     s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
     s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"
+
+  private lazy val oFiltered: String =
+    s"WITH e AS ($oE), $oCells, " +
+    s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
+    s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
+    s"qc AS (SELECT cid AS qcell, qv FROM (" +
+    s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeFiltered) " +
+    s"SELECT cells.vec_id, round(${VO.cosine("cells.v", "qv")}, 6) AS cos " +
+    s"FROM cells JOIN qc ON cell = qcell JOIN e USING (vec_id) " +
+    s"WHERE vec_id <> $QueryVecId AND e.label = $FilterLabel " +
+    s"ORDER BY cos DESC, vec_id LIMIT 10"
 
   private lazy val oTopk: String =
     s"WITH e AS ($oE), q AS ($oQ) " +
@@ -1320,6 +1376,7 @@ object SimilarityQueries {
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
     "sim_ann_ivf" -> oIvf,
     "sim_ann_ivf_multiprobe" -> oIvfMulti,
+    "sim_ann_filtered" -> oFiltered,
     "sim_ann_batch" ->
       (s"WITH e AS ($oE), $oCells, " +
        s"qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NBatchQ), " +

@@ -355,6 +355,24 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("filtered ANN: only FilterLabel vectors, ranked, deterministic") {
+    val rows = SimilarityQueries.annFiltered(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 10,
+      "five probed cells at ~10% selectivity must still fill the shortlist")
+    val labels = Tables.embeddings(spark, Sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, _) =>
+      assert(labels(id) === SimilarityQueries.FilterLabel,
+        s"vec $id leaked through the metadata pre-filter") }
+    assert(rows.sortBy(r => (-r._2, r._1)).toSeq === rows.toSeq,
+      "results must rank by (cos desc, vec_id)")
+    val again = SimilarityQueries.annFiltered(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === rows.toSeq)
+    CacheLife.release(spark)
+  }
+
   test("semantic dedup keeps each cell's min id and drops only documented vectors") {
     val rows = SimilarityQueries.semanticDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
