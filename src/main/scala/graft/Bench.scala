@@ -95,6 +95,25 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     }
 
+  /** Fixed-work CPU canary: wall seconds for a deterministic
+    * single-thread integer-mix loop. Complements loadavg — measuring
+    * the r12 record exposed a ~2× UNIFORM slowdown across 117
+    * unrelated queries while loadavg sat near zero and /proc/stat
+    * steal at exactly zero: hypervisor-level contention (memory
+    * bandwidth / co-tenant pressure) that only a measured fixed
+    * workload can adjudicate. Sampled beside every loadavg sample; a
+    * spread between samples marks the record as measured on a
+    * non-uniform host.
+    */
+  private[graft] def cpuCanary(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 50000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+    if (x == 42L) print("") // keep the loop live past the JIT
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Default up-corpus probe locations for `testdata_up/<sub>`: the
     * CWD-relative candidate is offered ONLY when the CWD is a repo
     * root (build.sbt present) — a stray `testdata_up` in an arbitrary
@@ -134,7 +153,12 @@ object Bench {
     // threads spin up) is the external-contention signal.
     val cpus = Runtime.getRuntime.availableProcessors()
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def sampleLoad(label: String): Unit = loadSamples(label) = loadAvg()
+    val canarySamples = scala.collection.mutable.LinkedHashMap[String, Double]()
+    cpuCanary() // JIT warm-up: the first invocation measures compilation
+    def sampleLoad(label: String): Unit = {
+      loadSamples(label) = loadAvg()
+      canarySamples(label) = cpuCanary()
+    }
     sampleLoad("start")
     val hostQuiet = loadSamples("start") <= 0.5 * cpus
     if (!hostQuiet)
@@ -295,9 +319,19 @@ object Bench {
     if (loadSamples("end") > 1.5 * cpus)
       println(f"[bench] WARNING: loadavg ${loadSamples("end")}%.2f at end with " +
         s"$cpus CPUs — another workload likely ran alongside this bench")
+    // a >1.3× spread between canary samples means the host's effective
+    // speed CHANGED during the run — per-query comparisons against
+    // other records are contaminated even if loadavg stayed flat
+    val canarySteady =
+      canarySamples.values.max <= 1.3 * canarySamples.values.min
+    if (!canarySteady)
+      println(f"[bench] WARNING: CPU canary swung ${canarySamples.values.min}%.3f" +
+        f"-${canarySamples.values.max}%.3f s during the run — host speed was " +
+        "NOT uniform; treat this record's absolute times as contaminated")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
         s""""cpus":$cpus,"loadavg":${jmap(loadSamples)},"host_quiet":$hostQuiet,""" +
+        s""""cpu_canary":${jmap(canarySamples)},"canary_steady":$canarySteady,""" +
         s""""scale_warmed":true,"errors":${jarr(errors)},""" +
         s""""index_build_total":${fmt(buildTotal)},"index_build":${jmap(builds)},""" +
         s""""queries":${jmap(results)},"sf":"$sfDir"$scalePart$scalePart2$upPart$up2Part}"""

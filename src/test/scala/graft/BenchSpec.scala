@@ -36,4 +36,25 @@ class BenchSpec extends AnyFunSuite {
     val l = Bench.loadAvg()
     assert(!l.isNaN && l >= 0.0 && l < 100000.0, s"implausible loadavg $l")
   }
+
+  test("cpuCanary measures positive fixed work and is roughly stable on an idle host") {
+    Bench.cpuCanary() // JIT warm-up, discarded
+    val a = Bench.cpuCanary(); val b = Bench.cpuCanary()
+    assert(a > 0.001 && a < 30.0, s"implausible canary $a s")
+    assert(math.max(a, b) / math.min(a, b) < 5.0,
+      s"back-to-back canaries should be the same order: $a vs $b")
+  }
+
+  test("every VerifyStream store-backed query has a registered oracle under the same name") {
+    // the stream-path gate dumps under REGISTERED names and reuses the
+    // registered oracle subset — a rename on either side would silently
+    // shrink CORRECTNESS_STREAM to fewer rows instead of failing
+    val names = VerifyStream.storeQueries("/nonexistent").keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(names.nonEmpty && names.subsetOf(oracles),
+      s"stream queries without a registered oracle: ${names -- oracles}")
+    val registered = SparkEntry.queries.keySet
+    assert(names.subsetOf(registered),
+      s"stream queries not in the registry: ${names -- registered}")
+  }
 }
