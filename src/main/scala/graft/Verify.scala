@@ -32,6 +32,19 @@ object Verify {
     // the named queries (the up-corpus pass skips the exact-O(n²)
     // kernel family the same way Bench.UpExcluded does)
     val arg2 = args.lift(2).getOrElse("")
+    // optional 4th arg `conf:k=v,k=v`: session confs applied BEFORE the
+    // dump — the operational knobs (spark.graft.dsir.target,
+    // spark.graft.shuffle.seed) verified through the same DuckDB gate
+    // as the defaults: the oracle strings resolve the live conf, so a
+    // knobbed Verify run dumps two-engine-consistent SQL. (Comma, not
+    // semicolon: sbt's batch mode splits its command string on `;`.)
+    val confs: Seq[(String, String)] = args.lift(3).toSeq
+      .filter(_.startsWith("conf:"))
+      .flatMap(_.stripPrefix("conf:").split(',').toSeq)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
     val excluded: Set[String] =
       if (arg2.startsWith("exclude:"))
         arg2.stripPrefix("exclude:").split(',').toSet
@@ -41,6 +54,10 @@ object Verify {
     def selected(name: String): Boolean =
       prefixes.exists(name.startsWith) && !excluded.contains(name)
     val spark = Sessions.local()
+    confs.foreach { case (k, v) =>
+      println(s"[verify] conf $k=$v")
+      spark.conf.set(k, v)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
