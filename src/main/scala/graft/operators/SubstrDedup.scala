@@ -54,33 +54,60 @@ import graft.functions.{TextFunctions => T, TextOracle => O}
   */
 object SubstrDedup {
 
-  /** Window width in tokens. Production: 50 (arXiv:2107.06499 §4.1). */
+  /** DEFAULT window width in tokens. Production: 50 (arXiv:2107.06499
+    * §4.1) — one CONF KNOB away, not a recompile (round-12): the
+    * registered queries resolve [[WKey]] from the session and the
+    * oracle SQL regenerates from the same live value, so a W=50 (or
+    * any) deployment verifies through the same DuckDB gate as the
+    * bench default. The incremental store PINS its build-time W on
+    * disk and refuses a mismatched session ([[graft.sources
+    * .SubstrLayout]]) — appending W=50 windows into a W=8 log would
+    * silently corrupt every count.
+    */
   val W = 8
+  val WKey = "spark.graft.substr.w"
+
+  /** The session-resolved window width (≥ 2 — a 1-token "window" would
+    * mark every repeated word a duplicated passage).
+    */
+  def wOf(s: SparkSession): Int = {
+    val w = s.conf.getOption(WKey).map(_.toInt).getOrElse(W)
+    require(w >= 2, s"$WKey must be >= 2, got $w")
+    w
+  }
+
+  private def activeW: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(WKey)).map(_.toInt).getOrElse(W)
 
   private val toks: Column = T.tokens(col("text"))
   private val oToks: String = O.tokens("text")
 
-  /** md5 of the W tokens starting at 0-based `i`, space-joined. */
-  private def gramHash(ts: Column, i: Column): Column =
-    md5(concat_ws(" ", (0 until W).map(k => element_at(ts, i + k + 1)): _*))
+  /** md5 of the `w` tokens starting at 0-based `i`, space-joined. */
+  private def gramHash(ts: Column, i: Column, w: Int): Column =
+    md5(concat_ws(" ", (0 until w).map(k => element_at(ts, i + k + 1)): _*))
 
   /** (doc_id, pos, h): one row per W-token window. Docs shorter than W
     * emit nothing (guarded — Spark's `sequence(0, -1)` counts DOWN).
     * CacheLife-shared: the duplicate-count groupBy and the hit join both
     * read it, and a real pipeline materializes the window index once.
+    * The cache key carries the resolved W — a mid-session knob change
+    * must miss, not serve the other width's windows.
     */
-  private def posGrams(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"substr.grams:$dir")(
-      gramsOver(Tables.spread(s, Tables.documents(s, dir))))
+  private def posGrams(s: SparkSession, dir: String): DataFrame = {
+    val w = wOf(s)
+    graft.CacheLife.cached(s, s"substr.grams:$dir:w$w")(
+      gramsOver(Tables.spread(s, Tables.documents(s, dir)), w))
+  }
 
   /** The window index over ANY (doc_id, text) frame. */
-  private[graft] def gramsOver(docs: DataFrame): DataFrame =
+  private[graft] def gramsOver(docs: DataFrame, w: Int = W): DataFrame =
     docs
       .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"),
         posexplode(
-          when(size(col("ts")) >= W,
-            transform(sequence(lit(0), size(col("ts")) - W), i => gramHash(col("ts"), i)))
+          when(size(col("ts")) >= w,
+            transform(sequence(lit(0), size(col("ts")) - w), i => gramHash(col("ts"), i, w)))
             .otherwise(lit(Array.empty[String]))).as(Seq("pos", "h")))
 
   /** Maximal duplicated spans per document: (doc_id, span_start,
@@ -88,15 +115,18 @@ object SubstrDedup {
     * overlapping or ADJACENT duplicated windows merge (their covered
     * token ranges form one contiguous region).
     */
-  def spans(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"substr.spans:$dir")(spansOver(posGrams(s, dir)))
+  def spans(s: SparkSession, dir: String): DataFrame = {
+    val w = wOf(s)
+    graft.CacheLife.cached(s, s"substr.spans:$dir:w$w")(
+      spansOver(posGrams(s, dir), w))
+  }
 
   /** Duplicate-count + hit join + per-doc interval merge over a
     * (doc_id, pos, h) window index — exposed for SubstrDedupSpec's
     * planted-passage tests.
     */
-  private[graft] def spansOver(g: DataFrame): DataFrame =
-    mergeSpans(dupHits(g))
+  private[graft] def spansOver(g: DataFrame, w: Int = W): DataFrame =
+    mergeSpans(dupHits(g), w)
 
   /** Positions whose window recurs anywhere in the index (count ≥ 2
     * over the md5 key — map-side partials, never a self-join).
@@ -112,19 +142,19 @@ object SubstrDedup {
     * anchors inside one duplicated region are ≤ [[WinnowW]] < W apart,
     * so their covers always overlap and the same merge rule applies).
     */
-  private[graft] def mergeSpans(hits: DataFrame): DataFrame = {
+  private[graft] def mergeSpans(hits: DataFrame, w: Int = W): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spanned = hits
       // running max END of every PRIOR window in this doc: the merge
       // frontier. null on the first row → always a new span.
       .withColumn("prev_end",
-        max(col("pos") + (W - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        max(col("pos") + (w - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
         when(col("prev_end").isNull, lit(1))
           .otherwise((col("pos") > col("prev_end") + 1).cast("int")))
       .withColumn("span_id", sum(col("new_span")).over(byDoc))
     spanned.groupBy("doc_id", "span_id")
-      .agg(min("pos").as("span_start"), (max("pos") + (W - 1)).as("span_end"))
+      .agg(min("pos").as("span_start"), (max("pos") + (w - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
@@ -231,7 +261,8 @@ object SubstrDedup {
     * positions only — the store a plagiarism/dedup deployment ships.
     */
   private def winnowFp(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"substr.winnow-fp:$dir")(winnowFpOver(posGrams(s, dir)))
+    graft.CacheLife.cached(s, s"substr.winnow-fp:$dir:w${wOf(s)}")(
+      winnowFpOver(posGrams(s, dir)))
 
   /** The SELECTION stage of winnowing alone — (doc_id, pos) of the
     * chosen anchors, before the md5-recovery join. Split out so the
@@ -264,8 +295,8 @@ object SubstrDedup {
     * overlap.
     */
   def winnowSpans(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"substr.winnow-spans:$dir")(
-      mergeSpans(dupHits(winnowFp(s, dir))))
+    graft.CacheLife.cached(s, s"substr.winnow-spans:$dir:w${wOf(s)}")(
+      mergeSpans(dupHits(winnowFp(s, dir)), wOf(s)))
 
   /** The index-health eval: how much smaller is the winnowed index and
     * how much duplicated-token coverage it loses vs the exact spans —
@@ -315,16 +346,20 @@ object SubstrDedup {
 
   /** CTE chain `t` (tokens) → `g` (positional window hashes). DuckDB
     * lists index 1-based: window at 0-based pos i is toks[i+1 .. i+W].
+    * All CTE builders take the live window width — [[oracle]] is a def
+    * resolving [[WKey]] so the SQL regenerates from the same value the
+    * registered queries used.
     */
-  private val oGramParts: String = (1 to W).map(k => s"toks[i+$k]").mkString(", ")
-  private val oGramCtes: String =
+  private def oGramParts(w: Int): String =
+    (1 to w).map(k => s"toks[i+$k]").mkString(", ")
+  private def oGramCtes(w: Int): String =
     s"""t AS (SELECT doc_id, $oToks AS toks FROM documents),
-       |g AS (SELECT doc_id, i AS pos, md5(concat_ws(' ', $oGramParts)) AS h
-       |      FROM t, unnest(range(0, greatest(len(toks) - ${W - 1}, 0))) AS u(i))""".stripMargin.replace("\n", " ")
+       |g AS (SELECT doc_id, i AS pos, md5(concat_ws(' ', ${oGramParts(w)})) AS h
+       |      FROM t, unnest(range(0, greatest(len(toks) - ${w - 1}, 0))) AS u(i))""".stripMargin.replace("\n", " ")
 
   /** CTEs through merged spans `sp(doc_id, span_start, span_end)`. */
-  private val oSpanCtes: String =
-    s"""$oGramCtes,
+  private def oSpanCtes(W: Int): String =
+    s"""${oGramCtes(W)},
        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
        |fl AS (SELECT doc_id, pos,
@@ -346,10 +381,10 @@ object SubstrDedup {
     * identically instead of diverging error-vs-wrapped-encoding in
     * the regime the guard names (round-12 advice).
     */
-  private val oWinnowCtes: String = {
+  private def oWinnowCtes(W: Int): String = {
     val mask = PosMask
     val mod = PosMask + 1
-    s"""$oSpanCtes,
+    s"""${oSpanCtes(W)},
        |wenc AS (SELECT doc_id, pos,
        |  (CASE WHEN pos > $mask THEN CAST(error(
        |     'winnowing position encoding holds $PosBits bits; doc ' || doc_id ||
@@ -375,13 +410,15 @@ object SubstrDedup {
        |  GROUP BY doc_id, span_id)""".stripMargin.replace("\n", " ")
   }
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+   val w = activeW
+   Map(
     "dedup_substr_winnow_spans" ->
-      (s"""WITH $oWinnowCtes
+      (s"""WITH ${oWinnowCtes(w)}
           |SELECT doc_id, span_start, span_end,
           |  span_end - span_start + 1 AS span_tokens FROM wsp""".stripMargin.replace("\n", " ")),
     "dedup_substr_winnow_recall" ->
-      (s"""WITH $oWinnowCtes,
+      (s"""WITH ${oWinnowCtes(w)},
           |excov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
           |wncov AS (SELECT doc_id, u.pos FROM wsp, unnest(range(span_start, span_end + 1)) AS u(pos)),
           |ns AS (SELECT (SELECT COUNT(*) FROM g) AS n_windows,
@@ -395,11 +432,11 @@ object SubstrDedup {
           |       ELSE round(n_covered_tokens::DOUBLE / n_exact_tokens, 6) END AS token_recall
           |FROM ns""".stripMargin.replace("\n", " ")),
     "dedup_substr_spans" ->
-      (s"""WITH $oSpanCtes
+      (s"""WITH ${oSpanCtes(w)}
           |SELECT doc_id, span_start, span_end,
           |  span_end - span_start + 1 AS span_tokens FROM sp""".stripMargin.replace("\n", " ")),
     "dedup_substr_stats" ->
-      (s"""WITH $oSpanCtes,
+      (s"""WITH ${oSpanCtes(w)},
           |pd AS (SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens FROM sp GROUP BY doc_id)
           |SELECT t.doc_id, len(t.toks) AS n_tokens,
           |  coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
@@ -407,14 +444,14 @@ object SubstrDedup {
           |       ELSE round(coalesce(pd.dup_tokens, 0)::DOUBLE / len(t.toks), 6) END AS dup_fraction
           |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " ")),
     "dedup_substr_clean_tokens" ->
-      (s"""WITH $oSpanCtes,
+      (s"""WITH ${oSpanCtes(w)},
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
           |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
           |        FROM t, unnest(range(0, len(toks))) AS u(i))
           |SELECT tok.doc_id, tok.pos, tok.tok FROM tok
           |ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos""".stripMargin.replace("\n", " ")),
     "dedup_substr_clean" ->
-      (s"""WITH $oSpanCtes,
+      (s"""WITH ${oSpanCtes(w)},
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
           |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
           |        FROM t, unnest(range(0, len(toks))) AS u(i)),
@@ -425,5 +462,6 @@ object SubstrDedup {
           |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
           |  len(t.toks) - coalesce(ka.n_kept, 0) AS n_removed
           |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin.replace("\n", " ")),
-  )
+   )
+  }
 }

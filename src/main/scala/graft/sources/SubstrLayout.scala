@@ -69,9 +69,60 @@ object SubstrLayout {
     StructField("h", StringType), StructField("n", LongType),
     StructField(BatchCol, LongType)))
 
-  private def winnowed(spark: SparkSession, docs: DataFrame): DataFrame =
+  private def winnowed(spark: SparkSession, docs: DataFrame, w: Int): DataFrame =
     SubstrDedup.winnowFpOver(SubstrDedup.gramsOver(
-      Tables.spread(spark, docs.select(col("doc_id"), col("text")))))
+      Tables.spread(spark, docs.select(col("doc_id"), col("text"))), w))
+
+  // ---- Window-width pin (round-12, with the W conf knob): the log's
+  // hashes are W-dependent, so the store records its build-time W and
+  // every append REFUSES a session resolving a different width —
+  // appending W=50 windows into a W=8 log would silently corrupt every
+  // count. Reads use the pin (the store knows its own width); a
+  // pre-knob root without a pin behaves as the compiled default.
+  private def wPinPath(root: String) =
+    new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "/_substr_w")
+
+  private[graft] def pinnedW(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = wPinPath(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeWPin(spark: SparkSession, root: String, w: Int): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(wPinPath(root), true)
+    try out.write(w.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The width this root's logs are built at: the pin, else the
+    * session resolution (pre-knob roots). `requireMatch` (the append
+    * path) refuses a session whose resolved W differs from the pin.
+    */
+  private def storeW(spark: SparkSession, root: String,
+                     requireMatch: Boolean): Int = {
+    val sessionW = SubstrDedup.wOf(spark)
+    pinnedW(spark, root) match {
+      case Some(w) =>
+        if (requireMatch && w != sessionW) throw new IllegalStateException(
+          s"SubstrLayout: store at $root is pinned to window width W=$w but " +
+            s"the session resolves ${SubstrDedup.WKey}=$sessionW — appending " +
+            "mismatched windows would silently corrupt every hash count; " +
+            "repoint the session knob or rebuild the store at the new width")
+        w
+      case None => sessionW
+    }
+  }
 
   /** One PRESENCE row (doc_id, pos = −1, h = null) per ingested doc on
     * top of the winnowed anchors. Two invariants hang off it (round-12
@@ -115,8 +166,10 @@ object SubstrLayout {
     // fresh rebuild: a surviving compaction marker would filter out the
     // new base batches (LogCompaction.reset scaladoc)
     LogCompaction.reset(spark, root)
+    val w = SubstrDedup.wOf(spark)
+    writeWPin(spark, root, w) // pin the width BEFORE any log bytes exist
     IdAuthority.recordBase(spark, root, docs.select(col("doc_id")), BaseBatch)
-    val fp = winnowed(spark, docs).localCheckpoint() // one fingerprint pass, two stores
+    val fp = winnowed(spark, docs, w).localCheckpoint() // one fingerprint pass, two stores
     withPresence(fp, docs).withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(fpDir(root))
     partialsWithMarker(spark, fp).withColumn(BatchCol, lit(BaseBatch))
@@ -136,6 +189,8 @@ object SubstrLayout {
              batchId: Long): Unit = {
     val mk = LogCompaction.marker(spark, root)
     LogCompaction.guardAppend(mk, batchId, "SubstrLayout.append")
+    val w = storeW(spark, root, requireMatch = true)
+    if (pinnedW(spark, root).isEmpty) writeWPin(spark, root, w) // first append IS the base
     IdAuthority.guardAndRecord(spark, root, batchId,
       arrivals.select(col("doc_id")),
       priorIds = if (storeExists(spark, fpDir(root)))
@@ -143,7 +198,7 @@ object SubstrLayout {
       else arrivals.limit(0).select(col("doc_id")),
       who = "SubstrLayout.append", what = "fingerprint-log prefix")
     try {
-      val fp = winnowed(spark, arrivals).localCheckpoint()
+      val fp = winnowed(spark, arrivals, w).localCheckpoint()
       withPresence(fp, arrivals).withColumn(BatchCol, lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
@@ -234,7 +289,8 @@ object SubstrLayout {
       .groupBy("h").agg(sum("n").as("tot")).filter(col("tot") >= 2).select("h")
     SubstrDedup.mergeSpans(
       fingerprints(spark, root).join(dup, Seq("h"))
-        .select(col("doc_id"), col("pos")))
+        .select(col("doc_id"), col("pos")),
+      storeW(spark, root, requireMatch = false)) // reads trust the pin
   }
 
   /** Read-only integrity report — the [[graft.Doctor]] leg: both batch
@@ -244,12 +300,22 @@ object SubstrLayout {
     */
   def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
     val mk = LogCompaction.marker(spark, root)
+    val sessionW = SubstrDedup.wOf(spark)
+    val wRow = pinnedW(spark, root) match {
+      case Some(w) if w != sessionW => Seq(("w_pin", "warn",
+        s"store pinned to W=$w but the session resolves W=$sessionW — " +
+          "reads use the pin; appends from this session will refuse"))
+      case Some(w) => Seq(("w_pin", "ok", s"window width W=$w (pinned)"))
+      case None if storeExists(spark, fpDir(root)) => Seq(("w_pin", "ok",
+        s"no width pin (pre-knob root) — session default W=$sessionW applies"))
+      case None => Seq.empty
+    }
     val logRows = Seq(
       "fingerprints" -> fpDir(root), "counts" -> countsDir(root)).flatMap {
       case (n, d) => LogCompaction.fsckLog(spark, d, mk)
         .map { case (c, s, det) => (s"$n.$c", s, det) }
     }
-    logRows ++ IdAuthority.fsck(spark, root,
+    wRow ++ logRows ++ IdAuthority.fsck(spark, root,
       LogCompaction.effectiveMaxBatch(spark, fpDir(root), mk))
   }
 }

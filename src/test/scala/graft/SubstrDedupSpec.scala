@@ -150,6 +150,35 @@ class SubstrDedupSpec extends SparkSpec {
     }
   }
 
+  test("the window width is a conf knob: W=12 re-windows and the oracle follows") {
+    import spark.implicits._
+    // two plants: a 12-token shared passage and an 8-token one. At the
+    // default W=8 both are duplicated windows; at W=12 only the longer
+    // one can produce an identical 12-token window.
+    val shared12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val shared8 = (1 to 8).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared12 a3"), (2L, s"$shared12 b1 b2"),
+      (3L, s"c1 c2 $shared8 c3 c4"), (4L, s"$shared8 d1 d2 d3"))
+      .toDF("doc_id", "text")
+    def flagged(w: Int) = SubstrDedup.spansOver(SubstrDedup.gramsOver(docs, w), w)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged(8) === Set(1L, 2L, 3L, 4L))
+    assert(flagged(12) === Set(1L, 2L),
+      "a W=12 run must not flag the 8-token plant")
+    // the knob reaches the registered query and the ORACLE regenerates
+    // from the same live value (production W=50 is this one conf away)
+    try {
+      spark.conf.set(SubstrDedup.WKey, "12")
+      assert(SubstrDedup.oracle("dedup_substr_spans").contains("toks[i+12]"))
+      assert(!SubstrDedup.oracle("dedup_substr_spans").contains("toks[i+13]"))
+      SubstrDedup.queries("dedup_substr_spans")(spark, Sf).count() // runs clean
+    } finally spark.conf.unset(SubstrDedup.WKey)
+    assert(!SubstrDedup.oracle("dedup_substr_spans").contains("toks[i+12]"),
+      "unsetting the knob must restore the default-width oracle")
+    CacheLife.release(spark)
+  }
+
   // ---- winnowing ----
 
   /** Reference winnowing: trailing-WinnowW window min of

@@ -154,6 +154,41 @@ class SubstrLayoutSpec extends SparkSpec {
     assert(!SubstrLayout.fsck(spark, root).exists(_._2 == "fail"))
   }
 
+  test("the store pins its build width: a mismatched session refuses; reads trust the pin") {
+    import spark.implicits._
+    // 16 shared tokens: >= W + WinnowW - 1 at W=12, so the winnowed
+    // index is guaranteed a shared fingerprint on both sides
+    val shared = (1 to 16).map(i => s"p$i").mkString(" ")
+    val root = Files.createTempDirectory("graft-sl-wpin").toString
+    try {
+      spark.conf.set(SubstrDedup.WKey, "12")
+      SubstrLayout.materialize(spark,
+        Seq((1L, s"x1 x2 $shared x3")).toDF("doc_id", "text"), root)
+    } finally spark.conf.unset(SubstrDedup.WKey)
+    // session back at the default width: append must refuse loudly,
+    // naming both widths — W=50 windows in a W=8 log corrupt every count
+    val e = intercept[IllegalStateException] {
+      SubstrLayout.append(spark,
+        Seq((2L, s"$shared y1")).toDF("doc_id", "text"), root, batchId = 0L)
+    }
+    assert(e.getMessage.contains("W=12") && e.getMessage.contains("=8"),
+      e.getMessage)
+    // the mismatch is a WARN in fsck (reads still work via the pin)
+    assert(SubstrLayout.fsck(spark, root)
+      .exists(r => r._1 == "w_pin" && r._2 == "warn"))
+    // a session matching the pin appends, and spans merge at the
+    // PINNED width (span_end = anchor + 12 - 1 territory, not 8)
+    try {
+      spark.conf.set(SubstrDedup.WKey, "12")
+      SubstrLayout.append(spark,
+        Seq((2L, s"$shared y1")).toDF("doc_id", "text"), root, batchId = 0L)
+      assert(spanSet(SubstrLayout.spans(spark, root)).map(_._1) === Set(1L, 2L))
+      assert(SubstrLayout.fsck(spark, root)
+        .exists(r => r._1 == "w_pin" && r._2 == "ok"))
+    } finally spark.conf.unset(SubstrDedup.WKey)
+    CacheLife.release(spark)
+  }
+
   private def writeOneFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
     val tmp = Files.createTempDirectory("graft-ss-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
