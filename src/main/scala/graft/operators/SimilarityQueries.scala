@@ -1030,8 +1030,28 @@ object SimilarityQueries {
       .reduce(_ unionAll _)
   }
 
+  /** Recall row for the FILTERED probe — measured against the exact
+    * FILTERED baseline (brute-force top-10 among FilterLabel vectors),
+    * not the global one: the predicate changes the ground truth. Keeps
+    * the family discipline — every lossy variant ships a recall row.
+    */
+  def annFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val bruteF = embs(s, dir)
+      .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(RecallK).select("vec_id").localCheckpoint()
+    annFiltered(s, dir).select("vec_id")
+      .join(bruteF, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("filtered").as("variant"), col("hits"),
+        round(col("hits").cast("double") / RecallK, 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_recall" -> (annRecall _),
+    "sim_ann_filtered_recall" -> (annFilteredRecall _),
     "sim_topk_cosine" -> (topkCosine _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiProbe _),
@@ -1165,6 +1185,14 @@ object SimilarityQueries {
     s"FROM cells JOIN qc ON cell = qcell JOIN e USING (vec_id) " +
     s"WHERE vec_id <> $QueryVecId AND e.label = $FilterLabel " +
     s"ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** Exact FILTERED baseline: brute-force top-k among FilterLabel
+    * vectors — the ground truth [[annFilteredRecall]] measures against.
+    */
+  private lazy val oFilteredBrute: String =
+    s"WITH e AS ($oE), q AS ($oQ) " +
+    s"SELECT vec_id, round($oCos, 6) AS cos FROM e, q WHERE vec_id <> $QueryVecId " +
+    s"AND label = $FilterLabel ORDER BY cos DESC, vec_id LIMIT $RecallK"
 
   private lazy val oTopk: String =
     s"WITH e AS ($oE), q AS ($oQ) " +
@@ -1377,6 +1405,11 @@ object SimilarityQueries {
     "sim_ann_ivf" -> oIvf,
     "sim_ann_ivf_multiprobe" -> oIvfMulti,
     "sim_ann_filtered" -> oFiltered,
+    "sim_ann_filtered_recall" ->
+      (s"""SELECT 'filtered' AS variant, COUNT(*) AS hits,
+          |round(COUNT(*)::DOUBLE / $RecallK, 6) AS recall
+          |FROM (SELECT vec_id FROM ($oFiltered)) v
+          |JOIN (SELECT vec_id FROM ($oFilteredBrute)) b USING (vec_id)""".stripMargin.replace("\n", " ")),
     "sim_ann_batch" ->
       (s"WITH e AS ($oE), $oCells, " +
        s"qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NBatchQ), " +
