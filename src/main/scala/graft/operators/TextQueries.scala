@@ -730,6 +730,33 @@ object TextQueries {
       .agg(count(lit(1)).as("n_feats"), sum("llr").as("llr_sum"))
   }
 
+  // ---- DSIR selection: the step AFTER the weights ----
+  // The paper resamples documents ∝ weight; the deterministic
+  // distributed spelling is per-SHARD top-p% by weight: shard by the
+  // md5 idiom (uncorrelated with weight, so each shard is an unbiased
+  // sample and per-shard top-p% ≈ global top-p% without a GLOBAL rank —
+  // a corpus-wide window would funnel 100 TB through one task, the
+  // packContexts/globalShuffle discipline again). The keep predicate
+  // is PURE INTEGER — `(rk−1)·1000 < n·keep_permille` ⟺ rk ≤
+  // ceil(n·p/1000) — so both engines cut identically with no float
+  // boundary. Ties break by doc_id; both window functions share the
+  // shard partitioning (one shuffle).
+  val DsirSelectShards = 8
+  val DsirKeepPerMille = 200
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val byShard = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val rankW = byShard.orderBy(col("llr_sum").desc, col("doc_id").asc)
+    dsirWeights(s, dir)
+      .select(col("doc_id"), col("llr_sum"),
+        graft.functions.Buckets.mdBucket(col("doc_id").cast("string"),
+          DsirSelectShards).as("shard"))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(byShard))
+      .filter((col("rk") - 1) * 1000 < col("n") * DsirKeepPerMille)
+      .select(col("doc_id"), col("shard"), col("llr_sum"))
+  }
+
   // ---- Deterministic global training-order shuffle ----
   // The step after the manifest: a training run must visit documents in
   // an order UNCORRELATED with ingest order (doc_id and source are
@@ -765,6 +792,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dsir_weights" -> (dsirWeights _),
+    "text_dsir_select" -> (dsirSelect _),
     "text_global_shuffle" -> (globalShuffle _),
     "text_export_manifest" -> (exportManifest _),
     "text_sample_mix" -> (sampleMix _),
@@ -801,6 +829,25 @@ object TextQueries {
         |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", PackShards)} AS shard
         |  FROM documents)""".stripMargin.replace("\n", " ")
 
+  /** The DSIR CTE chain through `fb` (bucketed features) and `llr`
+    * (the fixed-point log ratio per bucket) — shared by the weights
+    * and the selection oracles so the two can never drift.
+    */
+  private def oDsirCtes(tgt: String): String =
+    s"""t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
+       |f AS (SELECT doc_id, (source = '$tgt') AS is_target, u.tok AS gram
+       |      FROM t, unnest(toks) AS u(tok)),
+       |fb AS (SELECT doc_id, is_target, ${graft.functions.Buckets.sqlBucket("gram", DsirB)} AS b FROM f),
+       |h AS (SELECT b, COUNT(*) AS c_r,
+       |      CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |      FROM fb GROUP BY b),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS nt, CAST(SUM(c_r) AS BIGINT) AS nr FROM h),
+       |hx AS (SELECT b, (c_t + 1) * (nr + $DsirB) AS xa, (c_r + 1) * (nt + $DsirB) AS xb
+       |       FROM h, tot),
+       |${oLog2FixedStages()},
+       |llr AS (SELECT b, (ea * ${1L << DsirFracBits} + aa) - (eb * ${1L << DsirFracBits} + ab) AS llr
+       |        FROM l$DsirFracBits)""".stripMargin.replace("\n", " ")
+
   /** A def, not a val: the DSIR-target and shuffle-seed knobs resolve
     * at generation time from the active session, so a Verify run under
     * non-default conf dumps oracle SQL built from the SAME values the
@@ -816,21 +863,19 @@ object TextQueries {
          | ${graft.functions.Buckets.sqlBucket("source", 600)} + 200 AS rate_permille
          | FROM documents) WHERE b < rate_permille""".stripMargin.replace("\n", " ")),
     "text_dsir_weights" ->
-      (s"""WITH t AS (SELECT doc_id, source, $oToks AS toks FROM documents),
-          |f AS (SELECT doc_id, (source = '$dsirTgt') AS is_target, u.tok AS gram
-          |      FROM t, unnest(toks) AS u(tok)),
-          |fb AS (SELECT doc_id, is_target, ${graft.functions.Buckets.sqlBucket("gram", DsirB)} AS b FROM f),
-          |h AS (SELECT b, COUNT(*) AS c_r,
-          |      CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
-          |      FROM fb GROUP BY b),
-          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS nt, CAST(SUM(c_r) AS BIGINT) AS nr FROM h),
-          |hx AS (SELECT b, (c_t + 1) * (nr + $DsirB) AS xa, (c_r + 1) * (nt + $DsirB) AS xb
-          |       FROM h, tot),
-          |${oLog2FixedStages()},
-          |llr AS (SELECT b, (ea * ${1L << DsirFracBits} + aa) - (eb * ${1L << DsirFracBits} + ab) AS llr
-          |        FROM l$DsirFracBits)
+      (s"""WITH ${oDsirCtes(dsirTgt)}
           |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(llr) AS BIGINT) AS llr_sum
           |FROM fb JOIN llr USING (b) GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "text_dsir_select" ->
+      (s"""WITH ${oDsirCtes(dsirTgt)},
+          |wts AS (SELECT doc_id, CAST(SUM(llr) AS BIGINT) AS llr_sum
+          |        FROM fb JOIN llr USING (b) GROUP BY doc_id),
+          |sh AS (SELECT doc_id, llr_sum,
+          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", DsirSelectShards)} AS shard FROM wts),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY llr_sum DESC, doc_id) AS rk,
+          |  COUNT(*) OVER (PARTITION BY shard) AS n FROM sh)
+          |SELECT doc_id, shard, llr_sum FROM rk
+          |WHERE (rk - 1) * 1000 < n * $DsirKeepPerMille""".stripMargin.replace("\n", " ")),
     "text_global_shuffle" ->
       (s"""${DedupQueries.oClusterCtes},
           |gsv AS (SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id

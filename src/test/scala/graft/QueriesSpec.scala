@@ -288,6 +288,31 @@ class QueriesSpec extends SparkSpec {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("DSIR selection keeps exactly the per-shard weight-ranked top 20%") {
+    val sel = TextQueries.dsirSelect(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wts = TextQueries.dsirWeights(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def shardOf(id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(10),
+      16) % TextQueries.DsirSelectShards
+    // reference cut: per shard, sort by (weight desc, id) and keep rk
+    // while (rk-1)*1000 < n*keep — the same pure-integer predicate
+    val want = wts.keys.groupBy(shardOf).flatMap { case (_, ids) =>
+      val n = ids.size
+      ids.toSeq.sortBy(id => (-wts(id), id))
+        .zipWithIndex
+        .takeWhile { case (_, i) => i.toLong * 1000 < n.toLong * TextQueries.DsirKeepPerMille }
+        .map(_._1)
+    }.toSet
+    assert(sel.map(_._1).toSet === want, "selection drifted from the reference cut")
+    sel.foreach { case (id, sh, w) =>
+      assert(sh === shardOf(id) && w === wts(id)) }
+    // roughly a fifth survives (per-shard ceil rounding adds a little)
+    assert(sel.length >= wts.size / 5 && sel.length <= wts.size / 5 + TextQueries.DsirSelectShards)
+    CacheLife.release(spark)
+  }
+
   test("DSIR target and shuffle seed are conf knobs: non-default values re-weight and re-deal deterministically") {
     // round-11 verdict #4: both were compile-time constants. Under a
     // NON-default conf the registered queries must change output (a
