@@ -38,12 +38,17 @@ object Verify {
     // as the defaults: the oracle strings resolve the live conf, so a
     // knobbed Verify run dumps two-engine-consistent SQL. (Comma, not
     // semicolon: sbt's batch mode splits its command string on `;`.)
+    require(!arg2.startsWith("conf:"),
+      "conf:k=v,k=v is the 4TH arg — pass a prefix filter (or '') as the " +
+        "3rd, else the conf string would silently match zero query names")
     val confs: Seq[(String, String)] = args.lift(3).toSeq
       .filter(_.startsWith("conf:"))
       .flatMap(_.stripPrefix("conf:").split(',').toSeq)
       .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        (k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"malformed conf token '$kv' — expected key=value")
+        }
       }
     val excluded: Set[String] =
       if (arg2.startsWith("exclude:"))

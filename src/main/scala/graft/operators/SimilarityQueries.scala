@@ -361,31 +361,39 @@ object SimilarityQueries {
   val FilterLabel = 3
   val NProbeFiltered = 5
 
-  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+  /** The single-query probe-cell scaffold shared by [[annFiltered]] and
+    * [[annIvfMultiProbe]]: rank the NCells seed centroids by cosine to
+    * the query (model-sized window) and keep the `nprobe` nearest as
+    * broadcast (qcell, qv) rows. One definition — a tie-break or
+    * rounding fix cannot drift between the filtered and unfiltered
+    * probes (round-12 review).
+    */
+  private def probeCells(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val cents = embs(s, dir)
       .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val qv = embs(s, dir).filter(col("vec_id") === QueryVecId)
       .select(col("v").as("qv"))
-    // probe-cell choice ranks the NCells centroids — model-sized window
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("ccos").desc, col("cid").asc)
-    val qcells = cents.crossJoin(broadcast(qv))
+    cents.crossJoin(broadcast(qv))
       .select(col("cid"),
         round(call_function("graft_cosine", col("cv"), col("qv")), 6).as("ccos"),
         col("qv"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NProbeFiltered)
+      .filter(col("rn") <= nprobe)
       .select(col("cid").as("qcell"), col("qv"))
+  }
+
+  def annFiltered(s: SparkSession, dir: String): DataFrame =
     cells(s, dir)
       .join(embs(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
       .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
-      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .join(broadcast(probeCells(s, dir, NProbeFiltered)), col("cell") === col("qcell"))
       .select(col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
-  }
 
   // ---- IVF multi-probe: scan the nprobe nearest cells, not just one ----
   // The IVF recall lever (mirrors annLshMultiProbe for sign-LSH): a
@@ -397,29 +405,13 @@ object SimilarityQueries {
   // cluster scale each probed cell is one pruned partition.
   val NProbeIvf = 3
 
-  def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame = {
-    val cents = embs(s, dir)
-      .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val qv = embs(s, dir).filter(col("vec_id") === QueryVecId)
-      .select(col("v").as("qv"))
-    // global window over exactly NCells scored centroids — model-sized
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val qcells = cents.crossJoin(broadcast(qv))
-      .select(col("cid"),
-        round(call_function("graft_cosine", col("cv"), col("qv")), 6).as("ccos"),
-        col("qv"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NProbeIvf)
-      .select(col("cid").as("qcell"), col("qv"))
+  def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame =
     cells(s, dir).filter(col("vec_id") =!= QueryVecId)
-      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .join(broadcast(probeCells(s, dir, NProbeIvf)), col("cell") === col("qcell"))
       .select(col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
-  }
 
   // ---- Batched ANN: a query SET probing the IVF index ----
   // The realistic retrieval shape (batch inference, embedding-dedup
@@ -1166,21 +1158,23 @@ object SimilarityQueries {
     s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells, q " +
     s"WHERE vec_id <> $QueryVecId AND cell = qcell ORDER BY cos DESC, vec_id LIMIT 10"
 
-  private lazy val oIvfMulti: String =
-    s"WITH e AS ($oE), $oCells, " +
+  /** The probe-cell CTE scaffold (qv → ranked centroids → nprobe
+    * nearest as `qc(qcell, qv)`) — the SQL twin of [[probeCells]],
+    * shared by the filtered and unfiltered multiprobe oracles.
+    */
+  private def oProbeCtes(nprobe: Int): String =
     s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
     s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
     s"qc AS (SELECT cid AS qcell, qv FROM (" +
-    s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeIvf) " +
+    s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $nprobe)"
+
+  private lazy val oIvfMulti: String =
+    s"WITH e AS ($oE), $oCells, ${oProbeCtes(NProbeIvf)} " +
     s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
     s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"
 
   private lazy val oFiltered: String =
-    s"WITH e AS ($oE), $oCells, " +
-    s"qv AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId), " +
-    s"qs AS (SELECT cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos, qv FROM cents, qv), " +
-    s"qc AS (SELECT cid AS qcell, qv FROM (" +
-    s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $NProbeFiltered) " +
+    s"WITH e AS ($oE), $oCells, ${oProbeCtes(NProbeFiltered)} " +
     s"SELECT cells.vec_id, round(${VO.cosine("cells.v", "qv")}, 6) AS cos " +
     s"FROM cells JOIN qc ON cell = qcell JOIN e USING (vec_id) " +
     s"WHERE vec_id <> $QueryVecId AND e.label = $FilterLabel " +

@@ -67,18 +67,28 @@ object SubstrDedup {
   val W = 8
   val WKey = "spark.graft.substr.w"
 
-  /** The session-resolved window width (≥ 2 — a 1-token "window" would
-    * mark every repeated word a duplicated passage).
+  /** The session-resolved window width. Must exceed [[WinnowW]]: the
+    * winnow-merge invariant ("anchors inside one duplicated region sit
+    * ≤ WinnowW < W apart, so their covers always overlap") and the
+    * t = W + WinnowW − 1 match guarantee both assume it — a W ≤
+    * WinnowW run would silently fragment contiguous duplicated regions
+    * on BOTH engines, invisible to the oracle gate (round-12 review).
     */
   def wOf(s: SparkSession): Int = {
     val w = s.conf.getOption(WKey).map(_.toInt).getOrElse(W)
-    require(w >= 2, s"$WKey must be >= 2, got $w")
+    require(w > WinnowW,
+      s"$WKey must exceed WinnowW=$WinnowW (the winnow-merge invariant " +
+        s"needs anchor gaps <= WinnowW < W), got $w")
     w
   }
 
+  /** The oracle generator's resolution — the SAME validated path as the
+    * queries (an invalid knob must refuse on both sides, not generate
+    * silently-wrong SQL while the queries throw).
+    */
   private def activeW: Int =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .flatMap(_.conf.getOption(WKey)).map(_.toInt).getOrElse(W)
+      .map(wOf).getOrElse(W)
 
   private val toks: Column = T.tokens(col("text"))
   private val oToks: String = O.tokens("text")
@@ -190,17 +200,16 @@ object SubstrDedup {
     cleanOver(Tables.documents(s, dir), spans(s, dir))
 
   private[graft] def cleanOver(docs: DataFrame, sp: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), toks.as("ts"))
-    val tokRows = t.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
-    val covered = sp
-      .select(col("doc_id"), explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    val kept = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val keptAgg = kept.groupBy("doc_id")
+    // the kept set has ONE definition — [[cleanTokensOver]] — and this
+    // is its per-doc ordered re-join: a span-boundary fix lands in one
+    // place and `clean`/`clean_tokens` cannot drift (round-12 review;
+    // SubstrDedupSpec holds the re-join equal to the token set)
+    val keptAgg = cleanTokensOver(docs, sp).groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("kt"))
       .select(col("doc_id"),
         array_join(transform(col("kt"), x => x.getField("tok")), " ").as("clean_text"),
         size(col("kt")).as("n_kept"))
-    t.select(col("doc_id"), size(col("ts")).as("n_toks"))
+    docs.select(col("doc_id"), size(toks).as("n_toks"))
       .join(keptAgg, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

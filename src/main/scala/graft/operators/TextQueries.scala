@@ -751,7 +751,10 @@ object TextQueries {
       .select(col("doc_id"), col("llr_sum"),
         graft.functions.Buckets.mdBucket(col("doc_id").cast("string"),
           DsirSelectShards).as("shard"))
-      .withColumn("rk", row_number().over(rankW))
+      // rk is IntegerType: widen BEFORE the ×1000 or the product wraps
+      // Int past ~2.1M docs per shard and silently keeps low-weight
+      // docs (round-12 review); DuckDB's row_number is already BIGINT
+      .withColumn("rk", row_number().over(rankW).cast("long"))
       .withColumn("n", count(lit(1)).over(byShard))
       .filter((col("rk") - 1) * 1000 < col("n") * DsirKeepPerMille)
       .select(col("doc_id"), col("shard"), col("llr_sum"))

@@ -198,15 +198,19 @@ object IdAuthority {
     // Message-sniffing alone is NOT enough: "Parent directory does not
     // exist" / "File does not exist" (sidecar dir pruned concurrently)
     // also contain 'exist' — so a matching message is only believed
-    // when the lease file is ACTUALLY present; otherwise the original
-    // fault rethrows (round-12 advice).
-    def tryCreate(): Boolean =
+    // when the lease file is ACTUALLY present; otherwise retry ONCE
+    // (the holder may have released between our create and the exists
+    // probe — a benign race, not a fault) and only a repeat failure
+    // rethrows as the real FS fault it is (round-12 advice + review).
+    def tryCreate(attemptsLeft: Int = 1): Boolean =
       try { f.create(p, false).close(); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException
           if e.getMessage != null && e.getMessage.toLowerCase.contains("exist") =>
-            if (f.exists(p)) false else throw e
+            if (f.exists(p)) false
+            else if (attemptsLeft > 0) tryCreate(attemptsLeft - 1)
+            else throw e
       }
     if (tryCreate()) return
     val st = Try(f.getFileStatus(p)).toOption

@@ -105,23 +105,27 @@ object SubstrLayout {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The width this root's logs are built at: the pin, else the
-    * session resolution (pre-knob roots). `requireMatch` (the append
-    * path) refuses a session whose resolved W differs from the pin.
+  /** The width this root's logs are built at: the pin; for a pinless
+    * root whose logs EXIST (a pre-knob store), the compiled default —
+    * pre-knob stores were necessarily built at it, so a knobbed
+    * session must not reinterpret (or append into) them at another
+    * width (round-12 review: the session fallback here silently
+    * corrupted exactly the store the pin exists to protect); only a
+    * pinless root with NO logs yet (first append is the base) takes
+    * the session width. `requireMatch` (the append path) refuses a
+    * session whose resolved W differs from the store's.
     */
   private def storeW(spark: SparkSession, root: String,
                      requireMatch: Boolean): Int = {
     val sessionW = SubstrDedup.wOf(spark)
-    pinnedW(spark, root) match {
-      case Some(w) =>
-        if (requireMatch && w != sessionW) throw new IllegalStateException(
-          s"SubstrLayout: store at $root is pinned to window width W=$w but " +
-            s"the session resolves ${SubstrDedup.WKey}=$sessionW — appending " +
-            "mismatched windows would silently corrupt every hash count; " +
-            "repoint the session knob or rebuild the store at the new width")
-        w
-      case None => sessionW
-    }
+    val w = pinnedW(spark, root).getOrElse(
+      if (storeExists(spark, fpDir(root))) SubstrDedup.W else sessionW)
+    if (requireMatch && w != sessionW) throw new IllegalStateException(
+      s"SubstrLayout: store at $root is built at window width W=$w but " +
+        s"the session resolves ${SubstrDedup.WKey}=$sessionW — appending " +
+        "mismatched windows would silently corrupt every hash count; " +
+        "repoint the session knob or rebuild the store at the new width")
+    w
   }
 
   /** One PRESENCE row (doc_id, pos = −1, h = null) per ingested doc on
@@ -189,17 +193,24 @@ object SubstrLayout {
              batchId: Long): Unit = {
     val mk = LogCompaction.marker(spark, root)
     LogCompaction.guardAppend(mk, batchId, "SubstrLayout.append")
+    // a ZERO-doc batch is a no-op recorded NOWHERE: letting it through
+    // would publish a sidecar record (and a counts marker) with no fp
+    // partition, re-creating the records-ahead asymmetry the presence
+    // rows exist to prevent (round-12 review); an empty redelivery is
+    // equally empty, so skipping preserves idempotence
+    val arr = arrivals.select(col("doc_id"), col("text")).localCheckpoint()
+    if (arr.isEmpty) return
     val w = storeW(spark, root, requireMatch = true)
     if (pinnedW(spark, root).isEmpty) writeWPin(spark, root, w) // first append IS the base
     IdAuthority.guardAndRecord(spark, root, batchId,
-      arrivals.select(col("doc_id")),
+      arr.select(col("doc_id")),
       priorIds = if (storeExists(spark, fpDir(root)))
         prefixIds(spark, root, mk, batchId)
-      else arrivals.limit(0).select(col("doc_id")),
+      else arr.limit(0).select(col("doc_id")),
       who = "SubstrLayout.append", what = "fingerprint-log prefix")
     try {
-      val fp = winnowed(spark, arrivals, w).localCheckpoint()
-      withPresence(fp, arrivals).withColumn(BatchCol, lit(batchId))
+      val fp = winnowed(spark, arr, w).localCheckpoint()
+      withPresence(fp, arr).withColumn(BatchCol, lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

@@ -189,6 +189,51 @@ class SubstrLayoutSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("a PRE-KNOB root (no pin) is treated as built at the compiled default, not the session width") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"q$i").mkString(" ")
+    val root = Files.createTempDirectory("graft-sl-prepin").toString
+    SubstrLayout.materialize(spark,
+      Seq((1L, s"x1 x2 $shared x3")).toDF("doc_id", "text"), root)
+    // simulate a store from before the pin existed
+    assert(new java.io.File(root, "_substr_w").delete())
+    try {
+      spark.conf.set(SubstrDedup.WKey, "12")
+      // a knobbed session must NOT append its width into the default-
+      // width log (round-12 review: the session fallback did exactly
+      // that) — the pinless-but-existing store means the compiled default
+      val e = intercept[IllegalStateException] {
+        SubstrLayout.append(spark,
+          Seq((2L, s"$shared y1")).toDF("doc_id", "text"), root, batchId = 0L)
+      }
+      assert(e.getMessage.contains(s"W=${SubstrDedup.W}") &&
+        e.getMessage.contains("=12"), e.getMessage)
+    } finally spark.conf.unset(SubstrDedup.WKey)
+    // a default-width session appends fine
+    SubstrLayout.append(spark,
+      Seq((2L, s"$shared y1")).toDF("doc_id", "text"), root, batchId = 0L)
+    assert(spanSet(SubstrLayout.spans(spark, root)).map(_._1) === Set(1L, 2L))
+  }
+
+  test("a zero-doc append is a no-op recorded nowhere") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-sl-zero").toString
+    SubstrLayout.materialize(spark, docs, root)
+    val before = new java.io.File(root, "_id_bloom").listFiles().map(_.getName).toSet
+    // letting an empty batch through would publish a sidecar record
+    // (and a counts marker) with no fp partition — the records-ahead
+    // asymmetry again (round-12 review)
+    SubstrLayout.append(spark, docs.limit(0), root, batchId = 0L)
+    assert(new java.io.File(root, "_id_bloom").listFiles().map(_.getName).toSet
+      === before, "an empty batch must not publish a sidecar record")
+    assert(!new java.io.File(root, "substr_counts/__batch_id=0").exists(),
+      "an empty batch must not write a counts marker")
+    assert(!SubstrLayout.fsck(spark, root).exists(r =>
+      r._2 == "fail" || r._2 == "warn"))
+    CacheLife.release(spark)
+  }
+
   private def writeOneFile(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
     val tmp = Files.createTempDirectory("graft-ss-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
