@@ -312,14 +312,17 @@ object SubstrLayout {
   def fsck(spark: SparkSession, root: String): Seq[(String, String, String)] = {
     val mk = LogCompaction.marker(spark, root)
     val sessionW = SubstrDedup.wOf(spark)
-    val wRow = pinnedW(spark, root) match {
-      case Some(w) if w != sessionW => Seq(("w_pin", "warn",
+    val wRow = (pinnedW(spark, root), storeExists(spark, fpDir(root))) match {
+      case (Some(w), _) if w != sessionW => Seq(("w_pin", "warn",
         s"store pinned to W=$w but the session resolves W=$sessionW — " +
           "reads use the pin; appends from this session will refuse"))
-      case Some(w) => Seq(("w_pin", "ok", s"window width W=$w (pinned)"))
-      case None if storeExists(spark, fpDir(root)) => Seq(("w_pin", "ok",
-        s"no width pin (pre-knob root) — session default W=$sessionW applies"))
-      case None => Seq.empty
+      case (Some(w), _) => Seq(("w_pin", "ok", s"window width W=$w (pinned)"))
+      case (None, true) if SubstrDedup.W != sessionW => Seq(("w_pin", "warn",
+        s"pre-knob root (no pin) built at the compiled default W=${SubstrDedup.W}; " +
+          s"the session resolves W=$sessionW — reads use the default; appends refuse"))
+      case (None, true) => Seq(("w_pin", "ok",
+        s"no width pin (pre-knob root) — compiled default W=${SubstrDedup.W} applies"))
+      case _ => Seq.empty
     }
     val logRows = Seq(
       "fingerprints" -> fpDir(root), "counts" -> countsDir(root)).flatMap {
