@@ -126,10 +126,10 @@ object Bench {
       sub: String,
       cwd: java.nio.file.Path = Paths.get(".").toAbsolutePath.normalize())
       : Seq[String] =
-    (if (Files.exists(cwd.resolve("build.sbt")))
-       Seq(cwd.resolve("testdata_up").resolve(sub).toString)
-     else Seq.empty) ++
-      Seq(s"/root/repo/testdata_up/$sub")
+    ((if (Files.exists(cwd.resolve("build.sbt")))
+        Seq(cwd.resolve("testdata_up").resolve(sub).toString)
+      else Seq.empty) ++
+      Seq(s"/root/repo/testdata_up/$sub")).distinct
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

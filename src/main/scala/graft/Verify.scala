@@ -41,8 +41,14 @@ object Verify {
     require(!arg2.startsWith("conf:"),
       "conf:k=v,k=v is the 4TH arg — pass a prefix filter (or '') as the " +
         "3rd, else the conf string would silently match zero query names")
+    // a malformed 4th arg must refuse LOUDLY: silently filtering it
+    // out would run a defaults-only verification while the operator
+    // believes the knobbed configuration was gate-checked — the same
+    // silent-pass failure mode the 3rd-arg require above guards against
+    require(args.lift(3).forall(_.startsWith("conf:")),
+      s"the 4th arg must be conf:k=v,k=v — got '${args.lift(3).getOrElse("")}', " +
+        "which would silently verify the DEFAULT configuration instead")
     val confs: Seq[(String, String)] = args.lift(3).toSeq
-      .filter(_.startsWith("conf:"))
       .flatMap(_.stripPrefix("conf:").split(',').toSeq)
       .map { kv =>
         kv.split("=", 2) match {

@@ -105,27 +105,57 @@ object SubstrLayout {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The width this root's logs are built at: the pin; for a pinless
-    * root whose logs EXIST (a pre-knob store), the compiled default —
-    * pre-knob stores were necessarily built at it, so a knobbed
-    * session must not reinterpret (or append into) them at another
-    * width (round-12 review: the session fallback here silently
-    * corrupted exactly the store the pin exists to protect); only a
-    * pinless root with NO logs yet (first append is the base) takes
-    * the session width. `requireMatch` (the append path) refuses a
-    * session whose resolved W differs from the store's.
+  /** The width this root's logs are built at, READ-side: the pin; for
+    * a pinless root whose logs EXIST (a pre-knob store), the compiled
+    * default — pre-knob stores were necessarily built at it, so a
+    * knobbed session must not reinterpret them at another width
+    * (round-12 review: the session fallback here silently corrupted
+    * exactly the store the pin exists to protect); only a pinless root
+    * with NO logs yet takes the session width. The APPEND path resolves
+    * through [[leasedW]] instead — width refusal and the first-append
+    * pin both belong under the writer lease.
     */
-  private def storeW(spark: SparkSession, root: String,
-                     requireMatch: Boolean): Int = {
-    val sessionW = SubstrDedup.wOf(spark)
-    val w = pinnedW(spark, root).getOrElse(
-      if (storeExists(spark, fpDir(root))) SubstrDedup.W else sessionW)
-    if (requireMatch && w != sessionW) throw new IllegalStateException(
+  private def storeW(spark: SparkSession, root: String): Int =
+    pinnedW(spark, root).getOrElse(
+      if (storeExists(spark, fpDir(root))) SubstrDedup.W
+      else SubstrDedup.wOf(spark))
+
+  private def requireW(root: String, w: Int, sessionW: Int): Unit =
+    if (w != sessionW) throw new IllegalStateException(
       s"SubstrLayout: store at $root is built at window width W=$w but " +
         s"the session resolves ${SubstrDedup.WKey}=$sessionW — appending " +
         "mismatched windows would silently corrupt every hash count; " +
         "repoint the session knob or rebuild the store at the new width")
-    w
+
+  /** Width resolution + first-append pin for [[append]], run UNDER the
+    * writer lease (round-12 ADVICE): resolved before the lease, two
+    * concurrent first appends on a pinless log-less root each saw
+    * their own session W, both passed, and the LOSER could overwrite
+    * the winner's pin after the winner's logs were already built at
+    * the other width — every later spans/counts read then merged at
+    * the wrong W, the exact corruption the pin exists to prevent.
+    * Under the lease the four states are exact, not racy:
+    *
+    *   - pin + logs: the store's width; a mismatched session refuses;
+    *   - pin, NO logs: a crashed first append (the pin landed, the
+    *     logs did not) — nothing was built at the pinned width, so
+    *     the session width safely RE-PINS instead of refusing forever;
+    *   - no pin, logs: pre-knob root — compiled default; a mismatched
+    *     session refuses;
+    *   - neither: THIS append is the base — pin the session width
+    *     before any log bytes exist (a concurrent reader must never
+    *     see logs without their pin).
+    */
+  private[graft] def leasedW(spark: SparkSession, root: String): Int = {
+    val sessionW = SubstrDedup.wOf(spark)
+    (pinnedW(spark, root), storeExists(spark, fpDir(root))) match {
+      case (Some(p), true) => requireW(root, p, sessionW); p
+      case (Some(p), false) =>
+        if (p != sessionW) writeWPin(spark, root, sessionW)
+        sessionW
+      case (None, true) => requireW(root, SubstrDedup.W, sessionW); SubstrDedup.W
+      case (None, false) => writeWPin(spark, root, sessionW); sessionW
+    }
   }
 
   /** One PRESENCE row (doc_id, pos = −1, h = null) per ingested doc on
@@ -175,6 +205,7 @@ object SubstrLayout {
     IdAuthority.recordBase(spark, root, docs.select(col("doc_id")), BaseBatch)
     val fp = winnowed(spark, docs, w).localCheckpoint() // one fingerprint pass, two stores
     withPresence(fp, docs).withColumn(BatchCol, lit(BaseBatch))
+      .sortWithinPartitions(col(BatchCol), col("pos"))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(fpDir(root))
     partialsWithMarker(spark, fp).withColumn(BatchCol, lit(BaseBatch))
       .write.mode("overwrite").partitionBy(BatchCol).parquet(countsDir(root))
@@ -200,8 +231,6 @@ object SubstrLayout {
     // equally empty, so skipping preserves idempotence
     val arr = arrivals.select(col("doc_id"), col("text")).localCheckpoint()
     if (arr.isEmpty) return
-    val w = storeW(spark, root, requireMatch = true)
-    if (pinnedW(spark, root).isEmpty) writeWPin(spark, root, w) // first append IS the base
     IdAuthority.guardAndRecord(spark, root, batchId,
       arr.select(col("doc_id")),
       priorIds = if (storeExists(spark, fpDir(root)))
@@ -209,8 +238,14 @@ object SubstrLayout {
       else arr.limit(0).select(col("doc_id")),
       who = "SubstrLayout.append", what = "fingerprint-log prefix")
     try {
+      // width check + first-append pin run HERE, under the lease the
+      // guard left held: a width refusal throws into the finally below
+      // (lease released, pin untouched), and a first-append pin can no
+      // longer be overwritten by a racing appender (see [[leasedW]])
+      val w = leasedW(spark, root)
       val fp = winnowed(spark, arr, w).localCheckpoint()
       withPresence(fp, arr).withColumn(BatchCol, lit(batchId))
+        .sortWithinPartitions(col(BatchCol), col("pos"))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
@@ -263,8 +298,12 @@ object SubstrLayout {
     storeExists(spark, fpDir(root))
 
   /** The winnowed fingerprint rows across all live batches — presence
-    * rows (pos = −1) filtered out; the parquet min/max stats on `pos`
-    * make the filter a row-group skip, not a scan.
+    * rows (pos = −1) filtered out. Both writers sort within partitions
+    * on (batch, pos), so presence rows cluster at each file's head:
+    * row groups they FILL (large batches) skip on the pos min/max
+    * stats; elsewhere the filter is an ordinary cheap scan predicate
+    * (round-12 advice: the unsorted union made the skip claim false —
+    * every row group spanned −1..max).
     */
   def fingerprints(spark: SparkSession, root: String): DataFrame =
     LogCompaction.view(spark.read.schema(FpSchema).parquet(fpDir(root)),
@@ -301,7 +340,7 @@ object SubstrLayout {
     SubstrDedup.mergeSpans(
       fingerprints(spark, root).join(dup, Seq("h"))
         .select(col("doc_id"), col("pos")),
-      storeW(spark, root, requireMatch = false)) // reads trust the pin
+      storeW(spark, root)) // reads trust the pin
   }
 
   /** Read-only integrity report — the [[graft.Doctor]] leg: both batch

@@ -26,10 +26,10 @@ class BenchSpec extends AnyFunSuite {
       "/root/repo/testdata_up/sf10"))
   }
 
-  test("the real repo root resolves to exactly its own testdata_up then the fallback") {
+  test("the real repo root resolves to its own testdata_up ONCE (no duplicate candidate)") {
     val repo = Paths.get("/root/repo")
-    assert(Bench.upCorpusCandidates("sf1", repo) === Seq(
-      "/root/repo/testdata_up/sf1", "/root/repo/testdata_up/sf1"))
+    assert(Bench.upCorpusCandidates("sf1", repo) ===
+      Seq("/root/repo/testdata_up/sf1"))
   }
 
   test("loadAvg returns a finite non-negative sample on this host") {

@@ -173,6 +173,11 @@ class SubstrLayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("W=12") && e.getMessage.contains("=8"),
       e.getMessage)
+    // the refusal runs UNDER the writer lease (round-12 advice): it
+    // must leave the winner's pin untouched and release the lease —
+    // the matching-width append below proves the release
+    assert(SubstrLayout.pinnedW(spark, root) === Some(12),
+      "a refused mismatched append must not touch the width pin")
     // the mismatch is a WARN in fsck (reads still work via the pin)
     assert(SubstrLayout.fsck(spark, root)
       .exists(r => r._1 == "w_pin" && r._2 == "warn"))
@@ -212,6 +217,24 @@ class SubstrLayoutSpec extends SparkSpec {
     // a default-width session appends fine
     SubstrLayout.append(spark,
       Seq((2L, s"$shared y1")).toDF("doc_id", "text"), root, batchId = 0L)
+    assert(spanSet(SubstrLayout.spans(spark, root)).map(_._1) === Set(1L, 2L))
+  }
+
+  test("a pinned but LOG-LESS root (crashed first append) re-pins to the session width") {
+    import spark.implicits._
+    // the round-12 advice crash window: a first append dies after its
+    // pin write but before any log bytes — nothing was built at the
+    // pinned width, so a differently-knobbed retry must re-pin and
+    // proceed, not refuse forever
+    val root = Files.createTempDirectory("graft-sl-orphanpin").toString
+    Files.write(java.nio.file.Paths.get(root, "_substr_w"),
+      "12".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val shared = (1 to 16).map(i => s"o$i").mkString(" ")
+    SubstrLayout.append(spark,
+      Seq((1L, s"x1 $shared x2"), (2L, s"$shared y1"))
+        .toDF("doc_id", "text"), root, batchId = 0L)
+    assert(SubstrLayout.pinnedW(spark, root) === Some(SubstrDedup.W),
+      "the orphan pin must be replaced by the width the logs are actually built at")
     assert(spanSet(SubstrLayout.spans(spark, root)).map(_._1) === Set(1L, 2L))
   }
 
