@@ -39,7 +39,16 @@ object Bench {
           if (!ok) errors += s"build:$name"
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
-        val qt = SparkEntry.queries.filter(q => queryFilter(q._1)).map { case (name, fn) =>
+        // SORTED-NAME execution order (round-12 verdict #6): the map's
+        // hash order reshuffles whenever the registry grows, silently
+        // moving shared-state attribution (which rider query warms
+        // which FS/JIT path first) between rounds — sim_knn_join read
+        // 2× in r12 purely from ordering, indistinguishable in the
+        // record from a plan regression. Builders already charge every
+        // CacheLife store to its own build: line; sorting makes what
+        // remains (ordering effects) identical across rounds.
+        val qt = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(q => queryFilter(q._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
           if (!ok) errors += name
@@ -76,7 +85,9 @@ object Bench {
     "sim_pairs_recall" ->
       "LSH recall eval against the exact-kernel baseline",
     "sim_knn_join" ->
-      "rides the exact pair kernel — scale path is ANN bucket blocking + rank")
+      "rides the exact pair kernel — scale path is sim_knn_ann (bucket blocking + rank)",
+    "sim_knn_ann_recall" ->
+      "kNN recall eval against the exact-kernel baseline")
 
   /** Builder twin of [[UpExcluded]]. */
   val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")
@@ -173,9 +184,10 @@ object Bench {
     // published a scale-inverted sql_having time and a misleading
     // up-ratio computed against the anomalously warm main median).
     def warmup(dir: String, filter: String => Boolean = _ => true): Unit =
-      SparkEntry.queries.filter(q => filter(q._1)).foreach { case (_, fn) =>
-        try fn(spark, dir).count() catch { case _: Throwable => () }
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => filter(q._1)).foreach { case (_, fn) =>
+          try fn(spark, dir).count() catch { case _: Throwable => () }
+        }
     warmup(sfDir)
     val (builds, results, errors) = runPass(spark, sfDir, iters)
     sampleLoad("post_main")
@@ -308,11 +320,27 @@ object Bench {
           case (name, t) if t > 0 && upMap.getOrElse(name, -1.0) > 0 =>
             name -> t / upMap(name)
         }
+        // Per-decade GEOMETRIC means over the full two-decade span,
+        // sqrt(t(100×)/t(main)) — published beside the single-decade
+        // ratios because the sf1-up middle point is fixed-overhead-
+        // dominated (and possibly warm-advantaged) for sub-second
+        // queries, which deflates its own ratio and inflates the second
+        // decade's: ~20 r12 queries read >10 single-decade while their
+        // raw two-decade times were sublinear throughout (round-12
+        // verdict item #2). The geometric mean divides endpoint by
+        // endpoint, skipping the contaminated middle — ≤10 here IS the
+        // per-decade sublinearity claim, defensible from this record
+        // alone.
+        val ratiosGeo = m2.toSeq.sortBy(_._1).collect {
+          case (name, t) if t > 0 && mainMap.getOrElse(name, -1.0) > 0 =>
+            name -> math.sqrt(t / mainMap(name))
+        }
         val sel = s"cheapest-first by main median; included while cumulative " +
           s"10x-projected sf1-up cost <= ${budget}s: ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
         s""","scale_dir_up2":"$up2Dir","scale_queries_up2":${jmap(q2 ++ b2.map { case (n, t) => s"build:$n" -> t })},""" +
-          s""""scale_ratio_up2":${jmap(ratios2)},"scale_errors_up2":${jarr(e2)},""" +
+          s""""scale_ratio_up2":${jmap(ratios2)},"scale_per_decade_up2":${jmap(ratiosGeo)},""" +
+          s""""scale_errors_up2":${jarr(e2)},""" +
           s""""scale_up2_selection":"$sel""""
       }
     sampleLoad("end")

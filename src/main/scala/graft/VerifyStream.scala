@@ -31,18 +31,35 @@ object VerifyStream {
   /** Store-backed spellings of registered queries over a drained root,
     * one-plus per family. Column selections pin the registered output
     * schema (the stores may carry bookkeeping columns beside it).
+    * `sfDir` feeds the two composition rows (round-12 verdict #5) that
+    * join corpus docs against store-derived state — the outputs a
+    * training run actually exports: the winnow excision over the
+    * drained substr store's spans, and the survivor set over the
+    * drained dedup store's labels. Both ride the exact shared
+    * definitions their registered twins use
+    * ([[graft.operators.SubstrDedup.cleanTokensOver]],
+    * [[graft.operators.DedupQueries.survivorsOver]]).
     */
-  def storeQueries(root: String): Map[String, SparkSession => DataFrame] = Map(
+  def storeQueries(root: String,
+                   sfDir: String): Map[String, SparkSession => DataFrame] = Map(
     "dedup_minhash_pairs" -> (s =>
       DedupLayout.pairs(s, StoreBuild.dedupLayoutDir(root))
         .select("doc_a", "doc_b")),
     "dedup_clusters" -> (s =>
       DedupLayout.labels(s, StoreBuild.dedupLayoutDir(root))
         .select("doc_id", "cluster_id")),
+    "dedup_survivors" -> (s =>
+      graft.operators.DedupQueries.survivorsOver(
+        Tables.documents(s, sfDir),
+        DedupLayout.labels(s, StoreBuild.dedupLayoutDir(root)))),
     "text_token_freq" -> (s =>
       TextLayout.vocab(s, StoreBuild.textLayoutDir(root))),
     "dedup_substr_winnow_spans" -> (s =>
       SubstrLayout.spans(s, StoreBuild.substrLayoutDir(root))),
+    "dedup_substr_winnow_clean_tokens" -> (s =>
+      graft.operators.SubstrDedup.cleanTokensOver(
+        Tables.documents(s, sfDir),
+        SubstrLayout.spans(s, StoreBuild.substrLayoutDir(root)))),
     "sim_ann_kmeans" -> (s =>
       VectorLayout.probe(s, StoreBuild.vectorLayoutDir(root))))
 
@@ -57,7 +74,7 @@ object VerifyStream {
       require(code == 0,
         s"drain fsck exited $code — refusing to dump from a sick root")
       new java.io.File(outDir).mkdirs()
-      val qs = storeQueries(root)
+      val qs = storeQueries(root, sfDir)
       qs.foreach { case (name, fn) =>
         fn(spark).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[verify-stream] dumped $name")

@@ -298,8 +298,18 @@ object DedupQueries {
   // a doc_id-keyed SMJ where the right side is only the clustered
   // minority, never a second near-dup search.
   def survivors(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(clusters(s, dir).withColumnRenamed("doc_id", "c_doc"),
+    survivorsOver(Tables.documents(s, dir), clusters(s, dir))
+
+  /** The survivor pass over ANY `(doc_id, cluster_id)` label set — one
+    * definition shared by the registered query (session-derived
+    * clusters) and the stream-verify twin (labels read from a DRAINED
+    * [[graft.sources.DedupLayout]] store), so the keep rule cannot
+    * drift between them.
+    */
+  private[graft] def survivorsOver(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id"))
+          .withColumnRenamed("doc_id", "c_doc"),
         col("doc_id") === col("c_doc"), "left_outer")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"),

@@ -207,7 +207,13 @@ object SimilarityQueries {
         posexplode(array((0 until SignBands).map(m =>
           V.signBucketAt(col("v"), m * SignRows, SignRows)): _*)).as(Seq("band", "key"))))
 
-  def pairsLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Banded-LSH candidate pairs with their EXACT cosine — the scored
+    * candidate set both lossy pair consumers cut from: [[pairsLsh]]
+    * thresholds it, [[knnAnn]] ranks it per source. One definition, so
+    * the candidate generation (skew-capped band join) and the verify
+    * scoring cannot drift between the two.
+    */
+  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val cand = DedupQueries.bandPairsCapped(signBands(s, dir), DedupQueries.MaxBucket)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val e = embs(s, dir)
@@ -216,8 +222,10 @@ object SimilarityQueries {
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= PairThreshold)
   }
+
+  def pairsLsh(s: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(s, dir).filter(col("cos") >= PairThreshold)
 
   // ---- Pair recall report: the eval the lossy pair path must ship ----
   // |lsh pairs| / |exact pairs| at the same threshold — the pair-join
@@ -241,16 +249,21 @@ object SimilarityQueries {
   // triangle once — each pair is computed ONCE and read twice — then
   // rank per source with a window. The window shuffles by src; per-group
   // state is the k-row heap. At 100 TB exact all-pairs is replaced by
-  // the annLsh/IVF bucket blocking with this same rank stage on top of
-  // bucket candidates.
+  // [[knnAnn]]: LSH bucket-blocked candidates under this same rank
+  // stage — registered, recall-evaluated, and run in the up-decade
+  // passes where the exact kernel rightly refuses.
   val KnnK = 3
 
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    // both orientations EXPLODE out of one join pass — a union of two
-    // projections of the kernel would re-execute the join and the n²/2
-    // cosine evaluations once per branch (ReuseExchange dedups only the
-    // shuffles under the join, not the join itself)
-    val sym = pairKernel(s, dir)
+  /** The shared symmetrize + per-source rank stage: each undirected
+    * scored pair reads twice (both orientations EXPLODE out of one
+    * pass — a union of two projections would re-execute the pair join
+    * and its cosine evaluations once per branch; ReuseExchange dedups
+    * only the shuffles under the join, not the join itself), then a
+    * window partitioned by src keeps the k best. Per-group state is
+    * the k-row heap; parallelism grows with the source count.
+    */
+  private def knnRank(pairs: DataFrame): DataFrame = {
+    val sym = pairs
       .select(explode(array(
         struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
         struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))).as("e"))
@@ -258,6 +271,52 @@ object SimilarityQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= KnnK)
+  }
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    knnRank(pairKernel(s, dir))
+
+  // ---- Bucket-blocked kNN join: the form that RUNS at 100 TB ----
+  // The knnJoin scaladoc names ANN bucket blocking under the same rank
+  // stage as the scale path past MaxKernelPairs — this registers it as
+  // the corpus-wide form of the batched IVF probe: EVERY vector is a
+  // query, soft-assigned to its NProbeIvf nearest cells, candidates are
+  // the probed cells' members (equi-join on the cell key, shuffled —
+  // broadcasting a corpus-sized query set would be the scale killer),
+  // and the per-src top-k window is the same rank stage knnJoin runs.
+  // Cost is nprobe × cell size per vector, never n².
+  //
+  // IVF, not sign-LSH, chosen by MEASUREMENT: kNN neighbors in this
+  // near-isotropic corpus sit well below the cos≥0.4 near-dup band
+  // (the banded candidates gave 0.13 edge recall; the probe-cell form
+  // gives ~5× that — sim_ann_recall shows the same ordering for the
+  // single-query probes). Lossy by contract: a neighbor whose primary
+  // cell is outside the source's probe set is never proposed, so a
+  // source's list can hold fewer than k rows or rank a farther
+  // candidate — [[knnAnnRecall]] is the shipped eval, the
+  // sim_pairs_lsh/sim_pairs_recall discipline.
+  def knnAnn(s: SparkSession, dir: String): DataFrame =
+    probeQuerySet(s, dir,
+      embs(s, dir).select(col("vec_id").as("qid"), col("v").as("qv")),
+      k = KnnK, broadcastQueries = false)
+      .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
+
+  /** Edge recall of the bucket-blocked kNN against the exact kernel's
+    * kNN: |approx edges ∩ exact edges| / |exact edges| on (src, dst).
+    * Rides the exact kernel, so — like [[pairsRecall]] — it is
+    * excluded from the up-decade passes by name while [[knnAnn]]
+    * itself runs there; at 100 TB this eval runs on a sampled source
+    * subset against a brute-force pass over just that sample.
+    */
+  def knnAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnJoin(s, dir).select("src", "dst")
+    val hits = knnAnn(s, dir).select("src", "dst")
+      .join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(nExact)
+      .select(col("hits"), col("n_exact"),
+        round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
   // The previous registered form, kept as a cross-check kernel (and as
@@ -432,12 +491,18 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv")))
 
   /** The query-set probe over an ARBITRARY `(qid, qv)` set — shared by
-    * the registered batch query and the streaming retrieval endpoint
-    * ([[graft.streaming.VectorStream]]), so a micro-batch of arriving
-    * queries runs the exact plan the batch query is oracle-checked on.
+    * the registered batch query, the streaming retrieval endpoint
+    * ([[graft.streaming.VectorStream]]), and the corpus-wide kNN twin
+    * ([[knnAnn]]), so every consumer runs the exact plan the batch
+    * query is oracle-checked on. `k` is the per-query cut;
+    * `broadcastQueries` is the documented escalation switch — a
+    * model-sized query set broadcasts its (query, probe-cell) pairs,
+    * while a corpus-sized one (the kNN join) shuffle-joins on the cell
+    * key instead (broadcasting the corpus would be the scale killer).
     */
   private[graft] def probeQuerySet(s: SparkSession, dir: String,
-                                   qvs: DataFrame): DataFrame = {
+                                   qvs: DataFrame, k: Int = RecallK,
+                                   broadcastQueries: Boolean = true): DataFrame = {
     val cents = embs(s, dir)
       .filter(col("vec_id") >= 1 && col("vec_id") <= NCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -452,12 +517,13 @@ object SimilarityQueries {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     cells(s, dir)
-      .join(broadcast(qcells), col("cell") === col("qcell"))
+      .join(if (broadcastQueries) broadcast(qcells) else qcells,
+        col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= RecallK)
+      .filter(col("rn") <= k)
   }
 
   // ---- Trained IVF: deterministic k-means (Lloyd) coarse quantizer ----
@@ -841,7 +907,14 @@ object SimilarityQueries {
   // for the shortlist, never the corpus.
   val PqShortlist = 50
 
-  def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame = {
+  /** The probe → ADC-shortlist → exact-rerank scaffold shared by the
+    * unfiltered and FILTERED IVF-PQ retrieval stacks (one definition —
+    * the probeCells discipline): `pre` is the metadata predicate
+    * pushed into the QUANTIZED code scan, `nprobe` the selectivity
+    * adjustment.
+    */
+  private def ivfPqProbeRerank(s: SparkSession, dir: String, nprobe: Int,
+                               pre: DataFrame => DataFrame): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     val idx = pqCodes(s, dir)
     val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
@@ -853,9 +926,9 @@ object SimilarityQueries {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("ccos").desc, col("qcell").asc) // K rows — model-sized
     val probes = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NProbeIvf)
+      .filter(col("rn") <= nprobe)
       .select(col("qcell"), col("qqv"))
-    val shortlist = idx.filter(col("vec_id") =!= QueryVecId)
+    val shortlist = pre(idx.filter(col("vec_id") =!= QueryVecId))
       .join(broadcast(probes), col("cell") === col("qcell"))
       .select(col("vec_id"), adcDist(s, dir).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
@@ -867,6 +940,28 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
+
+  def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame =
+    ivfPqProbeRerank(s, dir, NProbeIvf, identity)
+
+  // ---- Filtered IVF-PQ: the production shape when the corpus is
+  // PQ-compressed (round-12 verdict stretch #7) ----
+  // The sim_ann_filtered pre-filter discipline applied to the
+  // quantized stack: the label predicate lands on the CODE table scan
+  // (at 100 TB the codes are cell-partitioned parquet and the label
+  // rides as a row-group skip beside the partition pruning — the
+  // compressed scan is the cheap one, so filtering there first keeps
+  // the ADC pass at nprobe × cell × selectivity rows), the ADC
+  // shortlist then holds only matching vectors, and the exact rerank
+  // touches raw vectors for the shortlist alone. Post-filtering the
+  // unfiltered shortlist instead would under-fill k whenever
+  // non-matching vectors dominate it. nprobe = NProbeFiltered (5):
+  // the same documented selectivity adjustment as the uncompressed
+  // filtered probe.
+  def annFilteredPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqProbeRerank(s, dir, NProbeFiltered,
+      idx => idx.join(embs(s, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id")).filter(col("label") === FilterLabel))
 
   // ---- Semantic dedup: embedding-space dedup INSIDE trained cells ----
   // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
@@ -1027,19 +1122,37 @@ object SimilarityQueries {
     * not the global one: the predicate changes the ground truth. Keeps
     * the family discipline — every lossy variant ships a recall row.
     */
-  def annFilteredRecall(s: SparkSession, dir: String): DataFrame = {
-    val bruteF = embs(s, dir)
+  /** Exact FILTERED ground truth: brute-force top-k among FilterLabel
+    * vectors — shared by both filtered recall rows (the predicate
+    * changes the ground truth, so neither measures against the global
+    * baseline). Eagerly checkpointed: 10 rows over a corpus-scan
+    * subplan, re-read per semi-join.
+    */
+  private def filteredBruteTop(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
       .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"), round(cosExpr, 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(RecallK).select("vec_id").localCheckpoint()
-    annFiltered(s, dir).select("vec_id")
+
+  private def filteredRecallRow(name: String, df: DataFrame,
+                                bruteF: DataFrame): DataFrame =
+    df.select("vec_id")
       .join(bruteF, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
-      .select(lit("filtered").as("variant"), col("hits"),
+      .select(lit(name).as("variant"), col("hits"),
         round(col("hits").cast("double") / RecallK, 6).as("recall"))
-  }
+
+  def annFilteredRecall(s: SparkSession, dir: String): DataFrame =
+    filteredRecallRow("filtered", annFiltered(s, dir), filteredBruteTop(s, dir))
+
+  /** Recall row for the filtered QUANTIZED stack — keeps the family
+    * discipline: every lossy variant ships its eval against the right
+    * ground truth.
+    */
+  def annFilteredPqRecall(s: SparkSession, dir: String): DataFrame =
+    filteredRecallRow("filtered_pq", annFilteredPq(s, dir), filteredBruteTop(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_recall" -> (annRecall _),
@@ -1051,12 +1164,16 @@ object SimilarityQueries {
     "sim_pairs_lsh" -> (pairsLsh _),
     "sim_pairs_recall" -> (pairsRecall _),
     "sim_knn_join" -> (knnJoin _),
+    "sim_knn_ann" -> (knnAnn _),
+    "sim_knn_ann_recall" -> (knnAnnRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_ivf_cells" -> (ivfCells _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiProbe _),
     "sim_ann_filtered" -> (annFiltered _),
+    "sim_ann_filtered_pq" -> (annFilteredPq _),
+    "sim_ann_filtered_pq_recall" -> (annFilteredPqRecall _),
     "sim_ann_batch" -> (annIvfBatch _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_kmeans_cells" -> (kmeansHistogram _),
@@ -1078,10 +1195,11 @@ object SimilarityQueries {
     s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
     s"FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos >= $PairThreshold"
 
-  /** Banded candidates recomputed in SQL: per-band sign keys, equi-join
-    * on (band, key), distinct pairs, exact cosine verify.
+  /** Banded candidates recomputed in SQL, scored with the exact cosine
+    * — the CTE prefix (ending in `sc(vec_a, vec_b, cos)`) both lossy
+    * pair oracles build on, the SQL twin of [[lshScoredPairs]].
     */
-  private lazy val oPairsLsh: String = {
+  private lazy val oLshScored: String = {
     val keysArr = (0 until SignBands)
       .map(m => VO.signBucketAt("v", m * SignRows, SignRows))
       .mkString("[", ", ", "]")
@@ -1090,12 +1208,45 @@ object SimilarityQueries {
        |          FROM e, unnest(range(1, ${SignBands + 1})) AS u(band)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b
-       |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, cos FROM (
-       |  SELECT vec_a, vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos
-       |  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)
-       |WHERE cos >= $PairThreshold""".stripMargin.replace("\n", " ")
+       |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |sc AS (SELECT vec_a, vec_b, round(${VO.cosine("a.v", "b.v")}, 6) AS cos
+       |       FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)""".stripMargin.replace("\n", " ")
   }
+
+  private lazy val oPairsLsh: String =
+    s"$oLshScored SELECT vec_a, vec_b, cos FROM sc WHERE cos >= $PairThreshold"
+
+  /** The symmetrize + per-src rank tail shared by the exact and
+    * bucket-blocked kNN oracles — mirrors [[knnRank]].
+    */
+  private def oKnnRankTail(pairsCte: String): String =
+    s"""sym AS (SELECT vec_a AS src, vec_b AS dst, cos FROM $pairsCte
+       |        UNION ALL SELECT vec_b AS src, vec_a AS dst, cos FROM $pairsCte)
+       |SELECT src, dst, cos, rn FROM (SELECT *, row_number() OVER
+       |(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sym) WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+
+  private lazy val oKnnExact: String =
+    s"WITH e AS ($oE), " +
+    s"p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+    s"round(${VO.cosine("a.v", "b.v")}, 6) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
+    oKnnRankTail("p")
+
+  /** Corpus-wide IVF-probe kNN oracle: the batch-probe SQL with the
+    * whole corpus as the query set and the KnnK cut — mirrors
+    * [[knnAnn]] riding [[probeQuerySet]].
+    */
+  private lazy val oKnnAnn: String =
+    s"WITH e AS ($oE), $oCells, " +
+    s"qs AS (SELECT q.vec_id AS src, q.v AS qv, c.cid, " +
+    s"round(${VO.cosine("c.cv", "q.v")}, 6) AS ccos FROM e q, cents c), " +
+    s"qc AS (SELECT src, qv, cid AS cell FROM (" +
+    s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM qs) " +
+    s"WHERE rn <= $NProbeIvf), " +
+    s"cand AS (SELECT src, vec_id AS dst, round(${VO.cosine("v", "qv")}, 6) AS cos " +
+    s"FROM cells JOIN qc USING (cell) WHERE vec_id <> src) " +
+    s"SELECT src, dst, cos, rn FROM (" +
+    s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cand) " +
+    s"WHERE rn <= $KnnK"
 
   private val oCells: String =
     s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $NCells),
@@ -1323,7 +1474,12 @@ object SimilarityQueries {
     * the SAME integer-cosine score the assignment uses; ADC dists are
     * the shared CTEs restricted to the probe set.
     */
-  private val oAnnIvfPqMulti: String = {
+  /** Probe → ADC-shortlist → exact-rerank oracle, parametrized the
+    * same way as [[ivfPqProbeRerank]]: `filterSql` is the metadata
+    * predicate pushed into the shortlist (the filtered stack joins
+    * labels there), `nprobe` the selectivity adjustment.
+    */
+  private def oPqProbeRerank(nprobe: Int, filterSql: String): String = {
     def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     val sc = s"round(${qd("qq.qqv", "c.cv")} / " +
       s"(sqrt(${qd("qq.qqv", "qq.qqv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
@@ -1333,16 +1489,21 @@ object SimilarityQueries {
        |ps AS (SELECT c.cid, $sc AS ccos FROM c$KmeansIters c, qq),
        |pc AS (SELECT cid AS qcell FROM (
        |  SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM ps)
-       |  WHERE rn <= $NProbeIvf),
+       |  WHERE rn <= $nprobe),
        |$oAdcDists,
        |sl AS (SELECT vec_id, CAST($oAdcSum AS BIGINT) AS adist
-       |  FROM d0 $oAdcJoins JOIN $oKmeansFin a USING (vec_id) JOIN pc ON a.cell = pc.qcell
-       |  WHERE vec_id <> $QueryVecId ORDER BY adist, vec_id LIMIT $PqShortlist),
+       |  FROM d0 $oAdcJoins JOIN $oKmeansFin a USING (vec_id) JOIN e USING (vec_id)
+       |  JOIN pc ON a.cell = pc.qcell
+       |  WHERE vec_id <> $QueryVecId $filterSql ORDER BY adist, vec_id LIMIT $PqShortlist),
        |qraw AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
        |SELECT vec_id, round(${VO.cosine("e.v", "qv")}, 6) AS cos
        |FROM sl JOIN e USING (vec_id), qraw
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
   }
+
+  private val oAnnIvfPqMulti: String = oPqProbeRerank(NProbeIvf, "")
+  private val oAnnFilteredPq: String =
+    oPqProbeRerank(NProbeFiltered, s"AND e.label = $FilterLabel")
 
   /** Semantic dedup oracle: the shared trained-model CTE chain, the
     * same within-cell lower-id-neighbor drop rule, survivors flagged.
@@ -1387,18 +1548,24 @@ object SimilarityQueries {
        "SELECT label, dim - 1 AS dim, COUNT(*) AS n_vecs, " +
        "CAST(floor(SUM(qx)::DOUBLE / COUNT(*)) AS BIGINT) AS centroid_q " +
        "FROM q GROUP BY 1, 2"),
-    "sim_knn_join" ->
-      (s"WITH e AS ($oE), " +
-       s"p AS (SELECT a.vec_id AS src, b.vec_id AS dst, round(${VO.cosine("a.v", "b.v")}, 6) AS cos " +
-       s"FROM e a JOIN e b ON a.vec_id <> b.vec_id) " +
-       s"SELECT src, dst, cos, rn FROM (SELECT *, row_number() OVER " +
-       s"(PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p) WHERE rn <= $KnnK"),
+    "sim_knn_join" -> oKnnExact,
+    "sim_knn_ann" -> oKnnAnn,
+    "sim_knn_ann_recall" ->
+      (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS hits FROM ($oKnnAnn) a JOIN ($oKnnExact) x USING (src, dst)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
     "sim_ivf_cells" ->
       (s"WITH e AS ($oE), $oCells " +
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
     "sim_ann_ivf" -> oIvf,
     "sim_ann_ivf_multiprobe" -> oIvfMulti,
     "sim_ann_filtered" -> oFiltered,
+    "sim_ann_filtered_pq" -> oAnnFilteredPq,
+    "sim_ann_filtered_pq_recall" ->
+      (s"""SELECT 'filtered_pq' AS variant, COUNT(*) AS hits,
+          |round(COUNT(*)::DOUBLE / $RecallK, 6) AS recall
+          |FROM (SELECT vec_id FROM ($oAnnFilteredPq)) v
+          |JOIN (SELECT vec_id FROM ($oFilteredBrute)) b USING (vec_id)""".stripMargin.replace("\n", " ")),
     "sim_ann_filtered_recall" ->
       (s"""SELECT 'filtered' AS variant, COUNT(*) AS hits,
           |round(COUNT(*)::DOUBLE / $RecallK, 6) AS recall

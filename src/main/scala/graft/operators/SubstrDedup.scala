@@ -199,6 +199,26 @@ object SubstrDedup {
   def clean(s: SparkSession, dir: String): DataFrame =
     cleanOver(Tables.documents(s, dir), spans(s, dir))
 
+  /** A deterministic ~1/[[SampleBuckets]] doc sample of [[clean]] —
+    * the STRING-granularity row that stays DuckDB-feasible at every
+    * scale decade (round-12 verdict #3): the full clean oracle's
+    * ordered `string_agg` over ~150M token rows at 100× cannot spill
+    * and dies even alone at a 100 GB cap, while the same re-join over
+    * a 1% md5 bucket of doc_ids (~1.5M rows) runs fine — so the
+    * string re-join itself, not just its token set, carries a
+    * rows+schema+hash row at 100× instead of an oracle_infeasible
+    * exclusion. Span derivation stays CORPUS-WIDE (duplicate counts
+    * must see every doc); only the excision re-join restricts to the
+    * sample — the rel_hash_sample idiom, engine-independent by md5.
+    */
+  val SampleBuckets = 100
+
+  def cleanSample(s: SparkSession, dir: String): DataFrame =
+    cleanOver(
+      Tables.documents(s, dir).filter(graft.functions.Buckets
+        .mdBucket(col("doc_id").cast("string"), SampleBuckets) === 0),
+      spans(s, dir))
+
   private[graft] def cleanOver(docs: DataFrame, sp: DataFrame): DataFrame = {
     // the kept set has ONE definition — [[cleanTokensOver]] — and this
     // is its per-doc ordered re-join: a span-boundary fix lands in one
@@ -231,6 +251,20 @@ object SubstrDedup {
     */
   def cleanTokens(s: SparkSession, dir: String): DataFrame =
     cleanTokensOver(Tables.documents(s, dir), spans(s, dir))
+
+  /** The excision over the WINNOWED spans — what a deployment running
+    * on the winnowed fingerprint index (the incremental
+    * [[graft.sources.SubstrLayout]] store) actually exports: winnowed
+    * covers ⊆ exact covers (precision 1), so this keeps a superset of
+    * [[cleanTokens]]' rows, with the recall trade [[winnowRecall]]
+    * measures. Registered so the stream-verify pass can hash-check the
+    * store-derived excision end-to-end (round-12 verdict #5): the
+    * store-backed twin reads its spans from a DRAINED SubstrLayout
+    * root instead of the session winnow — same [[cleanTokensOver]]
+    * tail, one definition.
+    */
+  def winnowCleanTokens(s: SparkSession, dir: String): DataFrame =
+    cleanTokensOver(Tables.documents(s, dir), winnowSpans(s, dir))
 
   private[graft] def cleanTokensOver(docs: DataFrame, sp: DataFrame): DataFrame = {
     val tokRows = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -346,8 +380,10 @@ object SubstrDedup {
     "dedup_substr_spans" -> (spans _),
     "dedup_substr_stats" -> (stats _),
     "dedup_substr_clean" -> (clean _),
+    "dedup_substr_clean_sample" -> (cleanSample _),
     "dedup_substr_clean_tokens" -> (cleanTokens _),
     "dedup_substr_winnow_spans" -> (winnowSpans _),
+    "dedup_substr_winnow_clean_tokens" -> (winnowCleanTokens _),
     "dedup_substr_winnow_recall" -> (winnowRecall _),
   )
 
@@ -452,6 +488,13 @@ object SubstrDedup {
           |  CASE WHEN len(t.toks) = 0 THEN 0.0
           |       ELSE round(coalesce(pd.dup_tokens, 0)::DOUBLE / len(t.toks), 6) END AS dup_fraction
           |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "dedup_substr_winnow_clean_tokens" ->
+      (s"""WITH ${oWinnowCtes(w)},
+          |cov AS (SELECT doc_id, u.pos FROM wsp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+          |        FROM t, unnest(range(0, len(toks))) AS u(i))
+          |SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          |ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos""".stripMargin.replace("\n", " ")),
     "dedup_substr_clean_tokens" ->
       (s"""WITH ${oSpanCtes(w)},
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
@@ -459,6 +502,20 @@ object SubstrDedup {
           |        FROM t, unnest(range(0, len(toks))) AS u(i))
           |SELECT tok.doc_id, tok.pos, tok.tok FROM tok
           |ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos""".stripMargin.replace("\n", " ")),
+    "dedup_substr_clean_sample" ->
+      (s"""WITH ${oSpanCtes(w)},
+          |samp AS (SELECT doc_id, toks FROM t
+          |         WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", SampleBuckets)} = 0),
+          |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+          |        FROM samp, unnest(range(0, len(toks))) AS u(i)),
+          |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+          |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          |       COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+          |SELECT samp.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+          |  len(samp.toks) - coalesce(ka.n_kept, 0) AS n_removed
+          |FROM samp LEFT JOIN ka USING (doc_id)""".stripMargin.replace("\n", " ")),
     "dedup_substr_clean" ->
       (s"""WITH ${oSpanCtes(w)},
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),

@@ -760,6 +760,22 @@ object TextQueries {
       .select(col("doc_id"), col("shard"), col("llr_sum"))
   }
 
+  // ---- DSIR-selected export: selection composed into the manifest ----
+  // dsirSelect is not a terminal report (round-12 verdict stretch #8):
+  // the kept set feeds the export — one doc_id equi-join of the
+  // manifest (dedup survivor + growth-stable split + curriculum phase)
+  // against the per-shard DSIR cut, carrying the selection weight.
+  // The rows a curated-AND-selected training run actually exports;
+  // both sides ride memoized stores, so the composition costs one
+  // join, never a new corpus pass. Deterministic end-to-end: survivor
+  // labels (min-propagation), md5 split buckets, integer-log weights,
+  // and the pure-integer per-shard cut are each engine-independent,
+  // so the intersection is too — the oracle composes the two
+  // registered oracles verbatim as derived tables.
+  def dsirManifest(s: SparkSession, dir: String): DataFrame =
+    exportManifest(s, dir)
+      .join(dsirSelect(s, dir).select(col("doc_id"), col("llr_sum")), Seq("doc_id"))
+
   // ---- Deterministic global training-order shuffle ----
   // The step after the manifest: a training run must visit documents in
   // an order UNCORRELATED with ingest order (doc_id and source are
@@ -796,6 +812,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
+    "text_dsir_manifest" -> (dsirManifest _),
     "text_global_shuffle" -> (globalShuffle _),
     "text_export_manifest" -> (exportManifest _),
     "text_sample_mix" -> (sampleMix _),
@@ -859,6 +876,47 @@ object TextQueries {
   def oracle: Map[String, String] = {
    val dsirTgt = activeConfOr(DsirTargetKey, DsirTargetDefault)
    val shufSeed = activeConfOr(ShuffleSeedKey, ShuffleSeedDefault)
+   val oDsirSel =
+     s"""WITH ${oDsirCtes(dsirTgt)},
+        |wts AS (SELECT doc_id, CAST(SUM(llr) AS BIGINT) AS llr_sum
+        |        FROM fb JOIN llr USING (b) GROUP BY doc_id),
+        |sh AS (SELECT doc_id, llr_sum,
+        |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", DsirSelectShards)} AS shard FROM wts),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY llr_sum DESC, doc_id) AS rk,
+        |  COUNT(*) OVER (PARTITION BY shard) AS n FROM sh)
+        |SELECT doc_id, shard, llr_sum FROM rk
+        |WHERE (rk - 1) * 1000 < n * $DsirKeepPerMille""".stripMargin.replace("\n", " ")
+   val oManifest = {
+     val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
+     val alphaR = O.charClassRatio("text", "[a-z ]")
+     val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
+     val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
+     // extends the shared recursive cluster CTE chain (lab) with the
+     // survivor verdict, the split expression, and the curriculum
+     // thresholds — fresh CTE names (m*) to avoid the chain's t/sh/c
+     s"""${DedupQueries.oClusterCtes},
+        |surv AS (SELECT d.doc_id,
+        |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'representative' END AS kept_as
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+        |  WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id),
+        |spl AS (SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)),
+        |mq AS (SELECT doc_id, $qual AS quality FROM documents),
+        |mh AS (SELECT quality, COUNT(*) AS n FROM mq GROUP BY 1),
+        |mc AS (SELECT quality, SUM(n) OVER (ORDER BY quality
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mh),
+        |mtot AS (SELECT COUNT(*) AS nt FROM mq),
+        |mth AS (SELECT min(CASE WHEN cum >= 0.25 * nt THEN quality END) AS t25,
+        |  min(CASE WHEN cum >= 0.50 * nt THEN quality END) AS t50,
+        |  min(CASE WHEN cum >= 0.75 * nt THEN quality END) AS t75 FROM mc, mtot),
+        |cur AS (SELECT doc_id,
+        |  ((quality >= t25)::INT + (quality >= t50)::INT + (quality >= t75)::INT) AS phase
+        |  FROM mq, mth)
+        |SELECT surv.doc_id, surv.kept_as, spl.split, cur.phase
+        |FROM surv JOIN spl USING (doc_id) JOIN cur USING (doc_id)""".stripMargin.replace("\n", " ")
+   }
    Map(
     "text_sample_mix" ->
       (s"""SELECT doc_id, source, rate_permille FROM (SELECT doc_id, source,
@@ -869,16 +927,13 @@ object TextQueries {
       (s"""WITH ${oDsirCtes(dsirTgt)}
           |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(llr) AS BIGINT) AS llr_sum
           |FROM fb JOIN llr USING (b) GROUP BY doc_id""".stripMargin.replace("\n", " ")),
-    "text_dsir_select" ->
-      (s"""WITH ${oDsirCtes(dsirTgt)},
-          |wts AS (SELECT doc_id, CAST(SUM(llr) AS BIGINT) AS llr_sum
-          |        FROM fb JOIN llr USING (b) GROUP BY doc_id),
-          |sh AS (SELECT doc_id, llr_sum,
-          |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", DsirSelectShards)} AS shard FROM wts),
-          |rk AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY llr_sum DESC, doc_id) AS rk,
-          |  COUNT(*) OVER (PARTITION BY shard) AS n FROM sh)
-          |SELECT doc_id, shard, llr_sum FROM rk
-          |WHERE (rk - 1) * 1000 < n * $DsirKeepPerMille""".stripMargin.replace("\n", " ")),
+    "text_dsir_select" -> oDsirSel,
+    // composition oracle: both registered oracles run VERBATIM as
+    // derived tables (the oRecallRow scoping precedent), so the row a
+    // training export reads is checked as exactly manifest ∩ selection
+    "text_dsir_manifest" ->
+      (s"SELECT doc_id, m.kept_as, m.split, m.phase, s.llr_sum " +
+       s"FROM ($oManifest) m JOIN ($oDsirSel) s USING (doc_id)"),
     "text_global_shuffle" ->
       (s"""${DedupQueries.oClusterCtes},
           |gsv AS (SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
@@ -954,37 +1009,7 @@ object TextQueries {
           |FROM (SELECT source,
           |  ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)
           |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
-    "text_export_manifest" -> {
-      val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
-      val alphaR = O.charClassRatio("text", "[a-z ]")
-      val lenCap = s"least(1.0, len($oToks)::DOUBLE / 100.0)"
-      val qual = s"round(0.5 * $alphaR + 0.3 * $stopR + 0.2 * $lenCap, 6)"
-      // extends the shared recursive cluster CTE chain (lab) with the
-      // survivor verdict, the split expression, and the curriculum
-      // thresholds — fresh CTE names (m*) to avoid the chain's t/sh/c
-      s"""${DedupQueries.oClusterCtes},
-         |surv AS (SELECT d.doc_id,
-         |  CASE WHEN lab.doc_id IS NULL THEN 'unique' ELSE 'representative' END AS kept_as
-         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
-         |  WHERE lab.doc_id IS NULL OR lab.cluster_id = d.doc_id),
-         |spl AS (SELECT doc_id,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |    ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", 100)} AS b FROM documents)),
-         |mq AS (SELECT doc_id, $qual AS quality FROM documents),
-         |mh AS (SELECT quality, COUNT(*) AS n FROM mq GROUP BY 1),
-         |mc AS (SELECT quality, SUM(n) OVER (ORDER BY quality
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mh),
-         |mtot AS (SELECT COUNT(*) AS nt FROM mq),
-         |mth AS (SELECT min(CASE WHEN cum >= 0.25 * nt THEN quality END) AS t25,
-         |  min(CASE WHEN cum >= 0.50 * nt THEN quality END) AS t50,
-         |  min(CASE WHEN cum >= 0.75 * nt THEN quality END) AS t75 FROM mc, mtot),
-         |cur AS (SELECT doc_id,
-         |  ((quality >= t25)::INT + (quality >= t50)::INT + (quality >= t75)::INT) AS phase
-         |  FROM mq, mth)
-         |SELECT surv.doc_id, surv.kept_as, spl.split, cur.phase
-         |FROM surv JOIN spl USING (doc_id) JOIN cur USING (doc_id)""".stripMargin.replace("\n", " ")
-    },
+    "text_export_manifest" -> oManifest,
     "text_curriculum" -> {
       val stopR = O.wordSetRatio(oToks, T.LangProfiles.head._2)
       val alphaR = O.charClassRatio("text", "[a-z ]")

@@ -49,7 +49,7 @@ class BenchSpec extends AnyFunSuite {
     // the stream-path gate dumps under REGISTERED names and reuses the
     // registered oracle subset — a rename on either side would silently
     // shrink CORRECTNESS_STREAM to fewer rows instead of failing
-    val names = VerifyStream.storeQueries("/nonexistent").keySet
+    val names = VerifyStream.storeQueries("/nonexistent", "/nonexistent").keySet
     val oracles = SparkEntry.oracleSql.keySet
     assert(names.nonEmpty && names.subsetOf(oracles),
       s"stream queries without a registered oracle: ${names -- oracles}")

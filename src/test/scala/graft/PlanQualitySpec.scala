@@ -65,6 +65,21 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // annKmeans persists the quantized corpus
   }
 
+  test("corpus-wide kNN probes by shuffled cell equi-join with partial top-k, never a corpus broadcast") {
+    val p = plan(SimilarityQueries.knnAnn(spark, Sf))
+    // the probe join must shuffle both corpus-sized sides on the cell
+    // key — broadcastQueries=false exists exactly so the whole-corpus
+    // query set is never a build side
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the model-sized centroid crosses
+    // (8-row broadcast build); the per-src top-k must partial-limit
+    // map-side (WindowGroupLimit) so the rank shuffle carries ≤k rows
+    // per source, not the full candidate set
+    assert(p.contains("WindowGroupLimit"), p)
+    CacheLife.release(spark) // rides the cached cell index
+  }
+
   test("tfidf df is an aggregate + broadcast join, never a vocab-partitioned window") {
     val df = TextQueries.tfidf(spark, Sf)
     val p = plan(df)

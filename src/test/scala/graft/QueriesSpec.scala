@@ -181,6 +181,45 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("dsir manifest is exactly manifest ∩ selection, carrying the selection weight") {
+    val man = TextQueries.exportManifest(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getAs[Number](3).intValue()))).toMap
+    val sel = TextQueries.dsirSelect(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("llr_sum").longValue()).toMap
+    val comp = TextQueries.dsirManifest(spark, Sf).collect()
+    assert(comp.nonEmpty, "the selected-export composition must keep rows at sf0.001")
+    assert(comp.map(_.getLong(0)).toSet === man.keySet.intersect(sel.keySet),
+      "composition rows must be exactly the manifest ∩ selection doc set")
+    comp.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getString(1), r.getString(2), r.getAs[Number](3).intValue()) === man(id),
+        s"doc $id manifest columns drifted through the composition")
+      assert(r.getAs[Number]("llr_sum").longValue() === sel(id),
+        s"doc $id selection weight drifted through the composition")
+    }
+    CacheLife.release(spark)
+  }
+
+  test("bucket-blocked kNN: k-bounded exact-scored lists; recall row consistent with the edge sets") {
+    val approx = SimilarityQueries.knnAnn(spark, Sf).collect()
+    assert(approx.nonEmpty)
+    approx.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      assert(rows.length <= SimilarityQueries.KnnK, s"src $src over k")
+      assert(rows.forall(_.getLong(1) != src), s"src $src has a self edge")
+      // ranks are dense from 1 — the probe's window really cut top-k
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    // the recall row reports exactly the edge-set intersection
+    val exact = SimilarityQueries.knnJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val rr = SimilarityQueries.knnAnnRecall(spark, Sf).collect().head
+    assert(rr.getLong(0) == hits && rr.getLong(1) == exact.size)
+    assert(rr.getDouble(2) > 0 && rr.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()

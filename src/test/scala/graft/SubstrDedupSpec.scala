@@ -253,6 +253,42 @@ class SubstrDedupSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("clean_sample is exactly clean restricted to the md5 bucket-0 docs") {
+    val sampleIds = Tables.documents(spark, Sf)
+      .filter(graft.functions.Buckets.mdBucket(col("doc_id").cast("string"),
+        SubstrDedup.SampleBuckets) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def rows(df: DataFrame): Map[Long, (String, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Number](2).longValue()))).toMap
+    val full = rows(SubstrDedup.clean(spark, Sf))
+    val samp = rows(SubstrDedup.cleanSample(spark, Sf))
+    // span derivation is corpus-wide; only the re-join restricts, so
+    // the sample must agree row-for-row with the full clean
+    assert(samp.keySet === sampleIds,
+      s"sample rows must cover exactly the bucket-0 docs (got ${samp.size} of ${sampleIds.size})")
+    samp.foreach { case (id, v) =>
+      assert(full(id) === v, s"doc $id drifted between clean and clean_sample")
+    }
+    CacheLife.release(spark)
+  }
+
+  test("winnow excision keeps a superset of the exact excision (covers shrink, kept grows)") {
+    def kept(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = kept(SubstrDedup.cleanTokens(spark, Sf))
+    val winnow = kept(SubstrDedup.winnowCleanTokens(spark, Sf))
+    // winnowed covers ⊆ exact covers (precision 1), so the winnow
+    // excision removes FEWER positions — its kept set must contain
+    // every exactly-kept (doc, pos) and be strictly larger here (the
+    // sf0.001 corpus has sub-t matches winnowing misses by contract)
+    assert(exact.subsetOf(winnow),
+      s"winnow excision removed positions the exact excision kept: ${(exact -- winnow).take(5)}")
+    assert(winnow.size > exact.size,
+      "expected winnow recall < 1 on this corpus — if equal, the test corpus stopped exercising the trade")
+    CacheLife.release(spark)
+  }
+
   test("spans are maximal: disjoint and non-adjacent per doc, each >= W tokens") {
     val byDoc = SubstrDedup.queries("dedup_substr_spans")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getAs[Number]("span_start").longValue(),
