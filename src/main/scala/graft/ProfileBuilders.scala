@@ -2,16 +2,27 @@ package graft
 
 import graft.operators.{DedupQueries, SimilarityQueries, SubstrDedup, TextQueries}
 
-/** Cold-build profiler for named index builders at one corpus dir —
-  * the adjudication tool for cross-round BUILDER comparisons: a
-  * builder inside the full Bench run can accidentally measure warm
-  * (an earlier pass's cache blocks not yet evicted after a
-  * non-blocking unpersist), which published a physically impossible
-  * 100×-data-in-4.5×-time line in one round's record. This main runs
-  * each named builder in a fresh-released session state, so the
-  * printed time is the honest cold cost.
+/** Cold profiler for named index builders AND registered queries at
+  * one corpus dir — the adjudication tool for cross-round and
+  * cross-decade comparisons: a line inside the full Bench run can
+  * accidentally measure warm (an earlier pass's cache blocks not yet
+  * evicted after a non-blocking unpersist), which published a
+  * physically impossible 100×-data-in-4.5×-time builder line in one
+  * round's record, and deflated sf1-up query denominators inflated
+  * ~20 second-decade ratios past 10 in another (round-12 verdict
+  * item #2). Protocols:
+  *
+  *   - BUILDERS: every iteration runs from a fresh-released session
+  *     state — each printed time is the honest cold build cost;
+  *   - QUERIES: released once per query, then `max(iters, 2)` runs in
+  *     place — iteration 1 is the cold cost INCLUDING the cache
+  *     population the query rides, iteration 2+ the steady state the
+  *     bench medians correspond to. The pair brackets any published
+  *     ratio: a genuine plan bend shows in BOTH lines, a
+  *     warm-denominator artifact only in the first.
   *
   * Usage: `runMain graft.ProfileBuilders <dir> <name1,name2,...> [iters]`
+  * (names may mix builder names and registered query names).
   */
 object ProfileBuilders {
   def main(args: Array[String]): Unit = {
@@ -25,13 +36,24 @@ object ProfileBuilders {
         SimilarityQueries.indexBuilders(spark, dir) ++
         TextQueries.indexBuilders(spark, dir))
         .filter(b => names.contains(b._1))
-      require(builders.nonEmpty, s"no builder matches $names")
+      val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => names.contains(q._1))
+      require(builders.nonEmpty || queries.nonEmpty,
+        s"no builder or registered query matches $names")
       (1 to iters).foreach { i =>
         builders.foreach { case (n, f) =>
           CacheLife.release(spark)
           val t0 = System.nanoTime()
           f()
           println(f"[pbuild] iter$i $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+      }
+      queries.foreach { case (n, f) =>
+        CacheLife.release(spark)
+        (1 to math.max(iters, 2)).foreach { i =>
+          val t0 = System.nanoTime()
+          f(spark, dir).count()
+          println(f"[pquery] iter$i $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         }
       }
     } finally { CacheLife.release(spark); spark.stop() }

@@ -301,6 +301,27 @@ object SimilarityQueries {
       k = KnnK, broadcastQueries = false)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
 
+  /** A deterministic 1/[[KnnSampleBuckets]] SOURCE sample of [[knnAnn]]
+    * — the scale-decade oracle row (the dedup_substr_clean_sample
+    * idiom): the probe is per-source independent, so the sample is an
+    * EXACT restriction of the corpus-wide result, and the oracle's
+    * candidate set shrinks with the sample (the full kNN oracle at
+    * 100× would window over ~15G candidate rows, which DuckDB cannot
+    * sort; the 5% source slice keeps it at the 10×-full-pass cost).
+    * Candidates stay CORPUS-WIDE — only the query side samples, so
+    * every probed cell's members are still searched.
+    */
+  val KnnSampleBuckets = 20
+
+  def knnAnnSample(s: SparkSession, dir: String): DataFrame =
+    probeQuerySet(s, dir,
+      embs(s, dir)
+        .filter(graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
+          KnnSampleBuckets) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      k = KnnK, broadcastQueries = false)
+      .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
+
   /** Edge recall of the bucket-blocked kNN against the exact kernel's
     * kNN: |approx edges ∩ exact edges| / |exact edges| on (src, dst).
     * Rides the exact kernel, so — like [[pairsRecall]] — it is
@@ -1165,6 +1186,7 @@ object SimilarityQueries {
     "sim_pairs_recall" -> (pairsRecall _),
     "sim_knn_join" -> (knnJoin _),
     "sim_knn_ann" -> (knnAnn _),
+    "sim_knn_ann_sample" -> (knnAnnSample _),
     "sim_knn_ann_recall" -> (knnAnnRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -1231,14 +1253,14 @@ object SimilarityQueries {
     s"round(${VO.cosine("a.v", "b.v")}, 6) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id), " +
     oKnnRankTail("p")
 
-  /** Corpus-wide IVF-probe kNN oracle: the batch-probe SQL with the
-    * whole corpus as the query set and the KnnK cut — mirrors
-    * [[knnAnn]] riding [[probeQuerySet]].
+  /** IVF-probe kNN oracle over an optionally-restricted query side
+    * (candidates always corpus-wide) — mirrors [[knnAnn]] /
+    * [[knnAnnSample]] riding [[probeQuerySet]].
     */
-  private lazy val oKnnAnn: String =
+  private def oKnnAnnOver(srcWhere: String): String =
     s"WITH e AS ($oE), $oCells, " +
     s"qs AS (SELECT q.vec_id AS src, q.v AS qv, c.cid, " +
-    s"round(${VO.cosine("c.cv", "q.v")}, 6) AS ccos FROM e q, cents c), " +
+    s"round(${VO.cosine("c.cv", "q.v")}, 6) AS ccos FROM e q, cents c$srcWhere), " +
     s"qc AS (SELECT src, qv, cid AS cell FROM (" +
     s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM qs) " +
     s"WHERE rn <= $NProbeIvf), " +
@@ -1247,6 +1269,10 @@ object SimilarityQueries {
     s"SELECT src, dst, cos, rn FROM (" +
     s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cand) " +
     s"WHERE rn <= $KnnK"
+
+  private lazy val oKnnAnn: String = oKnnAnnOver("")
+  private lazy val oKnnAnnSample: String = oKnnAnnOver(
+    s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0")
 
   private val oCells: String =
     s"""cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $NCells),
@@ -1550,6 +1576,7 @@ object SimilarityQueries {
        "FROM q GROUP BY 1, 2"),
     "sim_knn_join" -> oKnnExact,
     "sim_knn_ann" -> oKnnAnn,
+    "sim_knn_ann_sample" -> oKnnAnnSample,
     "sim_knn_ann_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnAnn) a JOIN ($oKnnExact) x USING (src, dst)), " +

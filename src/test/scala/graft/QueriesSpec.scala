@@ -210,6 +210,24 @@ class QueriesSpec extends SparkSpec {
       // ranks are dense from 1 — the probe's window really cut top-k
       assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
     }
+    // the source sample is an EXACT restriction of the corpus-wide
+    // result (the probe is per-source independent) — the property that
+    // makes it a valid scale-decade oracle stand-in. Expected sources
+    // are recomputed in-process from the same md5-bucket rule.
+    def bucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+      java.lang.Long.parseLong(hex, 16) % SimilarityQueries.KnnSampleBuckets
+    }
+    val expectedSrcs = approx.map(_.getLong(0)).toSet.filter(bucketOf(_) == 0)
+    val sample = SimilarityQueries.knnAnnSample(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fullRestricted = approx
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .filter(t => expectedSrcs.contains(t._1)).toSet
+    assert(sample.nonEmpty && sample === fullRestricted,
+      "knn sample must be exactly the corpus-wide result restricted to the bucket-0 sources")
     // the recall row reports exactly the edge-set intersection
     val exact = SimilarityQueries.knnJoin(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
