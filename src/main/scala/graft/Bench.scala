@@ -87,7 +87,9 @@ object Bench {
     "sim_knn_join" ->
       "rides the exact pair kernel — scale path is sim_knn_ann (bucket blocking + rank)",
     "sim_knn_ann_recall" ->
-      "kNN recall eval against the exact-kernel baseline")
+      "kNN recall eval against the exact-kernel baseline",
+    "sim_knn_ann_pq_recall" ->
+      "PQ-kNN recall eval against the exact-kernel baseline")
 
   /** Builder twin of [[UpExcluded]]. */
   val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sources.{DedupLayout, SubstrLayout, TextLayout, VectorLayout}
 
@@ -61,7 +62,11 @@ object VerifyStream {
         Tables.documents(s, sfDir),
         SubstrLayout.spans(s, StoreBuild.substrLayoutDir(root)))),
     "sim_ann_kmeans" -> (s =>
-      VectorLayout.probe(s, StoreBuild.vectorLayoutDir(root))))
+      VectorLayout.probe(s, StoreBuild.vectorLayoutDir(root))),
+    "sim_knn_ann_kmeans" -> (s =>
+      VectorLayout.knn(s, sfDir, StoreBuild.vectorLayoutDir(root))
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cos"), col("rn"))))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -340,6 +340,136 @@ object SimilarityQueries {
         round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  // ---- PQ-compressed kNN join: the corpus-wide form of the IVF-PQ
+  // retrieval stack ----
+  // [[knnAnn]] scans RAW vectors inside each probed cell; at 100 TB the
+  // candidate scan is the dominant term and the production fix is the
+  // same one the single-query stack already ships (annIvfPqMultiProbe):
+  // scan PQ CODES under ADC, then rerank a per-source shortlist with
+  // exact cosine over raw vectors. Stages, all per-source independent:
+  //   1. probe: every quantized vector ranks the trained coarse
+  //      centroids by the SAME integer cosine the assignment uses
+  //      (corpus × K rows through a qid-partitioned window — model-sized
+  //      per source, never corpus²) and keeps its NProbeIvf cells;
+  //   2. shortlist: one shuffle equi-join of the code table against the
+  //      (source, probe-cell) pairs on the cell key — the query side is
+  //      corpus-sized, so it shuffles, never broadcasts — with ADC
+  //      distances (M map-literal codebook lookups, integer L2²) and a
+  //      per-source [[PqShortlist]] window cut; compressed rows are the
+  //      only thing the candidate scan touches;
+  //   3. rerank: raw vectors join back for the shortlist ALONE
+  //      (corpus × PqShortlist rows, linear), exact cosine, per-source
+  //      top-[[KnnK]] — the same rerank discipline that measured
+  //      +0.2 recall on the single-query stack.
+  // The recall eval ([[knnAnnPqRecall]]) rides the exact kernel like
+  // every other recall row; the sample twin ([[knnAnnPqSample]]) is the
+  // decade-portable oracle row (exact restriction — the probe is
+  // per-source independent, the knnAnnSample argument verbatim).
+  private def knnPqOver(s: SparkSession, dir: String,
+                        srcFilter: DataFrame => DataFrame): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val idx = pqCodes(s, dir)
+    val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("qcell").asc)
+    val probes = srcs.select(col("qid"), col("qqv"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(lit(cid).as("cid"), qCos(col("qqv"), c).as("ccos"))
+        }: _*)).as("sc"))
+      .select(col("qid"), col("qqv"),
+        col("sc.cid").as("qcell"), col("sc.ccos").as("ccos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbeIvf)
+      .select(col("qid"), col("qqv"), col("qcell"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    // the probe side is corpus-sized: pin the shuffle join (merge
+    // hint) — at test scale the cached code table's exact stats would
+    // elect it as a broadcast build side, the exact plan that melts at
+    // 100 TB (the broadcastQueries=false argument of probeQuerySet)
+    val shortlist = idx
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcDist(s, dir).as("adist"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val raw = embs(s, dir).select(col("vec_id"), col("v"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    shortlist
+      .join(raw, Seq("vec_id"))
+      .join(raw.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= KnnK)
+  }
+
+  def knnAnnPq(s: SparkSession, dir: String): DataFrame =
+    knnPqOver(s, dir, identity)
+
+  /** Corpus-wide kNN over the TRAINED coarse quantizer — the session
+    * twin of the serving path: [[graft.sources.VectorLayout]] partitions
+    * the on-disk corpus by exactly these trained cells, so THIS is the
+    * kNN graph a deployment computes by reading the versioned store
+    * (the streamed/drained form is dumped by VerifyStream under this
+    * name and hash-checked against the same oracle). Same stages as
+    * [[knnAnn]] — per-source probe ranking (corpus × K model-sized
+    * window), shuffled cell equi-join for candidates, exact cosine,
+    * per-source top-k — with the trained centroids in place of the
+    * seeded ones; probe scoring is the assignment arithmetic (quantized
+    * integer cosine), so the probed cells are consistent with the cells
+    * vectors actually live in.
+    */
+  def knnAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("qcell").asc)
+    val probes = q.select(col("vec_id").as("qid"), col("qv").as("qqv"))
+      .select(col("qid"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(lit(cid).as("cid"), qCos(col("qqv"), c).as("ccos"))
+        }: _*)).as("sc"))
+      .select(col("qid"), col("sc.cid").as("qcell"), col("sc.ccos").as("ccos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbeIvf)
+      .select(col("qid"), col("qcell"))
+    val raw = embs(s, dir).select(col("vec_id"), col("v"))
+    val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    assigned
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(raw.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= KnnK)
+  }
+
+  def knnAnnPqSample(s: SparkSession, dir: String): DataFrame =
+    knnPqOver(s, dir, q => q.filter(
+      graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
+        KnnSampleBuckets) === 0))
+
+  /** Edge recall of the PQ-compressed kNN against the exact kernel's
+    * kNN — the [[knnAnnRecall]] discipline; rides the exact kernel, so
+    * excluded from the up-decade passes by name while [[knnAnnPq]]
+    * itself runs there.
+    */
+  def knnAnnPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnJoin(s, dir).select("src", "dst")
+    val hits = knnAnnPq(s, dir).select("src", "dst")
+      .join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(nExact)
+      .select(col("hits"), col("n_exact"),
+        round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   // The previous registered form, kept as a cross-check kernel (and as
   // the right tool when one side genuinely fits in memory — it is a
   // hand-rolled broadcast join): collect+broadcast one side, stream the
@@ -1188,6 +1318,10 @@ object SimilarityQueries {
     "sim_knn_ann" -> (knnAnn _),
     "sim_knn_ann_sample" -> (knnAnnSample _),
     "sim_knn_ann_recall" -> (knnAnnRecall _),
+    "sim_knn_ann_pq" -> (knnAnnPq _),
+    "sim_knn_ann_pq_sample" -> (knnAnnPqSample _),
+    "sim_knn_ann_pq_recall" -> (knnAnnPqRecall _),
+    "sim_knn_ann_kmeans" -> (knnAnnKmeans _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_ivf_cells" -> (ivfCells _),
@@ -1528,6 +1662,77 @@ object SimilarityQueries {
   }
 
   private val oAnnIvfPqMulti: String = oPqProbeRerank(NProbeIvf, "")
+
+  /** PQ-compressed kNN oracle over an optionally-restricted query side
+    * (candidates always corpus-wide) — mirrors [[knnPqOver]] stage for
+    * stage: probe ranking by the assignment's integer cosine, ADC
+    * shortlist per source over the code/codebook joins, exact-cosine
+    * rerank of the shortlist alone.
+    */
+  private def oKnnPqOver(srcWhere: String): String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    val sc = s"round(${qd("q.qv", "c.cv")} / " +
+      s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
+    val dCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""kd$m AS (SELECT cand.src, cand.vec_id, ${oPqL2(s"cand.qqv[$lo:$hi]", "c.cv")} AS d
+         |  FROM cand JOIN p${m}a$oPqFinIter a ON cand.vec_id = a.vec_id
+         |  JOIN p${m}c$PqIters c ON a.code = c.cid)""".stripMargin
+    }.mkString(",\n")
+    val dSum = (0 until PqM).map(m => s"kd$m.d").mkString(" + ")
+    val dJoins = (1 until PqM).map(m => s"JOIN kd$m USING (src, vec_id)").mkString(" ")
+    s"""WITH $oKmeansChain,
+       |$oPqSubChains,
+       |ps AS (SELECT q.vec_id AS src, q.qv, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
+       |pc AS (SELECT src, qv AS qqv, cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
+       |  WHERE rn <= $NProbeIvf),
+       |cand AS (SELECT pc.src, pc.qqv, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
+       |  WHERE a.vec_id <> pc.src),
+       |$dCtes,
+       |sl AS (SELECT src, vec_id FROM (
+       |  SELECT kd0.src, kd0.vec_id, row_number() OVER (
+       |    PARTITION BY kd0.src ORDER BY $dSum, kd0.vec_id) AS srn
+       |  FROM kd0 $dJoins) WHERE srn <= $PqShortlist)
+       |SELECT src, dst, cos, rn FROM (
+       |  SELECT sl.src, sl.vec_id AS dst,
+       |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY sl.src
+       |      ORDER BY round(${VO.cosine("ev.v", "qs.v")}, 6) DESC, sl.vec_id) AS rn
+       |  FROM sl JOIN e ev ON sl.vec_id = ev.vec_id JOIN e qs ON sl.src = qs.vec_id)
+       |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val oKnnPq: String = oKnnPqOver("")
+  private lazy val oKnnPqSample: String = oKnnPqOver(
+    s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0")
+
+  /** Trained-quantizer corpus-wide kNN oracle — the kmeans chain's
+    * centroids rank per source by the assignment's integer cosine,
+    * candidates are the probed cells' assigned members, exact-cosine
+    * rerank. Mirrors [[knnAnnKmeans]] (and its store-backed twin that
+    * VerifyStream dumps under the same name).
+    */
+  private lazy val oKnnKmeans: String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    val sc = s"round(${qd("q.qv", "c.cv")} / " +
+      s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
+    s"""WITH $oKmeansChain,
+       |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c),
+       |pc AS (SELECT src, cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
+       |  WHERE rn <= $NProbeIvf),
+       |cand AS (SELECT pc.src, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
+       |  WHERE a.vec_id <> pc.src)
+       |SELECT src, dst, cos, rn FROM (
+       |  SELECT cand.src, cand.vec_id AS dst,
+       |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY cand.src
+       |      ORDER BY round(${VO.cosine("ev.v", "qs.v")}, 6) DESC, cand.vec_id) AS rn
+       |  FROM cand JOIN e ev ON cand.vec_id = ev.vec_id JOIN e qs ON cand.src = qs.vec_id)
+       |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+  }
   private val oAnnFilteredPq: String =
     oPqProbeRerank(NProbeFiltered, s"AND e.label = $FilterLabel")
 
@@ -1580,6 +1785,13 @@ object SimilarityQueries {
     "sim_knn_ann_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnAnn) a JOIN ($oKnnExact) x USING (src, dst)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
+    "sim_knn_ann_pq" -> oKnnPq,
+    "sim_knn_ann_pq_sample" -> oKnnPqSample,
+    "sim_knn_ann_kmeans" -> oKnnKmeans,
+    "sim_knn_ann_pq_recall" ->
+      (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS hits FROM ($oKnnPq) a JOIN ($oKnnExact) x USING (src, dst)), " +
        s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
     "sim_ivf_cells" ->
       (s"WITH e AS ($oE), $oCells " +

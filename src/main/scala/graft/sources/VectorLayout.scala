@@ -603,6 +603,55 @@ object VectorLayout {
       .filter(col("rn") <= k)
   }
 
+  /** Corpus-wide kNN read from the layout — the serving twin of
+    * [[SimilarityQueries.knnAnnKmeans]]: every stored vector is a
+    * query, ranks the layout's codebook centroids by the assignment's
+    * integer cosine (rows × K, model-sized per source), and candidates
+    * come from an equi-join against the stored `cell` partition column
+    * — the cells were WRITTEN by the same assignment, so the join is
+    * co-located with the layout's partitioning at scale. Unlike
+    * [[probeQuerySet]], the query side is corpus-sized: nothing is
+    * broadcast, checkpointed, or collected (a corpus-wide probe touches
+    * every cell, so the literal `isin` partition filter would list all
+    * of them anyway), and the planner picks the join strategy from the
+    * real sizes. Output matches the registered query: (qid, vec_id,
+    * cos, rn) per source with rn ≤ k.
+    */
+  def knn(spark: SparkSession, sfDir: String, outDir: String,
+          nprobe: Int = SimilarityQueries.NProbeIvf,
+          k: Int = SimilarityQueries.KnnK,
+          upToBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val dir = resolve(spark, outDir)
+    requireLayout(spark, dir)
+    val cents = centroidsFor(spark, sfDir, dir)
+      .map { case (cid, c) => (cid, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "cent")
+    val rows = vectors(spark, dir, upToBatch)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = rows
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qqv", transform(col("qv").cast("array<double>"),
+        x => floor(x * SimilarityQueries.QuantScale)))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(call_function("graft_cosine",
+          col("qqv").cast("array<double>"), col("cent")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("qcell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    rows
+      .join(qcells, col("cell").cast("long") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_cosine", col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+  }
+
   /** Read-only integrity report of the vector layout — the
     * [[graft.Doctor]] leg. A plain (unversioned) dir is one nested
     * batch-log check; a versioned root additionally validates the

@@ -80,6 +80,18 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // rides the cached cell index
   }
 
+  test("PQ kNN shortlists by shuffled cell equi-join over codes with partial top-k, never a corpus broadcast") {
+    val p = plan(SimilarityQueries.knnAnnPq(spark, Sf))
+    // the candidate join shuffles the code table against the
+    // corpus-sized (source, probe-cell) set on the cell key
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both the per-src ADC shortlist and the rerank top-k must
+    // partial-limit map-side
+    assert(p.contains("WindowGroupLimit"), p)
+    CacheLife.release(spark) // rides the cached code table + models
+  }
+
   test("tfidf df is an aggregate + broadcast join, never a vocab-partitioned window") {
     val df = TextQueries.tfidf(spark, Sf)
     val p = plan(df)

@@ -238,6 +238,39 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("PQ kNN: k-bounded rerank lists; sample is an exact restriction; recall row consistent") {
+    val approx = SimilarityQueries.knnAnnPq(spark, Sf).collect()
+    assert(approx.nonEmpty)
+    approx.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      assert(rows.length <= SimilarityQueries.KnnK, s"src $src over k")
+      assert(rows.forall(_.getLong(1) != src), s"src $src has a self edge")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    // same restriction property as knnAnnSample: the probe, shortlist,
+    // and rerank are all per-source independent
+    def bucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 10)
+      java.lang.Long.parseLong(hex, 16) % SimilarityQueries.KnnSampleBuckets
+    }
+    val expectedSrcs = approx.map(_.getLong(0)).toSet.filter(bucketOf(_) == 0)
+    val sample = SimilarityQueries.knnAnnPqSample(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fullRestricted = approx
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .filter(t => expectedSrcs.contains(t._1)).toSet
+    assert(sample.nonEmpty && sample === fullRestricted,
+      "PQ knn sample must be exactly the corpus-wide result restricted to the bucket-0 sources")
+    val exact = SimilarityQueries.knnJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val rr = SimilarityQueries.knnAnnPqRecall(spark, Sf).collect().head
+    assert(rr.getLong(0) == hits && rr.getLong(1) == exact.size)
+    assert(rr.getDouble(2) > 0 && rr.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()

@@ -40,4 +40,19 @@ class VectorLayoutSpec extends SparkSpec {
       s"expected <= ${SimilarityQueries.NCells} cell partitions, got ${dirs.length}")
     CacheLife.release(spark)
   }
+
+  test("corpus-wide kNN read from the layout equals the session trained-quantizer kNN") {
+    val out = Files.createTempDirectory("graft-vectors-knn").toString + "/vectors"
+    VectorLayout.materialize(spark, Sf, out)
+    // the serving twin: same probes, same candidates (stored cell
+    // partition vs session assignment), same rerank arithmetic, same
+    // tie-breaks — row-for-row
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val got = VectorLayout.knn(spark, Sf, out).collect().map(key).toSet
+    val want = SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
+    assert(got.nonEmpty && got === want,
+      s"layout kNN drifted from knnAnnKmeans: ${got.size} vs ${want.size} rows")
+    CacheLife.release(spark)
+  }
 }
