@@ -284,7 +284,16 @@ object SimilarityQueries {
   // the probed cells' members (equi-join on the cell key, shuffled —
   // broadcasting a corpus-sized query set would be the scale killer),
   // and the per-src top-k window is the same rank stage knnJoin runs.
-  // Cost is nprobe × cell size per vector, never n².
+  // Cost is nprobe × cell size per vector — LINEAR under the deployment
+  // contract that the codebook K scales with the corpus so cell
+  // occupancy stays ~constant (the same argument as [[MaxSemCell]]);
+  // with a FROZEN model, cell size is n/K and the candidate count grows
+  // as nprobe·n²/K across scale decades. The up-decade passes run the
+  // fixture's fixed 8-cell model, so their timings carry that n²/K
+  // term by construction of the frozen demo model, not the plan — at
+  // 100× the measured cost sits in the candidate scan, exactly where
+  // the formula says, and retraining at deployment K restores
+  // linearity without touching the plan.
   //
   // IVF, not sign-LSH, chosen by MEASUREMENT: kNN neighbors in this
   // near-isotropic corpus sit well below the cos≥0.4 near-dup band
