@@ -1277,11 +1277,6 @@ object SimilarityQueries {
       .reduce(_ unionAll _)
   }
 
-  /** Recall row for the FILTERED probe — measured against the exact
-    * FILTERED baseline (brute-force top-10 among FilterLabel vectors),
-    * not the global one: the predicate changes the ground truth. Keeps
-    * the family discipline — every lossy variant ships a recall row.
-    */
   /** Exact FILTERED ground truth: brute-force top-k among FilterLabel
     * vectors — shared by both filtered recall rows (the predicate
     * changes the ground truth, so neither measures against the global
@@ -1304,6 +1299,10 @@ object SimilarityQueries {
       .select(lit(name).as("variant"), col("hits"),
         round(col("hits").cast("double") / RecallK, 6).as("recall"))
 
+  /** Recall row for the FILTERED probe — measured against
+    * [[filteredBruteTop]], not the global baseline. Keeps the family
+    * discipline: every lossy variant ships a recall row.
+    */
   def annFilteredRecall(s: SparkSession, dir: String): DataFrame =
     filteredRecallRow("filtered", annFiltered(s, dir), filteredBruteTop(s, dir))
 

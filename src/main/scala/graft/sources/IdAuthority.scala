@@ -486,11 +486,16 @@ object IdAuthority {
     *
     * `priorIds` is by-name: a bloom-guarded clean batch never evaluates
     * it. `what` names the store in the refusal ("index prefix",
-    * "token-log prefix").
+    * "token-log prefix"). `preRecord` is the caller's leased refusal
+    * hook — run after the lease is held but BEFORE the sidecar record
+    * publishes, so a caller-side refusal (e.g. SubstrLayout's width
+    * mismatch) never leaves a bloom record ahead of the log; a throw
+    * here releases the lease like any other refusal.
     */
   def guardAndRecord(spark: SparkSession, root: String, batchId: Long,
                      arrivalIds: DataFrame, priorIds: => DataFrame,
-                     who: String, what: String): Unit = {
+                     who: String, what: String,
+                     preRecord: () => Unit = () => ()): Unit = {
     // single-writer enforcement: acquired before the guard reads its
     // authority and HELD PAST RETURN, through the caller's store
     // writes — the record-ahead-of-log window closes only when the log
@@ -498,8 +503,10 @@ object IdAuthority {
     // after its last write (see [[LeaseName]]). A refusal here is not
     // an in-flight append: release before rethrowing.
     acquireLease(spark, root, who, batchId)
-    try guardAndRecordLeased(spark, root, batchId, arrivalIds, priorIds, who, what)
-    catch { case e: Throwable => releaseLease(spark, root); throw e }
+    try {
+      preRecord()
+      guardAndRecordLeased(spark, root, batchId, arrivalIds, priorIds, who, what)
+    } catch { case e: Throwable => releaseLease(spark, root); throw e }
   }
 
   /** Release the append lease [[guardAndRecord]] left held — call in a

@@ -158,6 +158,25 @@ object SubstrLayout {
     }
   }
 
+  /** The refusal half of [[leasedW]], with the pin WRITES left out —
+    * run through [[IdAuthority.guardAndRecord]]'s pre-record hook, i.e.
+    * under the same lease but BEFORE the sidecar bloom record publishes
+    * (round-13 ADVICE: a width refusal thrown after the record left a
+    * record ahead of the log with no fp partition, so one refused
+    * append tripped fsck's records-ahead WARN and two tripped the
+    * Doctor FAIL on a healthy store). Only the built-store states can
+    * refuse; the two pin-writing states stay in [[leasedW]], after the
+    * record, where the crashed-first-append re-pin belongs.
+    */
+  private def requireLeasedW(spark: SparkSession, root: String): Unit = {
+    val sessionW = SubstrDedup.wOf(spark)
+    (pinnedW(spark, root), storeExists(spark, fpDir(root))) match {
+      case (Some(p), true) => requireW(root, p, sessionW)
+      case (None, true)    => requireW(root, SubstrDedup.W, sessionW)
+      case _               => ()
+    }
+  }
+
   /** One PRESENCE row (doc_id, pos = −1, h = null) per ingested doc on
     * top of the winnowed anchors. Two invariants hang off it (round-12
     * advice): (a) a batch whose docs ALL winnow to nothing (every doc
@@ -236,12 +255,16 @@ object SubstrLayout {
       priorIds = if (storeExists(spark, fpDir(root)))
         prefixIds(spark, root, mk, batchId)
       else arr.limit(0).select(col("doc_id")),
-      who = "SubstrLayout.append", what = "fingerprint-log prefix")
+      who = "SubstrLayout.append", what = "fingerprint-log prefix",
+      // width refusal runs leased but PRE-record ([[requireLeasedW]]):
+      // a mismatched session must not publish a sidecar record for a
+      // batch whose fp partition will never land
+      preRecord = () => requireLeasedW(spark, root))
     try {
-      // width check + first-append pin run HERE, under the lease the
-      // guard left held: a width refusal throws into the finally below
-      // (lease released, pin untouched), and a first-append pin can no
-      // longer be overwritten by a racing appender (see [[leasedW]])
+      // first-append pin (and the crashed-pin re-pin) run HERE, under
+      // the lease the guard left held — the refusal states already
+      // passed pre-record, so this cannot throw for a width mismatch,
+      // and a racing appender can no longer overwrite the winner's pin
       val w = leasedW(spark, root)
       val fp = winnowed(spark, arr, w).localCheckpoint()
       withPresence(fp, arr).withColumn(BatchCol, lit(batchId))

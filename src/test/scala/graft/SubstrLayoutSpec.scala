@@ -178,6 +178,12 @@ class SubstrLayoutSpec extends SparkSpec {
     // the matching-width append below proves the release
     assert(SubstrLayout.pinnedW(spark, root) === Some(12),
       "a refused mismatched append must not touch the width pin")
+    // ...and BEFORE the sidecar record publishes (round-13 advice): a
+    // refused batch must leave no bloom record ahead of the fp log, or
+    // fsck WARNs (and two refusals FAIL) a perfectly healthy store
+    assert(!SubstrLayout.fsck(spark, root)
+      .exists(r => r._1 == "authority" && r._2 != "ok"),
+      "a width refusal must not publish a sidecar record ahead of the log")
     // the mismatch is a WARN in fsck (reads still work via the pin)
     assert(SubstrLayout.fsck(spark, root)
       .exists(r => r._1 == "w_pin" && r._2 == "warn"))
