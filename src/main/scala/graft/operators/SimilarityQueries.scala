@@ -389,7 +389,10 @@ object SimilarityQueries {
         col("sc.cid").as("qcell"), col("sc.ccos").as("ccos"))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= NProbeIvf)
-      .select(col("qid"), col("qqv"), col("qcell"))
+      // the LUT lands HERE, per probe row (nprobe × corpus, model-sized
+      // folds each), so the candidate scan below never evaluates an
+      // interpreted fold — see [[adcLut]]
+      .select(col("qid"), adcLut(s, dir, col("qqv")).as("lut"), col("qcell"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // the probe side is corpus-sized: pin the shuffle join (merge
@@ -399,7 +402,7 @@ object SimilarityQueries {
     val shortlist = idx
       .join(probes.hint("merge"), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adcDist(s, dir).as("adist"))
+      .select(col("qid"), col("vec_id"), adcFromLut(col("lut")).as("adist"))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= PqShortlist)
       .select(col("qid"), col("vec_id"))
@@ -996,30 +999,57 @@ object SimilarityQueries {
       .groupBy("sub", "code")
       .agg(count(lit(1)).as("n_vecs"))
 
-  /** The ADC distance expression over a codes row joined with the
-    * broadcast query (`qqv`): M map-literal codebook lookups + integer
-    * L2² sums, reduced to one Long. Shared by the flat scan and the
-    * IVF-pruned form.
+  /** Per-query ADC lookup table — the classic ADC preparation step
+    * (Jégou et al., PQ for NN search, §"asymmetric distance"): all M×K
+    * integer L2² terms between the query's exact subvectors and every
+    * codebook centroid, laid out as ONE array<long> with subspace m's
+    * code cid at 1-based index m·PqK + cid (cids are seeded 1..PqK; a
+    * cid whose cluster emptied during Lloyd gets a never-read 0 slot —
+    * no code row can hold it). The table is model-sized work evaluated
+    * once per QUERY row, so the corpus-sized candidate scan pays only
+    * M codegen'd array lookups + adds per row ([[adcFromLut]]).
+    *
+    * This replaced the per-CANDIDATE form (M map-literal element_at +
+    * zip_with/aggregate folds): higher-order array functions evaluate
+    * interpreted, and at bench sf the corpus-wide PQ kNN pushed ~1M
+    * candidate rows × 4 folds through them — 20 s for a query whose
+    * siblings cost 3 (the same interpreted-expression blow-up the
+    * broadcast-kernel comment documents). Same values bit-for-bit:
+    * identical l2q terms, grouped per query instead of per candidate.
     */
-  private def adcDist(s: SparkSession, dir: String): org.apache.spark.sql.Column =
-    (0 until PqM).map { m =>
-      val codebook = typedLit(pqModel(s, dir)(m)
-        .map { case (cid, c) => cid -> c.toSeq }.toMap)
-      l2q(subSlice(col("qqv"), m), element_at(codebook, col(s"c$m")))
-    }.reduce(_ + _)
+  private def adcLut(s: SparkSession, dir: String,
+                     qqv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val model = pqModel(s, dir)
+    array((0 until PqM).flatMap { m =>
+      val byCid = model(m).toMap
+      (1 to PqK).map(cid => byCid.get(cid.toLong) match {
+        case Some(c) => l2q(subSlice(qqv, m), typedLit(c.toSeq))
+        case None    => lit(0L)
+      })
+    }: _*)
+  }
 
-  /** ADC top-10: the query's exact subvectors against each corpus
-    * vector's code-indexed centroids — M map-literal lookups + integer
-    * L2² sums per row, planned as a codes-table scan × 1-row broadcast
+  /** ADC distance of a codes row against a carried [[adcLut]] column:
+    * M array lookups + integer adds, all codegen-able — the candidate
+    * scan's entire per-row cost.
+    */
+  private def adcFromLut(lut: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PqM).map(m =>
+      element_at(lut, (lit(m * PqK) + col(s"c$m")).cast("int"))).reduce(_ + _)
+
+  /** ADC top-10: the query's [[adcLut]] table (computed once on the
+    * 1-row query side) against each corpus vector's codes — M array
+    * lookups per row, planned as a codes-table scan × 1-row broadcast
     * with TakeOrderedAndProject on top. No shuffle touches the corpus.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
-    val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
+    val qq = q.filter(col("vec_id") === QueryVecId)
+      .select(adcLut(s, dir, col("qv")).as("lut"))
     pqCodes(s, dir)
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(qq))
-      .select(col("vec_id"), adcDist(s, dir).as("adist"))
+      .select(col("vec_id"), adcFromLut(col("lut")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(10)
   }
@@ -1039,14 +1069,15 @@ object SimilarityQueries {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
     val idx = pqCodes(s, dir)
-    val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
+    val qq = q.filter(col("vec_id") === QueryVecId)
+      .select(adcLut(s, dir, col("qv")).as("lut"))
     val qcell = idx.filter(col("vec_id") === QueryVecId)
       .select(col("cell").as("qcell"))
     idx
       .filter(col("vec_id") =!= QueryVecId)
       .join(broadcast(qcell), col("cell") === col("qcell"))
       .crossJoin(broadcast(qq))
-      .select(col("vec_id"), adcDist(s, dir).as("adist"))
+      .select(col("vec_id"), adcFromLut(col("lut")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(10)
   }
@@ -1087,10 +1118,10 @@ object SimilarityQueries {
       .orderBy(col("ccos").desc, col("qcell").asc) // K rows — model-sized
     val probes = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
-      .select(col("qcell"), col("qqv"))
+      .select(col("qcell"), adcLut(s, dir, col("qqv")).as("lut"))
     val shortlist = pre(idx.filter(col("vec_id") =!= QueryVecId))
       .join(broadcast(probes), col("cell") === col("qcell"))
-      .select(col("vec_id"), adcDist(s, dir).as("adist"))
+      .select(col("vec_id"), adcFromLut(col("lut")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(PqShortlist)
     shortlist
