@@ -271,6 +271,49 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("PQ lever tradeoff: base row matches the recall row; deeper rerank never loses recall") {
+    val rows = SimilarityQueries.knnAnnPqTradeoff(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set("base", "shortlist2x", "codebook2x"))
+    // the base variant IS sim_knn_ann_pq — its recall must equal the
+    // standalone recall row's
+    val rr = SimilarityQueries.knnAnnPqRecall(spark, Sf).collect().head
+    assert(rows("base") == rr.getDouble(2))
+    // a deeper rerank re-scores a SUPERSET of candidates with the exact
+    // metric, so its top-k can only gain true edges
+    assert(rows("shortlist2x") >= rows("base"),
+      s"shortlist2x ${rows("shortlist2x")} < base ${rows("base")}")
+    CacheLife.release(spark)
+  }
+
+  test("sim.ncells knob: a knobbed session trains its own model and refuses a degenerate K") {
+    intercept[IllegalArgumentException] {
+      spark.conf.set(SimilarityQueries.NCellsKey, "1")
+      try SimilarityQueries.nCellsOf(spark)
+      finally spark.conf.unset(SimilarityQueries.NCellsKey)
+    }
+    // cells under a non-default K: every assignment lands in 1..K, all
+    // K' cache keys are distinct from the default's (no reuse)
+    spark.conf.set(SimilarityQueries.NCellsKey, "5")
+    try {
+      val cells = SimilarityQueries.ivfCells(spark, Sf).collect()
+      assert(cells.map(_.getLong(0)).forall(c => c >= 1 && c <= 5),
+        "a K=5 session must assign into cells 1..5 only")
+      val hist = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      assert(hist.map(_.getLong(0)).forall(c => c >= 1 && c <= 5),
+        "a K=5 trained model must hold cells 1..5 only")
+    } finally {
+      spark.conf.unset(SimilarityQueries.NCellsKey)
+      CacheLife.release(spark)
+    }
+    // back at the default, the same queries see the default-K world
+    val cellsD = SimilarityQueries.ivfCells(spark, Sf).collect()
+    assert(cellsD.map(_.getLong(0)).max > 5 ||
+      cellsD.map(_.getLong(0)).distinct.length > 5 ||
+      cellsD.map(_.getLong(0)).forall(c => c >= 1 && c <= SimilarityQueries.NCells))
+    CacheLife.release(spark)
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()
