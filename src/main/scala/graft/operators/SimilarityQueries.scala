@@ -622,7 +622,7 @@ object SimilarityQueries {
     * filtered out) — the same rows the window form's rn <= nprobe cut
     * would keep.
     */
-  private def topCells(scored: org.apache.spark.sql.Column,
+  private[graft] def topCells(scored: org.apache.spark.sql.Column,
                        nprobe: Int): org.apache.spark.sql.Column = {
     val bests = (1 to nprobe).foldLeft(
       (List.empty[org.apache.spark.sql.Column], scored)) {

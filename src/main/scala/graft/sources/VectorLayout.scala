@@ -624,27 +624,28 @@ object VectorLayout {
     import spark.implicits._
     val dir = resolve(spark, outDir)
     requireLayout(spark, dir)
-    val cents = centroidsFor(spark, sfDir, dir)
-      .map { case (cid, c) => (cid, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "cent")
     val rows = vectors(spark, dir, upToBatch)
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    // per-row probe ranking over the LITERAL stored codebook — the
+    // serving twin of SimilarityQueries.topCells/trainedScored: the old
+    // corpus × K crossJoin + window materialized n·K rows through a qid
+    // shuffle, quadratic once the codebook K scales with the corpus
+    // (round-14; same argmax + tie-break, bit-identical scores)
+    val scored = array(centroidsFor(spark, sfDir, dir).map { case (cid, c) =>
+      struct(round(call_function("graft_cosine",
+        col("qqv").cast("array<double>"), typedLit(c.map(_.toDouble).toSeq)),
+        6).as("sc"),
+        lit(-cid).as("ncid"))
+    }: _*)
     val qcells = rows
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qqv", transform(col("qv").cast("array<double>"),
         x => floor(x * SimilarityQueries.QuantScale)))
-      .crossJoin(broadcast(cents))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(call_function("graft_cosine",
-          col("qqv").cast("array<double>"), col("cent")), 6).as("ccos"))
-      .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("qcell"))
+      .select(col("qid"), col("qv"),
+        explode(SimilarityQueries.topCells(scored, nprobe)).as("qcell"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     rows
-      .join(qcells, col("cell").cast("long") === col("qcell"))
+      .join(qcells.hint("merge"), col("cell").cast("long") === col("qcell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_cosine", col("embedding"), col("qv")), 6).as("cos"))
