@@ -359,10 +359,18 @@ object Bench {
         val candidates = upMap.toSeq
           .filter { case (n, t) => !n.startsWith("build:") && t > 0 }
           .sortBy { case (n, _) => mainMap.getOrElse(n, Double.MaxValue) }
-        val included = candidates
+        val cheapest = candidates
           .foldLeft((Set.empty[String], 0.0)) { case ((sel, acc), (n, tUp)) =>
             if (acc + tUp * 10 <= budget) (sel + n, acc + tUp * 10) else (sel, acc)
           }._1
+        // *_sample rows are admitted UNCONDITIONALLY: they exist
+        // precisely as the decade-portable representatives of their
+        // corpus-wide parents (exact source restrictions), so the 100×
+        // record must always carry them even when the parents price
+        // themselves out of the cheapest-first budget (round-13
+        // verdict #3: the kNN family had no 100× evidence of any kind)
+        val included = cheapest ++ candidates.collect {
+          case (n, _) if n.endsWith("_sample") => n }
         warmup(up2Dir, included.contains)
         val (b2, q2, e2) = runPass(spark, up2Dir, 1,
           builderFilter = n => !UpExcludedBuilders.contains(n),
@@ -388,7 +396,8 @@ object Bench {
             name -> math.sqrt(t / mainMap(name))
         }
         val sel = s"cheapest-first by main median; included while cumulative " +
-          s"10x-projected sf1-up cost <= ${budget}s: ${included.size} of " +
+          s"10x-projected sf1-up cost <= ${budget}s, plus every *_sample row " +
+          s"unconditionally (decade-portable representatives): ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
         s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells",""" +
           s""""scale_queries_up2":${jmap(q2 ++ b2.map { case (n, t) => s"build:$n" -> t })},""" +
