@@ -890,7 +890,12 @@ object SimilarityQueries {
     */
   private[graft] def kmeansCells(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
-    q.select(col("vec_id"), assignExpr(cents).as("cell"))
+    // CacheLife-materialized (round 14): the assignment argmax costs
+    // n·K scores per evaluation, and four query families touch it —
+    // uncached, every one re-paid the scan (the 7× per-decade bend on
+    // sim_kmeans_cells at scaled K was exactly this re-evaluation)
+    graft.CacheLife.cached(s, s"sim.kmeans-cells:$dir:k${nCellsOf(s)}")(
+      q.select(col("vec_id"), assignExpr(cents).as("cell")))
   }
 
   /** Trained-cell assignment for ARBITRARY arriving `(vec_id, embedding)`
@@ -1358,6 +1363,7 @@ object SimilarityQueries {
   def indexBuilders(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
     "sim.ivf_cells" -> (() => { cells(s, dir).count(); () }),
     "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
+    "sim.kmeans_cells" -> (() => { kmeansCells(s, dir).count(); () }),
     "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
     "sim.sign_bands" -> (() => { signBands(s, dir).count(); () }),
     "sim.pq_codes" -> (() => { pqCodes(s, dir).count(); () }),
