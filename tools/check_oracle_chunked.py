@@ -26,6 +26,23 @@ here = os.path.dirname(os.path.abspath(__file__))
 names = sorted(json.load(open(f"{outdir}/oracle_sql.json")))
 merged = {}
 
+# Resume: a prior (possibly killed) run of this tool left a partial or
+# complete record at outjson — preload it and skip every query that
+# already hash-matched, so a crash mid-pass costs one chunk, not the
+# whole multi-hour pass. Combined with the per-chunk dump below this
+# makes the pass restartable by re-running the same command line.
+if os.path.exists(outjson):
+    try:
+        prior = json.load(open(outjson))
+        merged.update({k: v for k, v in prior.items()
+                       if k != "_meta" and isinstance(v, dict)
+                       and v.get("hash_match")})
+        if merged:
+            print(f"[chunked] resume: {len(merged)} hash-matched rows "
+                  f"preloaded from {outjson}")
+    except Exception:
+        pass
+
 def run(subset, memlimit):
     fd, part = tempfile.mkstemp(suffix=".json"); os.close(fd)
     env = dict(os.environ, GRAFT_ORACLE_ONLY=",".join(subset),
@@ -39,13 +56,23 @@ def run(subset, memlimit):
     os.unlink(part)
     return {k: v for k, v in rec.items() if k != "_meta"}
 
+def checkpoint():
+    json.dump(merged, open(outjson, "w"), indent=1, sort_keys=True)
+
 for i in range(0, len(names), chunk):
-    merged.update(run(names[i:i + chunk], mem))
+    todo = [n for n in names[i:i + chunk]
+            if not (isinstance(merged.get(n), dict)
+                    and merged[n].get("hash_match"))]
+    if not todo:
+        continue
+    merged.update(run(todo, mem))
+    checkpoint()  # crash-durable progress: each chunk lands on disk
 
 failed = [k for k in names
           if not (isinstance(merged.get(k), dict) and merged[k].get("hash_match"))]
 for q in failed:  # one-at-a-time retry: fresh process, raised cap
     merged.update(run([q], retry_mem))
+    checkpoint()
 
 ok = sum(1 for k in names
          if isinstance(merged.get(k), dict) and merged[k].get("hash_match"))
