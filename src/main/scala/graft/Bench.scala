@@ -90,6 +90,8 @@ object Bench {
       "kNN recall eval against the exact-kernel baseline",
     "sim_knn_ann_pq_recall" ->
       "PQ-kNN recall eval against the exact-kernel baseline",
+    "sim_knn_ann_pq_res_recall" ->
+      "residual-PQ-kNN recall eval against the exact-kernel baseline",
     "sim_knn_ann_pq_tradeoff" ->
       "PQ lever eval (3 full PQ-kNN variants) against the exact-kernel baseline")
 

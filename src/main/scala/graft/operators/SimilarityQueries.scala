@@ -405,6 +405,17 @@ object SimilarityQueries {
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= shortlist)
       .select(col("qid"), col("vec_id"))
+    rerankShortlist(s, dir, shortlisted)
+  }
+
+  /** Exact-cosine rerank of a (qid, vec_id) shortlist to per-source
+    * top-[[KnnK]] — the final stage shared by every compressed
+    * corpus-wide kNN variant (raw-codebook and residual). Touches the
+    * raw vectors for the shortlist alone: corpus × shortlist rows,
+    * linear in the corpus.
+    */
+  private def rerankShortlist(s: SparkSession, dir: String,
+                              shortlisted: DataFrame): DataFrame = {
     val raw = embs(s, dir).select(col("vec_id"), col("v"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
@@ -419,6 +430,67 @@ object SimilarityQueries {
 
   def knnAnnPq(s: SparkSession, dir: String): DataFrame =
     knnPqOver(s, dir, identity)
+
+  /** Corpus-wide kNN over RESIDUAL-encoded codes — [[knnPqOver]] with
+    * IVFADC's residual quantization ([[pqResCodes]]) in place of the
+    * flat codebooks, at the SAME M/K/shortlist levers, so its recall
+    * row measures exactly what residual encoding buys. Two structural
+    * deltas, both model-sized: the probe rows join the broadcast
+    * centroid table (the query's residual depends on the probed cell),
+    * and the ADC table is computed per (source, probed-cell) row
+    * ([[adcResLut]] — source × nprobe rows, never the corpus). The
+    * candidate scan, shortlist window, and exact rerank are shared
+    * with the flat form verbatim.
+    */
+  private def knnPqResOver(s: SparkSession, dir: String,
+                           srcFilter: DataFrame => DataFrame,
+                           pqk: Int = PqK,
+                           shortlist: Int = PqShortlist): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val model = pqResModel(s, dir, pqk)
+    val idx = pqResCodes(s, dir, pqk)
+    val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val probes = srcs
+      .select(col("qid"), col("qqv"),
+        explode(topCells(trainedScored(cents, col("qqv")), NProbeIvf)).as("qcell"))
+      .join(broadcast(centDf(s, cents).withColumnRenamed("cell", "qcell")),
+        Seq("qcell"))
+      .select(col("qid"), col("qcell"),
+        adcResLut(zip_with(col("qqv"), col("ccv"), (x, c) => x - c),
+          model, pqk).as("lut"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    // merge-hinted shuffle join on the cell key — the knnPqOver
+    // rationale verbatim (the probe side is corpus-sized)
+    val shortlisted = idx
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    rerankShortlist(s, dir, shortlisted)
+  }
+
+  def knnAnnPqRes(s: SparkSession, dir: String): DataFrame =
+    knnPqResOver(s, dir, identity)
+
+  /** Edge recall of the RESIDUAL-encoded kNN against the exact kernel —
+    * the [[knnAnnPqRecall]] discipline at identical levers, so the pair
+    * of rows is a controlled measurement of residual vs flat encoding.
+    * Rides the exact kernel → excluded from the up-decade passes by
+    * name while [[knnAnnPqRes]] itself runs there.
+    */
+  def knnAnnPqResRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnJoin(s, dir).select("src", "dst")
+    val hits = knnAnnPqRes(s, dir).select("src", "dst")
+      .join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(nExact)
+      .select(col("hits"), col("n_exact"),
+        round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+  }
 
   /** Corpus-wide kNN over the TRAINED coarse quantizer — the session
     * twin of the serving path: [[graft.sources.VectorLayout]] partitions
@@ -1140,6 +1212,100 @@ object SimilarityQueries {
     (0 until PqM).map(m =>
       element_at(lut, (lit(m * pqk) + col(s"c$m")).cast("int"))).reduce(_ + _)
 
+  // ---- Residual encoding (IVFADC proper) ----
+  // The textbook IVFADC (Jégou et al., PQ for NN search, §IVFADC)
+  // quantizes the RESIDUAL r = x − centroid(cell(x)) rather than x:
+  // residuals concentrate around the origin with far smaller
+  // per-coordinate spread than raw vectors, so the SAME M×K code
+  // budget spends its resolution on the part of the vector the coarse
+  // cell has not already explained — the recall lever the flat-code
+  // form ([[pqCodes]], kept: it is also a production shape and its
+  // oracle is independent of the coarse model) deliberately deferred
+  // in round 13. Exactness survives intact: the residual is an integer
+  // subtraction of two Longs (quantized vector, trained centroid),
+  // components bounded by 2·QuantScale, so every [[l2q]] term is
+  // ≤ (4e6)² ≈ 1.6e13 and a 16-term sum stays < 2^53 — the same
+  // exact-integer contract the raw codebooks prove through the oracle.
+
+  /** The trained coarse centroids as a K-row DataFrame — the broadcast
+    * build side of every residual computation (model-sized, never the
+    * corpus). */
+  private def centDf(s: SparkSession,
+                     cents: Seq[(Long, Array[Long])]): DataFrame = {
+    import s.implicits._
+    cents.map { case (cid, a) => (cid, a.toSeq) }.toDF("cell", "ccv")
+  }
+
+  /** The residual corpus: (vec_id, cell, rv = qv − centroid(cell)).
+    * Assignment rides the CacheLife-materialized [[kmeansCells]]; the
+    * centroid table broadcasts onto the corpus scan (one narrow join,
+    * no shuffle of the vectors beyond the cached assignment's own).
+    */
+  private def residuals(s: SparkSession, dir: String): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    graft.CacheLife.cached(s, s"sim.pq-res:$dir:k${nCellsOf(s)}")(
+      kmeansCells(s, dir).join(q, Seq("vec_id"))
+        .join(broadcast(centDf(s, cents)), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("qv"), col("ccv"), (x, c) => x - c).as("rv")))
+  }
+
+  /** The M residual sub-codebooks — [[trainPqSub]] verbatim over the
+    * residual subvectors (seeds are vec_ids 1..K's residuals, 2 Lloyd
+    * iterations). Memoized and store-codec'd like [[pqModel]]; the key
+    * embeds BOTH trained models' knobs (coarse K and codebook size)
+    * because the residuals themselves depend on the coarse model.
+    */
+  private def pqResModel(s: SparkSession, dir: String,
+                         pqk: Int = PqK): Seq[Seq[(Long, Array[Long])]] = {
+    val r = residuals(s, dir)
+    graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](
+      s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}:pk$pqk")(
+      (0 until PqM).map(m =>
+        trainPqSub(r.select(col("vec_id"), subSlice(col("rv"), m).as("sq")), pqk)).toSeq) {
+      (ss, model) =>
+        import ss.implicits._
+        model.zipWithIndex.flatMap { case (cb, m) =>
+          cb.map { case (cid, a) => (m, cid, a.toSeq) }
+        }.toDF("sub", "cid", "cent")
+    } { df =>
+      df.collect().map(r2 => (r2.getInt(0), r2.getLong(1), r2.getSeq[Long](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    }
+  }
+
+  /** The IVFADC code table: one row per vector with its coarse cell and
+    * M codes quantizing its RESIDUAL in that cell — same (vec_id, cell,
+    * c0..cM−1) layout as [[pqCodes]], so the whole ADC candidate-scan
+    * plumbing ([[adcFromLut]]) is shared unchanged.
+    */
+  private def pqResCodes(s: SparkSession, dir: String,
+                         pqk: Int = PqK): DataFrame = {
+    val model = pqResModel(s, dir, pqk)
+    graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}:pk$pqk")(
+      residuals(s, dir).select(col("vec_id") +: col("cell") +:
+        (0 until PqM).map(m =>
+          pqAssignExpr(subSlice(col("rv"), m), model(m)).as(s"c$m")): _*))
+  }
+
+  /** [[adcLut]] over the residual codebooks: the caller supplies the
+    * query's RESIDUAL column (which depends on the probed cell, so the
+    * table is computed once per (source, probed-cell) row — source ×
+    * nprobe model-sized rows, never the corpus). Same M·K layout, so
+    * the candidate scan stays [[adcFromLut]]'s codegen'd lookups.
+    */
+  private def adcResLut(rqv: org.apache.spark.sql.Column,
+                        model: Seq[Seq[(Long, Array[Long])]],
+                        pqk: Int): org.apache.spark.sql.Column =
+    array((0 until PqM).flatMap { m =>
+      val byCid = model(m).toMap
+      (1 to pqk).map(cid => byCid.get(cid.toLong) match {
+        case Some(c) => l2q(subSlice(rqv, m), typedLit(c.toSeq))
+        case None    => lit(0L)
+      })
+    }: _*)
+
   /** ADC top-10: the query's [[adcLut]] table (computed once on the
     * 1-row query side) against each corpus vector's codes — M array
     * lookups per row, planned as a codes-table scan × 1-row broadcast
@@ -1465,6 +1631,8 @@ object SimilarityQueries {
     "sim_knn_ann_pq_sample" -> (knnAnnPqSample _),
     "sim_knn_ann_pq_recall" -> (knnAnnPqRecall _),
     "sim_knn_ann_pq_tradeoff" -> (knnAnnPqTradeoff _),
+    "sim_knn_ann_pq_res" -> (knnAnnPqRes _),
+    "sim_knn_ann_pq_res_recall" -> (knnAnnPqResRecall _),
     "sim_knn_ann_kmeans" -> (knnAnnKmeans _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -1699,14 +1867,19 @@ object SimilarityQueries {
 
   /** The PQ CTE body WITHOUT the shared `e`/`q` prefix — so it can
     * compose into one WITH alongside [[oKmeansChain]] (which defines
-    * identical `e`/`q` CTEs) for the IVF-PQ oracle.
+    * identical `e`/`q` CTEs) for the IVF-PQ oracle. `src`/`vcol` name
+    * the (vec_id, vector) CTE the codebooks train on — `q`/`qv` for the
+    * raw-vector codebooks, `res`/`rv` for the residual (IVFADC) ones —
+    * and `pfx` prefixes every generated CTE name so a raw chain and a
+    * residual chain could coexist in one statement.
     */
-  private def oPqSubChains(pqk: Int = PqK): String = {
+  private def oPqSubChains(pqk: Int = PqK, src: String = "q",
+                           vcol: String = "qv", pfx: String = ""): String = {
     val subChains = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
       def assign(si: String, ci: String, ai: String) =
-        s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM sub$m q, $ci c),
+        s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM ${pfx}sub$m q, $ci c),
            |$ai AS (SELECT vec_id, sq, cid AS code FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $si)
            |  WHERE rn = 1)""".stripMargin
@@ -1716,17 +1889,17 @@ object SimilarityQueries {
            |  GROUP BY 1, 2),
            |$ci AS (SELECT code AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
       val iters = (1 to PqIters).map { i =>
-        assign(s"p${m}s$i", s"p${m}c${i - 1}", s"p${m}a$i") + ",\n" +
-          update(s"p${m}a$i", s"p${m}u$i", s"p${m}c$i")
+        assign(s"${pfx}p${m}s$i", s"${pfx}p${m}c${i - 1}", s"${pfx}p${m}a$i") + ",\n" +
+          update(s"${pfx}p${m}a$i", s"${pfx}p${m}u$i", s"${pfx}p${m}c$i")
       }.mkString(",\n")
-      s"""sub$m AS (SELECT vec_id, qv[$lo:$hi] AS sq FROM q),
-         |p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM sub$m WHERE vec_id BETWEEN 1 AND $pqk),
+      s"""${pfx}sub$m AS (SELECT vec_id, $vcol[$lo:$hi] AS sq FROM $src),
+         |${pfx}p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM ${pfx}sub$m WHERE vec_id BETWEEN 1 AND $pqk),
          |$iters,
-         |${assign(s"p${m}s$oPqFinIter", s"p${m}c$PqIters", s"p${m}a$oPqFinIter")}""".stripMargin
+         |${assign(s"${pfx}p${m}s$oPqFinIter", s"${pfx}p${m}c$PqIters", s"${pfx}p${m}a$oPqFinIter")}""".stripMargin
     }.mkString(",\n")
     val codes = (0 until PqM).map(m =>
-      s"SELECT vec_id, $m::INTEGER AS sub, code FROM p${m}a$oPqFinIter")
-      .mkString("codes AS (", " UNION ALL ", ")")
+      s"SELECT vec_id, $m::INTEGER AS sub, code FROM ${pfx}p${m}a$oPqFinIter")
+      .mkString(s"${pfx}codes AS (", " UNION ALL ", ")")
     s"""$subChains,
        |$codes""".stripMargin.replace("\n", " ")
   }
@@ -1853,6 +2026,60 @@ object SimilarityQueries {
   private def oKnnPqSample: String = oKnnPqOver(
     s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0")
 
+  /** Residual-encoded (IVFADC) corpus-wide kNN oracle — [[oKnnPqOver]]
+    * with the residual chain: the trained-assignment CTE yields each
+    * vector's residual against its OWN cell's final centroid, the PQ
+    * sub-chains train on those residuals (prefix `r`), and the ADC
+    * stage compares the QUERY's residual against the PROBED cell's
+    * centroid (CTE `pr`) to the candidate's residual codes — candidates
+    * live in the probed cell, so both residuals reference the same
+    * centroid, exactly like the Spark side ([[knnPqResOver]]).
+    */
+  private def oKnnPqResOver(srcWhere: String, pqk: Int = PqK,
+                            shortlist: Int = PqShortlist): String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    val sc = s"round(${qd("q.qv", "c.cv")} / " +
+      s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
+    val dims = PqM * PqSubDim
+    val dCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""kd$m AS (SELECT cand.src, cand.vec_id, ${oPqL2(s"cand.rqv[$lo:$hi]", "c.cv")} AS d
+         |  FROM cand JOIN rp${m}a$oPqFinIter a ON cand.vec_id = a.vec_id
+         |  JOIN rp${m}c$PqIters c ON a.code = c.cid)""".stripMargin
+    }.mkString(",\n")
+    val dSum = (0 until PqM).map(m => s"kd$m.d").mkString(" + ")
+    val dJoins = (1 until PqM).map(m => s"JOIN kd$m USING (src, vec_id)").mkString(" ")
+    s"""WITH $oKmeansChain,
+       |res AS (SELECT a.vec_id, a.cell,
+       |  list_transform(range(1, ${dims + 1}), i -> a.qv[i] - c.cv[i]) AS rv
+       |  FROM $oKmeansFin a JOIN c$KmeansIters c ON a.cell = c.cid),
+       |${oPqSubChains(pqk, "res", "rv", "r")},
+       |ps AS (SELECT q.vec_id AS src, q.qv, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
+       |pc AS (SELECT src, qv, cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
+       |  WHERE rn <= $NProbeIvf),
+       |pr AS (SELECT pc.src, pc.qcell,
+       |  list_transform(range(1, ${dims + 1}), i -> pc.qv[i] - c.cv[i]) AS rqv
+       |  FROM pc JOIN c$KmeansIters c ON pc.qcell = c.cid),
+       |cand AS (SELECT pr.src, pr.rqv, a.vec_id FROM pr JOIN $oKmeansFin a ON a.cell = pr.qcell
+       |  WHERE a.vec_id <> pr.src),
+       |$dCtes,
+       |sl AS (SELECT src, vec_id FROM (
+       |  SELECT kd0.src, kd0.vec_id, row_number() OVER (
+       |    PARTITION BY kd0.src ORDER BY $dSum, kd0.vec_id) AS srn
+       |  FROM kd0 $dJoins) WHERE srn <= $shortlist)
+       |SELECT src, dst, cos, rn FROM (
+       |  SELECT sl.src, sl.vec_id AS dst,
+       |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY sl.src
+       |      ORDER BY round(${VO.cosine("ev.v", "qs.v")}, 6) DESC, sl.vec_id) AS rn
+       |  FROM sl JOIN e ev ON sl.vec_id = ev.vec_id JOIN e qs ON sl.src = qs.vec_id)
+       |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+  }
+
+  private def oKnnPqRes: String = oKnnPqResOver("")
+
   /** Trained-quantizer corpus-wide kNN oracle — the kmeans chain's
     * centroids rank per source by the assignment's integer cosine,
     * candidates are the probed cells' assigned members, exact-cosine
@@ -1937,6 +2164,11 @@ object SimilarityQueries {
     "sim_knn_ann_pq_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnPq) a JOIN ($oKnnExact) x USING (src, dst)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
+    "sim_knn_ann_pq_res" -> oKnnPqRes,
+    "sim_knn_ann_pq_res_recall" ->
+      (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS hits FROM ($oKnnPqRes) a JOIN ($oKnnExact) x USING (src, dst)), " +
        s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
     "sim_knn_ann_pq_tradeoff" -> Seq(
       ("base", PqK, PqShortlist),

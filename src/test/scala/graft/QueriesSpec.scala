@@ -271,6 +271,23 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("residual (IVFADC) kNN: k-bounded rerank lists; recall row consistent with the graph") {
+    val approx = SimilarityQueries.knnAnnPqRes(spark, Sf).collect()
+    assert(approx.nonEmpty)
+    approx.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      assert(rows.length <= SimilarityQueries.KnnK, s"src $src over k")
+      assert(rows.forall(_.getLong(1) != src), s"src $src has a self edge")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    val exact = SimilarityQueries.knnJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val rr = SimilarityQueries.knnAnnPqResRecall(spark, Sf).collect().head
+    assert(rr.getLong(0) == hits && rr.getLong(1) == exact.size)
+    assert(rr.getDouble(2) > 0 && rr.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
   test("PQ lever tradeoff: base row matches the recall row; deeper rerank never loses recall") {
     val rows = SimilarityQueries.knnAnnPqTradeoff(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
