@@ -70,10 +70,29 @@ object VerifyStream {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: VerifyStream <sfDir> <workRoot> <outDir> [nBatches]")
+      "usage: VerifyStream <sfDir> <workRoot> <outDir> [nBatches] [conf:k=v,k=v]")
     val (sfDir, root, outDir) = (args(0), args(1), args(2))
     val nBatches = args.lift(3).map(_.toInt).getOrElse(6)
+    // optional 5th arg `conf:k=v,k=v` — the Verify discipline verbatim:
+    // session confs applied BEFORE the drain, so the stores build under
+    // the knobbed configuration AND the oracle strings resolve the live
+    // value (e.g. spark.graft.sim.ncells=200 drains + serves + oracles
+    // the up-decade corpus under the deployment-scaled quantizer). A
+    // malformed arg refuses loudly rather than silently verifying the
+    // default configuration.
+    require(args.lift(4).forall(_.startsWith("conf:")),
+      s"the 5th arg must be conf:k=v,k=v — got '${args.lift(4).getOrElse("")}', " +
+        "which would silently drain the DEFAULT configuration instead")
+    val confs: Seq[(String, String)] = args.lift(4).toSeq
+      .flatMap(_.stripPrefix("conf:").split(',').toSeq)
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"malformed conf token '$kv' — expected key=value")
+        }
+      }
     val spark = Sessions.local()
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val code = StreamDrain.run(spark, sfDir, root, nBatches)
       require(code == 0,
