@@ -109,7 +109,8 @@ if mode in ("all", "up"):
         "corpus": ("testdata_up/sf1 = 10x /root/testdata/sf0.1, built by "
                    "graft.ScaleUp (alphabet-rotated text, component-rotated "
                    "embeddings; replica-alias fraction 0.0025 <= 0.01 bound)"),
-        "harness": ("graft.Verify exclude:<6 kernel-riding names> + "
+        "harness": ("graft.Verify exclude:<7 kernel-riding names> "
+                    "conf:spark.graft.sim.ncells=200 + "
                     "tools/check_oracle_chunked.py (chunk=10, mem=64GB, "
                     "retry_mem=100GB) — the driver's t2 compare shape"),
         "excluded": {
@@ -119,14 +120,19 @@ if mode in ("all", "up"):
             "sim_knn_ann_recall": "recall eval against the exact kernel's kNN baseline — the kernel refuses at this scale",
             "sim_knn_ann_pq_recall": "recall eval riding the exact kernel",
             "sim_knn_ann_pq_tradeoff": "three-variant recall eval riding the exact kernel",
+            "sim_knn_ann_pq_res_recall": "residual-PQ-kNN recall eval riding the exact kernel",
         },
-        "round14_delta": ("sim_knn_ann_pq, sim_knn_ann_pq_sample and "
-                          "sim_knn_ann_kmeans join the pass (round-13 verdict #5: "
+        "round14_delta": ("sim_knn_ann_pq, sim_knn_ann_pq_sample, "
+                          "sim_knn_ann_kmeans and the new residual-encoded "
+                          "sim_knn_ann_pq_res join the pass (round-13 verdict #5: "
                           "only the plain and sample forms ran in r13) — the whole "
                           "non-eval kNN family is now oracle-verified in the first "
-                          "upward decade, under the round-14 scaled-K contract "
-                          "(spark.graft.sim.ncells session knob; bench runs the "
-                          "decades at K=200/640)"),
+                          "upward decade, under the round-14 scaled-K contract: "
+                          "the WHOLE pass runs conf:spark.graft.sim.ncells=200 "
+                          "(K scaled with the corpus, constant cell occupancy; "
+                          "every sim_ oracle regenerates from the live conf, so "
+                          "a hash match proves the scaled quantizer is two-engine "
+                          "consistent), matching the bench decades (K=200/640)"),
         "result": (f"{p}/{n} dumped queries pass (rows + schema + values) at 10x "
                    "the main correctness scale"),
     }
