@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CharShingles, CosineSim, MinHashSig, WordShingles}
+import graft.functions.expressions.{CellTopK, CharShingles, CosineSim, MinHashSig, WordShingles}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so they are callable from both
@@ -43,6 +43,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(text, Literal(n: Int, _)) => CharShingles(text, n)
         case _ => throw new IllegalArgumentException("graft_char_shingles(text string, n int)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cell_topk"),
+      new ExpressionInfo(classOf[CellTopK].getName, "graft_cell_topk"),
+      (children: Seq[Expression]) => children match {
+        // (vector, literal array<array<double>> centroids, literal
+        // array<bigint> cids, literal int nprobe) — the codebook
+        // literals are unpacked ONCE at plan build into the
+        // expression's reference objects, so the per-row expression
+        // tree stays O(1) in K (the point of the native form)
+        case Seq(v, cents: Literal, cids: Literal, Literal(np: Int, _)) =>
+          CellTopK(v, CellTopK.literalCids(cids), CellTopK.literalCents(cents), np)
+        case _ => throw new IllegalArgumentException(
+          "graft_cell_topk(v array<numeric>, cents array<array<double>> lit, " +
+            "cids array<bigint> lit, nprobe int lit)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

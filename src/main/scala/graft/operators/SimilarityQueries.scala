@@ -286,7 +286,7 @@ object SimilarityQueries {
   // and the per-src top-k window is the same rank stage knnJoin runs.
   // Cost model (round-14: MEASURED, not argued — the K knob): the
   // candidate scan is n·nprobe·(n/K) and the per-row probe ranking is
-  // n·K ([[seedScored]] — an expression, never a corpus × K shuffle),
+  // n·K ([[topCellsNative]] — an expression, never a corpus × K shuffle),
   // so a FROZEN K turns the scan quadratic (round 13 measured 31–77×
   // first-decade ratios on the fixed 8-cell fixture), while the
   // [[NCellsKey]] knob lets each deployment scale K with its corpus:
@@ -391,7 +391,7 @@ object SimilarityQueries {
     // candidate scan below never evaluates an interpreted fold
     val probes = srcs.select(col("qid"),
       adcLut(s, dir, col("qqv"), pqk).as("lut"),
-      explode(topCells(trainedScored(cents, col("qqv")), NProbeIvf)).as("qcell"))
+      explode(trainedTop(cents, col("qqv"), NProbeIvf)).as("qcell"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // the probe side is corpus-sized: pin the shuffle join (merge
@@ -452,7 +452,7 @@ object SimilarityQueries {
     val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val probes = srcs
       .select(col("qid"), col("qqv"),
-        explode(topCells(trainedScored(cents, col("qqv")), NProbeIvf)).as("qcell"))
+        explode(trainedTop(cents, col("qqv"), NProbeIvf)).as("qcell"))
       .join(broadcast(centDf(s, cents).withColumnRenamed("cell", "qcell")),
         Seq("qcell"))
       .select(col("qid"), col("qcell"),
@@ -509,7 +509,7 @@ object SimilarityQueries {
     val (q, cents) = trainedModel(s, dir)
     // per-row probe ranking — see [[knnPqOver]]'s rationale
     val probes = q.select(col("vec_id").as("qid"),
-      explode(topCells(trainedScored(cents, col("qv")), NProbeIvf)).as("qcell"))
+      explode(trainedTop(cents, col("qv"), NProbeIvf)).as("qcell"))
     val raw = embs(s, dir).select(col("vec_id"), col("v"))
     val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
     val wq = org.apache.spark.sql.expressions.Window
@@ -653,7 +653,7 @@ object SimilarityQueries {
     * the old column-vs-column form) — model-sized (K × dim), memoized
     * and store-persisted per (session, dir, K) like the trained
     * codebook. Literal centroids let assignment and probes run as
-    * per-row expressions ([[seedScored]]) instead of corpus × K rows
+    * per-row expressions ([[topCellsNative]]) instead of corpus × K rows
     * through a window shuffle — the term that turns quadratic once K
     * scales with the corpus (round-13 verdict #1): at K ∝ n the old
     * probe window materialized n²/c rows REGARDLESS of cell occupancy.
@@ -674,39 +674,48 @@ object SimilarityQueries {
     }
   }
 
-  /** All K seeded-centroid scores of one vector as ONE literal
-    * array<struct(sc, ncid)> — the per-row form of the assignment /
-    * probe scoring ([[assignExpr]]'s layout: array_max gives highest
-    * score then lowest cid).
+  /** Per-row top-`nprobe` cells of a vector against a literal codebook,
+    * in (score DESC, cid ASC) rank order — the native
+    * `graft_cell_topk` expression
+    * ([[graft.functions.expressions.CellTopK]]): one codegen'd K×d
+    * loop, never a corpus × K window shuffle, and O(1) expression-tree
+    * size in K. The declarative form it replaced — a K-literal
+    * `array(struct(round(graft_cosine), -cid))` reduced by an
+    * `array_max`/`array_remove` fold — carried an O(K·nprobe)
+    * expression TREE: under the `spark.graft.sim.ncells` deployment
+    * contract (K=200 at 10×, 640 at 100×) codegen fell back to
+    * interpreted evaluation and the per-row ranking bent every
+    * assignment-riding query superlinear (the round-14 bench's 6–11×
+    * per-decade ratios). Bit-parity with the fold (same cosine
+    * accumulation order, HALF_UP 6-dp round, highest-score-then-
+    * lowest-cid tie-break, NaN-greatest ordering) is CellTopKSpec's
+    * contract, so every oracle hash is unchanged. Shorter than
+    * `nprobe` when K < nprobe, as the fold's null-filtered cut was.
     */
-  private def seedScored(s: SparkSession, dir: String,
-                         v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array(seedCents(s, dir).map { case (cid, cv) =>
-      struct(round(call_function("graft_cosine", v, typedLit(cv.toSeq)), 6).as("sc"),
-        lit(-cid).as("ncid"))
-    }: _*)
+  private[graft] def topCellsNative(cids: Seq[Long], cents: Seq[Array[Double]],
+                                    v: org.apache.spark.sql.Column,
+                                    nprobe: Int): org.apache.spark.sql.Column =
+    call_function("graft_cell_topk", v,
+      typedLit(cents.map(_.toSeq)), typedLit(cids), lit(nprobe))
 
-  /** Per-row top-`nprobe` cells from a scored array, in (score DESC,
-    * cid ASC) rank order — an array_max/array_remove chain (struct
-    * values are unique per cid, so each removal drops exactly the
-    * current best), never a corpus × K window shuffle. Shorter than
-    * `nprobe` when K < nprobe (array_max of an emptied array is null,
-    * filtered out) — the same rows the window form's rn <= nprobe cut
-    * would keep.
-    */
-  private[graft] def topCells(scored: org.apache.spark.sql.Column,
-                       nprobe: Int): org.apache.spark.sql.Column = {
-    val bests = (1 to nprobe).foldLeft(
-      (List.empty[org.apache.spark.sql.Column], scored)) {
-      case ((acc, arr), _) =>
-        (array_max(arr) :: acc, array_remove(arr, array_max(arr)))
-    }._1.reverse
-    filter(array(bests.map(b => -b.getField("ncid")): _*), c => c.isNotNull)
+  /** [[topCellsNative]] over the TRAINED (integer-quantized) codebook —
+    * centroid longs widen to double exactly (every |value| < 2^53). */
+  private def trainedTop(cents: Seq[(Long, Array[Long])],
+                         v: org.apache.spark.sql.Column,
+                         nprobe: Int): org.apache.spark.sql.Column =
+    topCellsNative(cents.map(_._1), cents.map(_._2.map(_.toDouble)), v, nprobe)
+
+  /** [[topCellsNative]] over the seeded codebook. */
+  private def seedTop(s: SparkSession, dir: String,
+                      v: org.apache.spark.sql.Column,
+                      nprobe: Int): org.apache.spark.sql.Column = {
+    val cents = seedCents(s, dir)
+    topCellsNative(cents.map(_._1), cents.map(_._2), v, nprobe)
   }
 
   private def cellsPlan(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).select(col("vec_id"), col("v"),
-      (-array_max(seedScored(s, dir, col("v"))).getField("ncid")).as("cell"))
+      element_at(seedTop(s, dir, col("v"), 1), 1).as("cell"))
 
   // the probe reads this twice (query's cell + candidate list); the
   // persisted assignment is the IVF index a real system materializes.
@@ -750,14 +759,14 @@ object SimilarityQueries {
 
   /** The single-query probe-cell scaffold shared by [[annFiltered]] and
     * [[annIvfMultiProbe]]: score the K seed centroids per row
-    * ([[seedScored]]) and keep the `nprobe` nearest ([[topCells]]) as
+    * ([[seedTop]] — the native ranking at `nprobe`) as
     * broadcast (qcell, qv) rows. One definition — a tie-break or
     * rounding fix cannot drift between the filtered and unfiltered
     * probes (round-12 review).
     */
   private def probeCells(s: SparkSession, dir: String, nprobe: Int): DataFrame =
     embs(s, dir).filter(col("vec_id") === QueryVecId)
-      .select(explode(topCells(seedScored(s, dir, col("v")), nprobe)).as("qcell"),
+      .select(explode(seedTop(s, dir, col("v"), nprobe)).as("qcell"),
         col("v").as("qv"))
 
   def annFiltered(s: SparkSession, dir: String): DataFrame =
@@ -821,13 +830,13 @@ object SimilarityQueries {
   private[graft] def probeQuerySet(s: SparkSession, dir: String,
                                    qvs: DataFrame, k: Int = RecallK,
                                    broadcastQueries: Boolean = true): DataFrame = {
-    // per-row probe ranking ([[seedScored]]/[[topCells]]): each query
+    // per-row probe ranking ([[seedTop]]): each query
     // row scores the K literal centroids and keeps its nprobe best in
     // place — the old corpus × K crossJoin + window materialized n·K
     // rows through a qid shuffle, which is n²/c once K scales with the
     // corpus (the deployment contract the knob exists for)
     val qcells = qvs.select(col("qid"), col("qv"),
-      explode(topCells(seedScored(s, dir, col("qv")), NProbeIvf)).as("qcell"))
+      explode(seedTop(s, dir, col("qv"), NProbeIvf)).as("qcell"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     cells(s, dir)
@@ -864,38 +873,13 @@ object SimilarityQueries {
     embs(s, dir).select(col("vec_id"),
       transform(V.vecD(col("v")), x => floor(x * QuantScale).cast("long")).as("qv"))
 
-  /** cos between a quantized vector column and a literal centroid —
-    * the native codegen'd loop over exact-integer doubles (every
-    * product ≤ ~1e12 and sum ≤ ~1e14 < 2^53, so the double arithmetic
-    * is EXACT and order-independent; value identical to the oracle's
-    * list_dot_product over ::DOUBLE[] casts).
-    */
-  private def qCos(qv: org.apache.spark.sql.Column, c: Array[Long]) =
-    round(call_function("graft_cosine",
-      qv.cast("array<double>"), typedLit(c.map(_.toDouble).toSeq)), 6)
-
-  /** Assignment column: argmax over centroids, ties to lowest cid.
-    * All k scores land in ONE array and the winner is `array_max` over
-    * (score, -cid) structs — lexicographic struct comparison gives
-    * highest score then lowest cid, and each centroid's cosine is
-    * evaluated exactly once per row. The previous nested when-chain
-    * re-referenced every score O(k) times, so Catalyst evaluated k²
-    * interpreted folds per row — the dominant cost of both kmeans
-    * queries.
+  /** Assignment column: argmax over centroids, ties to lowest cid —
+    * [[trainedTop]] at nprobe=1 (the native ranking loop; same score,
+    * round, and tie rule the old array_max-over-struct-array form
+    * computed, CellTopKSpec-held).
     */
   private def assignExpr(cents: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column =
-    -array_max(trainedScored(cents, col("qv"))).getField("ncid")
-
-  /** All K trained-centroid scores of one QUANTIZED vector as ONE
-    * literal array<struct(sc, ncid)> — the trained twin of
-    * [[seedScored]], shared by the assignment argmax and the per-row
-    * probe ranking ([[topCells]]).
-    */
-  private def trainedScored(cents: Seq[(Long, Array[Long])],
-                            qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array(cents.map { case (cid, c) =>
-      struct(qCos(qv, c).as("sc"), lit(-cid).as("ncid"))
-    }: _*)
+    element_at(trainedTop(cents, col("qv"), 1), 1)
 
   /** Runs the Lloyd loop eagerly (the collects are the 8×64-long MODEL,
     * never the data) and returns (persisted quantized corpus, trained
@@ -1378,16 +1362,13 @@ object SimilarityQueries {
     val (q, cents) = trainedModel(s, dir)
     val idx = pqCodes(s, dir)
     val qq = q.filter(col("vec_id") === QueryVecId).select(col("qv").as("qqv"))
-    val scored = qq.select(col("qqv"),
-      explode(array(cents.map { case (cid, c) =>
-        struct(lit(cid).as("cid"), qCos(col("qqv"), c).as("ccos"))
-      }: _*)).as("sc"))
-      .select(col("qqv"), col("sc.cid").as("qcell"), col("sc.ccos").as("ccos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ccos").desc, col("qcell").asc) // K rows — model-sized
-    val probes = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("qcell"), adcLut(s, dir, col("qqv")).as("lut"))
+    // native probe ranking ([[trainedTop]]) — replaces the K-literal
+    // scored-array explode + single-partition rank window (same
+    // (ccos DESC, cid ASC) rule) the old form spent an O(K) expression
+    // tree on
+    val probes = qq.select(
+      explode(trainedTop(cents, col("qqv"), nprobe)).as("qcell"),
+      adcLut(s, dir, col("qqv")).as("lut"))
     val shortlist = pre(idx.filter(col("vec_id") =!= QueryVecId))
       .join(broadcast(probes), col("cell") === col("qcell"))
       .select(col("vec_id"), adcFromLut(col("lut")).as("adist"))
@@ -1741,20 +1722,20 @@ object SimilarityQueries {
       s"round(${qdot("qv", cv)} / (sqrt(${qdot("qv", "qv")}) * sqrt(${qdot(cv, cv)})), 6)"
     def assign(si: String, ci: String, ai: String) =
       s"""$si AS (SELECT q.vec_id, q.qv, c.cid, ${score("c.cv")} AS sc FROM q, $ci c),
-         |$ai AS (SELECT vec_id, qv, cid AS cell FROM (
+         |$ai AS MATERIALIZED (SELECT vec_id, qv, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn FROM $si)
          |  WHERE rn = 1)""".stripMargin
     def update(ai: String, ui: String, ci: String) =
       s"""$ui AS (SELECT cell, dim, CAST(floor(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS cx
          |  FROM (SELECT cell, unnest(qv) AS x, generate_subscripts(qv, 1) AS dim FROM $ai)
          |  GROUP BY 1, 2),
-         |$ci AS (SELECT cell AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
+         |$ci AS MATERIALIZED (SELECT cell AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
     val iters = (1 to KmeansIters).map { i =>
       assign(s"s$i", s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"u$i", s"c$i")
     }.mkString(",\n")
     val fin = KmeansIters + 1
     s"""e AS ($oE),
-       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
+       |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $activeNCells),
        |$iters,
        |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}""".stripMargin.replace("\n", " ")
@@ -1880,33 +1861,33 @@ object SimilarityQueries {
       val hi = (m + 1) * PqSubDim
       def assign(si: String, ci: String, ai: String) =
         s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM ${pfx}sub$m q, $ci c),
-           |$ai AS (SELECT vec_id, sq, cid AS code FROM (
+           |$ai AS MATERIALIZED (SELECT vec_id, sq, cid AS code FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $si)
            |  WHERE rn = 1)""".stripMargin
       def update(ai: String, ui: String, ci: String) =
         s"""$ui AS (SELECT code, dim, CAST(floor(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS cx
            |  FROM (SELECT code, unnest(sq) AS x, generate_subscripts(sq, 1) AS dim FROM $ai)
            |  GROUP BY 1, 2),
-           |$ci AS (SELECT code AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
+           |$ci AS MATERIALIZED (SELECT code AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
       val iters = (1 to PqIters).map { i =>
         assign(s"${pfx}p${m}s$i", s"${pfx}p${m}c${i - 1}", s"${pfx}p${m}a$i") + ",\n" +
           update(s"${pfx}p${m}a$i", s"${pfx}p${m}u$i", s"${pfx}p${m}c$i")
       }.mkString(",\n")
-      s"""${pfx}sub$m AS (SELECT vec_id, $vcol[$lo:$hi] AS sq FROM $src),
+      s"""${pfx}sub$m AS MATERIALIZED (SELECT vec_id, $vcol[$lo:$hi] AS sq FROM $src),
          |${pfx}p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM ${pfx}sub$m WHERE vec_id BETWEEN 1 AND $pqk),
          |$iters,
          |${assign(s"${pfx}p${m}s$oPqFinIter", s"${pfx}p${m}c$PqIters", s"${pfx}p${m}a$oPqFinIter")}""".stripMargin
     }.mkString(",\n")
     val codes = (0 until PqM).map(m =>
       s"SELECT vec_id, $m::INTEGER AS sub, code FROM ${pfx}p${m}a$oPqFinIter")
-      .mkString(s"${pfx}codes AS (", " UNION ALL ", ")")
+      .mkString(s"${pfx}codes AS MATERIALIZED (", " UNION ALL ", ")")
     s"""$subChains,
        |$codes""".stripMargin.replace("\n", " ")
   }
 
   private def oPqChain(pqk: Int = PqK): String =
     s"""e AS ($oE),
-       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
+       |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
        |${oPqSubChains(pqk)}""".stripMargin.replace("\n", " ")
 
   private val oPqCells: String =
@@ -1991,28 +1972,40 @@ object SimilarityQueries {
     def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     val sc = s"round(${qd("q.qv", "c.cv")} / " +
       s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
-    val dCtes = (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val hi = (m + 1) * PqSubDim
-      s"""kd$m AS (SELECT cand.src, cand.vec_id, ${oPqL2(s"cand.qqv[$lo:$hi]", "c.cv")} AS d
-         |  FROM cand JOIN p${m}a$oPqFinIter a ON cand.vec_id = a.vec_id
-         |  JOIN p${m}c$PqIters c ON a.code = c.cid)""".stripMargin
-    }.mkString(",\n")
-    val dSum = (0 until PqM).map(m => s"kd$m.d").mkString(" + ")
-    val dJoins = (1 until PqM).map(m => s"JOIN kd$m USING (src, vec_id)").mkString(" ")
+    // ADC as a model-sized LUT — the Spark side's [[adcLut]] shape.
+    // The previous spelling carried the 64-long query vector onto
+    // every candidate row and joined M corpus×nprobe-sized kd CTEs
+    // USING (src, vec_id): at the 10×/K=200 decade DuckDB (which
+    // re-inlines multiply-referenced CTEs) spilled the host's disk on
+    // it. Here the per-(source, sub, code) partial distances are
+    // src × M × pqk rows; candidates join the skinny pivoted code
+    // table and SUM — integer arithmetic identical term for term.
+    val kcb = (0 until PqM).map(m =>
+      s"SELECT $m::INTEGER AS sub, cid, cv FROM p${m}c$PqIters")
+      .mkString("kcb AS (", " UNION ALL ", ")")
+    val lutD = s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> (s.qqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i]) * " +
+      s"(s.qqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i])))"
     s"""WITH $oKmeansChain,
        |${oPqSubChains(pqk)},
-       |ps AS (SELECT q.vec_id AS src, q.qv, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
-       |pc AS (SELECT src, qv AS qqv, cid AS qcell FROM (
+       |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
+       |pc AS (SELECT src, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
        |  WHERE rn <= $NProbeIvf),
-       |cand AS (SELECT pc.src, pc.qqv, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
+       |$kcb,
+       |klut AS MATERIALIZED (SELECT s.src, kcb.sub, kcb.cid AS code, $lutD AS d
+       |  FROM (SELECT vec_id AS src, qv AS qqv FROM q$srcWhere) s, kcb),
+       |cand AS (SELECT pc.src, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
        |  WHERE a.vec_id <> pc.src),
-       |$dCtes,
+       |ck AS MATERIALIZED (SELECT cand.src, cand.vec_id, k.sub, k.code
+       |  FROM cand JOIN codes k ON k.vec_id = cand.vec_id),
+       |kcd AS (SELECT ck.src, ck.vec_id, SUM(l.d) AS d
+       |  FROM ck JOIN klut l ON l.src = ck.src AND l.sub = ck.sub AND l.code = ck.code
+       |  GROUP BY 1, 2),
        |sl AS (SELECT src, vec_id FROM (
-       |  SELECT kd0.src, kd0.vec_id, row_number() OVER (
-       |    PARTITION BY kd0.src ORDER BY $dSum, kd0.vec_id) AS srn
-       |  FROM kd0 $dJoins) WHERE srn <= $shortlist)
+       |  SELECT src, vec_id, row_number() OVER (
+       |    PARTITION BY src ORDER BY d, vec_id) AS srn
+       |  FROM kcd) WHERE srn <= $shortlist)
        |SELECT src, dst, cos, rn FROM (
        |  SELECT sl.src, sl.vec_id AS dst,
        |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
@@ -2041,17 +2034,19 @@ object SimilarityQueries {
     val sc = s"round(${qd("q.qv", "c.cv")} / " +
       s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
     val dims = PqM * PqSubDim
-    val dCtes = (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val hi = (m + 1) * PqSubDim
-      s"""kd$m AS (SELECT cand.src, cand.vec_id, ${oPqL2(s"cand.rqv[$lo:$hi]", "c.cv")} AS d
-         |  FROM cand JOIN rp${m}a$oPqFinIter a ON cand.vec_id = a.vec_id
-         |  JOIN rp${m}c$PqIters c ON a.code = c.cid)""".stripMargin
-    }.mkString(",\n")
-    val dSum = (0 until PqM).map(m => s"kd$m.d").mkString(" + ")
-    val dJoins = (1 until PqM).map(m => s"JOIN kd$m USING (src, vec_id)").mkString(" ")
+    // residual ADC LUT — [[adcResLut]]'s shape: per (source,
+    // probed-cell, sub, code), src × nprobe × M × pqk rows, never the
+    // corpus (see oKnnPqOver's note on the spelling this replaced —
+    // the residual form is where it actually spilled the disk, the
+    // per-(src, cell) rqv multiplying the candidate payload)
+    val kcb = (0 until PqM).map(m =>
+      s"SELECT $m::INTEGER AS sub, cid, cv FROM rp${m}c$PqIters")
+      .mkString("kcb AS (", " UNION ALL ", ")")
+    val lutD = s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> (pr.rqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i]) * " +
+      s"(pr.rqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i])))"
     s"""WITH $oKmeansChain,
-       |res AS (SELECT a.vec_id, a.cell,
+       |res AS MATERIALIZED (SELECT a.vec_id, a.cell,
        |  list_transform(range(1, ${dims + 1}), i -> a.qv[i] - c.cv[i]) AS rv
        |  FROM $oKmeansFin a JOIN c$KmeansIters c ON a.cell = c.cid),
        |${oPqSubChains(pqk, "res", "rv", "r")},
@@ -2059,16 +2054,24 @@ object SimilarityQueries {
        |pc AS (SELECT src, qv, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
        |  WHERE rn <= $NProbeIvf),
-       |pr AS (SELECT pc.src, pc.qcell,
+       |pr AS MATERIALIZED (SELECT pc.src, pc.qcell,
        |  list_transform(range(1, ${dims + 1}), i -> pc.qv[i] - c.cv[i]) AS rqv
        |  FROM pc JOIN c$KmeansIters c ON pc.qcell = c.cid),
-       |cand AS (SELECT pr.src, pr.rqv, a.vec_id FROM pr JOIN $oKmeansFin a ON a.cell = pr.qcell
+       |$kcb,
+       |klut AS MATERIALIZED (SELECT pr.src, pr.qcell, kcb.sub, kcb.cid AS code, $lutD AS d
+       |  FROM pr, kcb),
+       |cand AS (SELECT pr.src, pr.qcell, a.vec_id FROM pr JOIN $oKmeansFin a ON a.cell = pr.qcell
        |  WHERE a.vec_id <> pr.src),
-       |$dCtes,
+       |ck AS MATERIALIZED (SELECT cand.src, cand.qcell, cand.vec_id, k.sub, k.code
+       |  FROM cand JOIN rcodes k ON k.vec_id = cand.vec_id),
+       |kcd AS (SELECT ck.src, ck.vec_id, SUM(l.d) AS d
+       |  FROM ck JOIN klut l ON l.src = ck.src AND l.qcell = ck.qcell
+       |    AND l.sub = ck.sub AND l.code = ck.code
+       |  GROUP BY 1, 2),
        |sl AS (SELECT src, vec_id FROM (
-       |  SELECT kd0.src, kd0.vec_id, row_number() OVER (
-       |    PARTITION BY kd0.src ORDER BY $dSum, kd0.vec_id) AS srn
-       |  FROM kd0 $dJoins) WHERE srn <= $shortlist)
+       |  SELECT src, vec_id, row_number() OVER (
+       |    PARTITION BY src ORDER BY d, vec_id) AS srn
+       |  FROM kcd) WHERE srn <= $shortlist)
        |SELECT src, dst, cos, rn FROM (
        |  SELECT sl.src, sl.vec_id AS dst,
        |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,

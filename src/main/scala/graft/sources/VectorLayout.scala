@@ -626,22 +626,20 @@ object VectorLayout {
     requireLayout(spark, dir)
     val rows = vectors(spark, dir, upToBatch)
     // per-row probe ranking over the LITERAL stored codebook — the
-    // serving twin of SimilarityQueries.topCells/trainedScored: the old
-    // corpus × K crossJoin + window materialized n·K rows through a qid
-    // shuffle, quadratic once the codebook K scales with the corpus
-    // (round-14; same argmax + tie-break, bit-identical scores)
-    val scored = array(centroidsFor(spark, sfDir, dir).map { case (cid, c) =>
-      struct(round(call_function("graft_cosine",
-        col("qqv").cast("array<double>"), typedLit(c.map(_.toDouble).toSeq)),
-        6).as("sc"),
-        lit(-cid).as("ncid"))
-    }: _*)
+    // serving twin of SimilarityQueries' native [[graft_cell_topk]]
+    // ranking (round-14; same argmax + tie-break, bit-identical
+    // scores, O(1) expression size in K): the old corpus × K crossJoin
+    // + window materialized n·K rows through a qid shuffle, quadratic
+    // once the codebook K scales with the corpus
+    val storedCents = centroidsFor(spark, sfDir, dir)
     val qcells = rows
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qqv", transform(col("qv").cast("array<double>"),
         x => floor(x * SimilarityQueries.QuantScale)))
       .select(col("qid"), col("qv"),
-        explode(SimilarityQueries.topCells(scored, nprobe)).as("qcell"))
+        explode(SimilarityQueries.topCellsNative(
+          storedCents.map(_._1), storedCents.map(_._2.map(_.toDouble)),
+          col("qqv"), nprobe)).as("qcell"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     rows

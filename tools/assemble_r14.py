@@ -112,7 +112,15 @@ if mode in ("all", "up"):
         "harness": ("graft.Verify exclude:<7 kernel-riding names> "
                     "conf:spark.graft.sim.ncells=200 + "
                     "tools/check_oracle_chunked.py (chunk=10, mem=64GB, "
-                    "retry_mem=100GB) — the driver's t2 compare shape"),
+                    "retry_mem=100GB) — the driver's t2 compare shape. "
+                    "sim_knn_ann_pq_res needed the round-14 MATERIALIZED "
+                    "oracle-CTE fix: DuckDB 1.0 re-inlines every CTE "
+                    "reference, so the shared kmeans/PQ training chains "
+                    "re-executed once per downstream reference and the "
+                    "compare spilled the host's disk (>70 GB) at 10x/K=200; "
+                    "marking the multiply-referenced chain CTEs MATERIALIZED "
+                    "(values unchanged — a purely physical hint) brought it "
+                    "to ~2 min / 2 MB spill, hash-green"),
         "excluded": {
             "sim_pairs_threshold": "exact O(n^2) kernel — guarded refusal at this scale; documented scale path is sim_pairs_lsh",
             "sim_pairs_recall": "LSH recall eval against the exact-kernel baseline",
