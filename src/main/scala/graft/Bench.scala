@@ -93,7 +93,11 @@ object Bench {
     "sim_knn_ann_pq_res_recall" ->
       "residual-PQ-kNN recall eval against the exact-kernel baseline",
     "sim_knn_ann_pq_tradeoff" ->
-      "PQ lever eval (3 full PQ-kNN variants) against the exact-kernel baseline")
+      "PQ lever eval (3 full PQ-kNN variants) against the exact-kernel baseline",
+    "sim_knn_ann_probe_tradeoff" ->
+      "probe-width recall eval against the exact-kernel baseline",
+    "sim_knn_ann_hier_recall" ->
+      "two-level-probe recall eval against the exact-kernel baseline")
 
   /** Builder twin of [[UpExcluded]]. */
   val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")
@@ -297,22 +301,39 @@ object Bench {
     // contract, not the frozen fixture.
     val upNCells = sys.env.getOrElse("SPARK_GRAFT_SIM_NCELLS_UP", "200")
     val up2NCells = sys.env.getOrElse("SPARK_GRAFT_SIM_NCELLS_UP2", "640")
-    def withNCells[A](k: String)(body: => A): A =
+    // Bounded-sample training per upward decade (round-14): the Lloyd
+    // trainers' per-iteration scan is n·K — Θ(n^1.5) under the scaled-K
+    // contract, and build:sim.kmeans_cells was the one builder above
+    // the suite's per-decade band (5.9×) once K scaled. The
+    // spark.graft.sim.trainbuckets knob bounds the TRAINING set to the
+    // deterministic 1/B md5 bucket (assignments stay corpus-wide);
+    // defaults keep the sample at the classic ≥~40·K training-points
+    // floor per decade: 10× = 20k vecs / B=2 = 10k ≥ 50·200; 100× =
+    // 200k / B=8 = 25k ≥ 39·640. Recorded in the JSON like the K knob.
+    val upTb = sys.env.getOrElse("SPARK_GRAFT_SIM_TRAINBUCKETS_UP", "2")
+    val up2Tb = sys.env.getOrElse("SPARK_GRAFT_SIM_TRAINBUCKETS_UP2", "8")
+    def withNCells[A](k: String, tb: String = "default")(body: => A): A =
       if (k == "default") body
       else {
         spark.conf.set(graft.operators.SimilarityQueries.NCellsKey, k)
+        if (tb != "default")
+          spark.conf.set(graft.operators.SimilarityQueries.TrainBucketsKey, tb)
         try body
-        finally spark.conf.unset(graft.operators.SimilarityQueries.NCellsKey)
+        finally {
+          spark.conf.unset(graft.operators.SimilarityQueries.NCellsKey)
+          if (tb != "default")
+            spark.conf.unset(graft.operators.SimilarityQueries.TrainBucketsKey)
+        }
       }
     val (upPart, upMap) =
       if (upDir == "none") ("", Map.empty[String, Double])
-      else withNCells(upNCells) {
+      else withNCells(upNCells, upTb) {
         // name the resolved dir: the relative candidate wins when the
         // bench runs from the repo root and the absolute fallback wins
         // elsewhere — printing which one makes a stale-corpus mixup
         // visible (round-11 review: the fallback path is machine-
         // specific; SPARK_GRAFT_SCALE_UP_DIR is the portable override)
-        println(s"[bench] upward-decade corpus: $upDir (sim.ncells=$upNCells)")
+        println(s"[bench] upward-decade corpus: $upDir (sim.ncells=$upNCells, sim.trainbuckets=$upTb)")
         warmup(upDir, n => !UpExcluded.contains(n))
         val (upBuilds, upQ, upErrs) =
           runPass(spark, upDir, 1,
@@ -327,7 +348,7 @@ object Bench {
         }
         val excl = UpExcluded.toSeq.sortBy(_._1)
           .map { case (n, why) => s"$n ($why)" }.mkString("; ")
-        (s""","scale_dir_up":"$upDir","sim_ncells_up":"$upNCells",""" +
+        (s""","scale_dir_up":"$upDir","sim_ncells_up":"$upNCells","sim_trainbuckets_up":"$upTb",""" +
           s""""scale_queries_up":${jmap(upQ)},""" +
           s""""scale_ratio_up":${jmap(ratios)},"scale_errors_up":${jarr(upErrs)},""" +
           s""""scale_up_excluded":"$excl"""", m)
@@ -354,8 +375,8 @@ object Bench {
       })
     val up2Part =
       if (up2Dir == "none") ""
-      else withNCells(up2NCells) {
-        println(s"[bench] second-upward-decade corpus: $up2Dir (sim.ncells=$up2NCells)")
+      else withNCells(up2NCells, up2Tb) {
+        println(s"[bench] second-upward-decade corpus: $up2Dir (sim.ncells=$up2NCells, sim.trainbuckets=$up2Tb)")
         val budget = sys.env.getOrElse("SPARK_GRAFT_UP2_BUDGET_SEC", "300").toDouble
         val mainMap = mains.toMap
         val candidates = upMap.toSeq
@@ -401,7 +422,7 @@ object Bench {
           s"10x-projected sf1-up cost <= ${budget}s, plus every *_sample row " +
           s"unconditionally (decade-portable representatives): ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
-        s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells",""" +
+        s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells","sim_trainbuckets_up2":"$up2Tb",""" +
           s""""scale_queries_up2":${jmap(q2 ++ b2.map { case (n, t) => s"build:$n" -> t })},""" +
           s""""scale_ratio_up2":${jmap(ratios2)},"scale_per_decade_up2":${jmap(ratiosGeo)},""" +
           s""""scale_errors_up2":${jarr(e2)},""" +

@@ -64,7 +64,8 @@ object VerifyStream {
     "sim_ann_kmeans" -> (s =>
       VectorLayout.probe(s, StoreBuild.vectorLayoutDir(root))),
     "sim_knn_ann_kmeans" -> (s =>
-      VectorLayout.knn(s, sfDir, StoreBuild.vectorLayoutDir(root))
+      VectorLayout.knn(s, sfDir, StoreBuild.vectorLayoutDir(root),
+        nprobe = graft.operators.SimilarityQueries.nProbeOf(s))
         .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("cos"), col("rn"))))
 

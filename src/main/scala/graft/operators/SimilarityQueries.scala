@@ -335,6 +335,46 @@ object SimilarityQueries {
       k = KnnK, broadcastQueries = false)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
 
+  // ---- Probe-width recall curve (round 14) ----
+  // The PQ lever table (sim_knn_ann_pq_tradeoff) measured that rerank
+  // depth saturates at 0.614 against the plain kNN's own 0.622: past
+  // ~0.62 the binding constraint is candidate GENERATION — a true
+  // neighbor whose primary cell is outside the probe set is never
+  // proposed, at any shortlist depth. This row measures the lever that
+  // moves THAT bound (the [[NProbeKey]] knob's production rationale):
+  // edge recall of the bucket-blocked kNN at pinned probe widths
+  // 1 / default / 6. Sources are the deterministic 1/KnnSampleBuckets
+  // sample — per-source independence makes the restriction exact
+  // (the knnAnnSample argument), and it keeps the three full kNN
+  // passes + the exact baseline at sample cost instead of three
+  // corpus-wide scans. Rides the exact kernel → excluded from the up
+  // passes by name like every recall row.
+  val ProbeTradeoffWide = 6
+
+  def knnAnnProbeTradeoff(s: SparkSession, dir: String): DataFrame = {
+    val srcSampled = graft.functions.Buckets.mdBucket(
+      col("src").cast("string"), KnnSampleBuckets) === 0
+    val exact = knnJoin(s, dir).filter(srcSampled)
+      .select("src", "dst").localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val sampledQ = embs(s, dir)
+      .filter(graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
+        KnnSampleBuckets) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def row(name: String, np: Int): DataFrame =
+      probeQuerySet(s, dir, sampledQ, k = KnnK,
+        broadcastQueries = false, nprobe = np)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+        .join(exact, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(nExact)
+        .select(lit(name).as("variant"), col("hits"), col("n_exact"),
+          round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+    row("np1", 1)
+      .unionAll(row(s"np$NProbeIvf", NProbeIvf))
+      .unionAll(row(s"np$ProbeTradeoffWide", ProbeTradeoffWide))
+  }
+
   /** Edge recall of the bucket-blocked kNN against the exact kernel's
     * kNN: |approx edges ∩ exact edges| / |exact edges| on (src, dst).
     * Rides the exact kernel, so — like [[pairsRecall]] — it is
@@ -391,7 +431,7 @@ object SimilarityQueries {
     // candidate scan below never evaluates an interpreted fold
     val probes = srcs.select(col("qid"),
       adcLut(s, dir, col("qqv"), pqk).as("lut"),
-      explode(trainedTop(cents, col("qqv"), NProbeIvf)).as("qcell"))
+      explode(trainedTop(cents, col("qqv"), nProbeOf(s))).as("qcell"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // the probe side is corpus-sized: pin the shuffle join (merge
@@ -452,7 +492,7 @@ object SimilarityQueries {
     val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val probes = srcs
       .select(col("qid"), col("qqv"),
-        explode(trainedTop(cents, col("qqv"), NProbeIvf)).as("qcell"))
+        explode(trainedTop(cents, col("qqv"), nProbeOf(s))).as("qcell"))
       .join(broadcast(centDf(s, cents).withColumnRenamed("cell", "qcell")),
         Seq("qcell"))
       .select(col("qid"), col("qcell"),
@@ -509,7 +549,7 @@ object SimilarityQueries {
     val (q, cents) = trainedModel(s, dir)
     // per-row probe ranking — see [[knnPqOver]]'s rationale
     val probes = q.select(col("vec_id").as("qid"),
-      explode(trainedTop(cents, col("qv"), NProbeIvf)).as("qcell"))
+      explode(trainedTop(cents, col("qv"), nProbeOf(s))).as("qcell"))
     val raw = embs(s, dir).select(col("vec_id"), col("v"))
     val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
     val wq = org.apache.spark.sql.expressions.Window
@@ -528,6 +568,126 @@ object SimilarityQueries {
     knnPqOver(s, dir, q => q.filter(
       graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
         KnnSampleBuckets) === 0))
+
+  // ---- Hierarchical (2-level) coarse probe: the documented next rung ----
+  // The flat probe ranks ALL K centroids per row. [[topCellsNative]]
+  // keeps that O(K) work inside whole-stage codegen at any K the knob
+  // has been measured at, but the model rides the EXPRESSION as
+  // constructor data — at K beyond ~10⁵ (the 100 TB regime under the
+  // K ∝ √n contract) a K×64-double reference object per task stops
+  // being a sane plan artifact, and the per-row FLOPs are n·K = n^1.5.
+  // The textbook fix (IMI / FAISS's two-level coarse quantizer) probes
+  // hierarchically: K2 = ⌈√K⌉ SUPER-centroids trained over the K
+  // centroids (model-over-model — K rows, trained on the DRIVER with
+  // the exact arithmetic contract of every other trainer), the query
+  // ranks K2 supers in place (per-row expression, O(√K)), and only the
+  // probed supers' member centroids are ranked — a broadcast join of
+  // source × nsuper rows against the (scell, cid, cv) member table and
+  // one per-source window over ~nsuper·K/K2 = O(√K) rows. Total probe
+  // work per source: O(√K) expression + O(√K) window rows, vs the flat
+  // form's O(K) — n^1.25 corpus-wide. LOSSY one level deeper by the
+  // same contract as the flat probe: a cell whose super is outside the
+  // probed supers is never ranked ([[knnAnnHierRecall]] measures it;
+  // at the compiled default K=8, K2=3 = nsuper, the hierarchy covers
+  // every super, so the output EQUALS [[knnAnnKmeans]] — the spec pins
+  // that identity, and the oracle hash proves the two-level chain).
+  // nsuper rides the same [[NProbeKey]] knob as nprobe.
+
+  /** Driver-side Lloyd over the CENTROID set (model-over-model): seeds
+    * are the K2 lowest-cid centroids, [[KmeansIters]] iterations, and
+    * bit-for-bit the engine arithmetic — interleaved dot/norm fold in
+    * double ([[graft.functions.expressions.CosineSim]]'s loop), HALF_UP
+    * 6-dp round (Spark's `Round` rule), argmax with lowest-id
+    * tie-break, floor(sum/n) updates on exact integer sums. Returns
+    * (super-centroids, cid → super-cell membership).
+    */
+  private[graft] def trainSuper(cents: Seq[(Long, Array[Long])], k2: Int)
+      : (Seq[(Long, Array[Long])], Map[Long, Long]) = {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def assign(v: Array[Long], sup: Seq[(Long, Array[Long])]): Long =
+      sup.map { case (sid, sv) => (cos(v, sv), sid) }
+        .sortBy { case (sc, sid) => (-sc, sid) }.head._2
+    var sup = cents.filter(_._1 <= k2).sortBy(_._1)
+    for (_ <- 1 to KmeansIters) {
+      val assigned = cents.map { case (_, v) => (assign(v, sup), v) }
+      sup = assigned.groupBy(_._1).toSeq.map { case (sid, vs) =>
+        val dims = vs.head._2.length
+        val arr = new Array[Long](dims)
+        var d = 0
+        while (d < dims) {
+          var sum = 0L; vs.foreach(t => sum += t._2(d))
+          arr(d) = math.floor(sum.toDouble / vs.length).toLong; d += 1
+        }
+        (sid, arr)
+      }.sortBy(_._1)
+    }
+    (sup, cents.map { case (cid, v) => (cid, assign(v, sup)) }.toMap)
+  }
+
+  private def hierK2(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Corpus-wide kNN over the trained quantizer with the TWO-LEVEL
+    * probe — [[knnAnnKmeans]] with the probe stage swapped for the
+    * hierarchical ranking above; candidate join and exact rerank are
+    * shared verbatim.
+    */
+  def knnAnnHier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (q, cents) = trainedModel(s, dir)
+    val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
+    val np = nProbeOf(s)
+    val qsup = q.select(col("vec_id").as("qid"), col("qv"),
+      explode(trainedTop(sup, col("qv"), np)).as("scell"))
+    val memberDf = cents.map { case (cid, v) =>
+      (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
+      .select(col("qid"), col("cid"),
+        round(call_function("graft_cosine",
+          col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= np)
+      .select(col("qid"), col("cid").as("qcell"))
+    val raw = embs(s, dir).select(col("vec_id"), col("v"))
+    val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    assigned
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(raw.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= KnnK)
+  }
+
+  /** Edge recall of the two-level probe against the exact kernel — the
+    * [[knnAnnRecall]] discipline, so the flat ([[knnAnnKmeans]]-path)
+    * and hierarchical rows are directly comparable; rides the exact
+    * kernel → excluded from the up passes by name.
+    */
+  def knnAnnHierRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnJoin(s, dir).select("src", "dst")
+    val hits = knnAnnHier(s, dir).select("src", "dst")
+      .join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(nExact)
+      .select(col("hits"), col("n_exact"),
+        round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+  }
 
   /** Edge recall of the PQ-compressed kNN against the exact kernel's
     * kNN — the [[knnAnnRecall]] discipline; rides the exact kernel, so
@@ -647,6 +807,79 @@ object SimilarityQueries {
   private def activeNCells: Int =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(nCellsOf).getOrElse(NCells)
+
+  /** Probe width (cells scanned per query) — the RECALL knob, the
+    * [[NCellsKey]] discipline applied to the other axis of the IVF
+    * tradeoff. The round-14 measurement that motivates it: the
+    * corpus-wide kNN's edge recall is 0.622 at the compiled nprobe=3
+    * and the PQ `shortlist2x` lever saturates at 0.614 — recall is
+    * bounded by candidate GENERATION (a true neighbor whose cell is
+    * outside the probe set is never proposed), not by quantization or
+    * rerank depth, so the production lever past ~0.62 is probing more
+    * cells. Cost is linear in nprobe (candidates = nprobe · n/K);
+    * nothing model- or store-shaped depends on it, so no cache key
+    * embeds it — it is a pure query-time knob, and the oracle SQL
+    * regenerates from the same live value ([[activeNProbe]]).
+    */
+  val NProbeKey = "spark.graft.sim.nprobe"
+
+  def nProbeOf(s: SparkSession): Int = {
+    val p = s.conf.getOption(NProbeKey).map(_.toInt).getOrElse(NProbeIvf)
+    require(p >= 1,
+      s"$NProbeKey must be >= 1 (probe at least the nearest cell), got $p")
+    p
+  }
+
+  private def activeNProbe: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(nProbeOf).getOrElse(NProbeIvf)
+
+  /** Bounded-sample training — the BUILD-cost knob. Every Lloyd
+    * trainer (coarse quantizer, PQ subspace codebooks, residual
+    * codebooks) iterates over the full corpus by default, so the
+    * training term is iters · n · K — with K scaled per the deployment
+    * contract that is Θ(n^1.5), and `build:sim.kmeans_cells` was the
+    * one builder left above the suite's per-decade band (5.9× at the
+    * round-14 100× pass). The standard fix (FAISS trains IVF/PQ on a
+    * bounded sample of the corpus) bounds the TRAINING set while every
+    * ASSIGNMENT stays corpus-wide: with B > 1 the trainers see only
+    * the deterministic 1/B md5 bucket of vec_ids ([[Buckets]] — the
+    * rel_hash_sample idiom, exactly reproducible in the oracle) plus
+    * the seed rows, so the per-iteration scan is n/B · K and the full
+    * n · K is paid once, in the final assignment. The sample changes
+    * the trained model, so every model/assignment cache key embeds a
+    * non-default B ([[tbTag]]) and the oracle SQL regenerates the same
+    * sample filter from the live conf — a knobbed run verifies through
+    * the same DuckDB gate. Default B=1 trains on everything
+    * (bit-identical to the unknobbed engine).
+    */
+  val TrainBucketsKey = "spark.graft.sim.trainbuckets"
+
+  def trainBucketsOf(s: SparkSession): Int = {
+    val b = s.conf.getOption(TrainBucketsKey).map(_.toInt).getOrElse(1)
+    require(b >= 1, s"$TrainBucketsKey must be >= 1 (1 = train on the full corpus), got $b")
+    b
+  }
+
+  private def activeTrainBuckets: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(trainBucketsOf).getOrElse(1)
+
+  /** Cache-key suffix for the sampled-trainer knob — empty at the
+    * default so existing stores/memos keep their keys; any B > 1
+    * session misses every default-trained model (and vice versa). */
+  private def tbTag(s: SparkSession): String = {
+    val b = trainBucketsOf(s); if (b > 1) s":tb$b" else ""
+  }
+
+  /** The training subset a Lloyd trainer iterates over: the 1/B md5
+    * bucket of `vec_id` UNION the seed rows (1..`seeds` — the seeds
+    * must exist in iteration 1 regardless of the sample). B=1 is the
+    * identity. */
+  private def trainSubset(df: DataFrame, seeds: Int, tb: Int): DataFrame =
+    if (tb <= 1) df
+    else df.filter(col("vec_id").between(1, seeds) ||
+      graft.functions.Buckets.mdBucket(col("vec_id").cast("string"), tb) === 0)
 
   /** The K seeded centroids COLLECTED (vec_ids 1..K, float vectors
     * widened to double — exact, so literal scores are bit-identical to
@@ -787,11 +1020,14 @@ object SimilarityQueries {
   // corpus shuffle) by cosine to the query; the corpus keeps its
   // argmax assignment. Cost grows with nprobe × cell size, not corpus size: at
   // cluster scale each probed cell is one pruned partition.
+  // COMPILED DEFAULT — every probe path resolves the live value
+  // through [[nProbeOf]]/[[activeNProbe]] ([[NProbeKey]], the recall
+  // knob); this constant is only the fallback.
   val NProbeIvf = 3
 
   def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame =
     cells(s, dir).filter(col("vec_id") =!= QueryVecId)
-      .join(broadcast(probeCells(s, dir, NProbeIvf)), col("cell") === col("qcell"))
+      .join(broadcast(probeCells(s, dir, nProbeOf(s))), col("cell") === col("qcell"))
       .select(col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -829,14 +1065,18 @@ object SimilarityQueries {
     */
   private[graft] def probeQuerySet(s: SparkSession, dir: String,
                                    qvs: DataFrame, k: Int = RecallK,
-                                   broadcastQueries: Boolean = true): DataFrame = {
+                                   broadcastQueries: Boolean = true,
+                                   nprobe: Int = -1): DataFrame = {
     // per-row probe ranking ([[seedTop]]): each query
     // row scores the K literal centroids and keeps its nprobe best in
     // place — the old corpus × K crossJoin + window materialized n·K
     // rows through a qid shuffle, which is n²/c once K scales with the
-    // corpus (the deployment contract the knob exists for)
+    // corpus (the deployment contract the knob exists for). `nprobe`
+    // ≤ 0 resolves the session knob; the probe-tradeoff eval pins
+    // explicit widths.
+    val np = if (nprobe > 0) nprobe else nProbeOf(s)
     val qcells = qvs.select(col("qid"), col("qv"),
-      explode(seedTop(s, dir, col("qv"), NProbeIvf)).as("qcell"))
+      explode(seedTop(s, dir, col("qv"), np)).as("qcell"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     cells(s, dir)
@@ -899,8 +1139,9 @@ object SimilarityQueries {
     // the artifact a second session loads instead of re-running Lloyd.
     // The key embeds the knobbed K: a K'-session must train its own
     // model, never reuse (in memory or from disk) one seeded at K.
-    val cents = graft.CacheLife.memoModel(s, s"sim.kmeans-model:$dir:k${nCellsOf(s)}")(
-      trainCentroids(q, nCellsOf(s))) { (ss, m) =>
+    val cents = graft.CacheLife.memoModel(s,
+      s"sim.kmeans-model:$dir:k${nCellsOf(s)}${tbTag(s)}")(
+      trainCentroids(q, nCellsOf(s), trainBucketsOf(s))) { (ss, m) =>
       import ss.implicits._
       m.map { case (cid, a) => (cid, a.toSeq) }.toDF("cid", "cent")
     } { df =>
@@ -916,14 +1157,18 @@ object SimilarityQueries {
   private[graft] val trainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The Lloyd loop proper — called once per (session, dir) through the
-    * memo above. */
-  private def trainCentroids(q: DataFrame, k: Int): Seq[(Long, Array[Long])] = {
+    * memo above. With `tb` > 1 the ITERATIONS run over the bounded
+    * [[trainSubset]] (n/tb · K per scan — the [[TrainBucketsKey]]
+    * contract); the caller's final assignment stays corpus-wide. */
+  private def trainCentroids(q: DataFrame, k: Int,
+                             tb: Int = 1): Seq[(Long, Array[Long])] = {
     trainRuns.incrementAndGet()
+    val qt = trainSubset(q, k, tb)
     var cents: Seq[(Long, Array[Long])] = q
       .filter(col("vec_id") >= 1 && col("vec_id") <= k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
     for (_ <- 1 to KmeansIters) {
-      val assigned = q.select(col("vec_id"), col("qv"), assignExpr(cents).as("cell"))
+      val assigned = qt.select(col("vec_id"), col("qv"), assignExpr(cents).as("cell"))
       val sums = assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -950,7 +1195,7 @@ object SimilarityQueries {
     // n·K scores per evaluation, and four query families touch it —
     // uncached, every one re-paid the scan (the 7× per-decade bend on
     // sim_kmeans_cells at scaled K was exactly this re-evaluation)
-    graft.CacheLife.cached(s, s"sim.kmeans-cells:$dir:k${nCellsOf(s)}")(
+    graft.CacheLife.cached(s, s"sim.kmeans-cells:$dir:k${nCellsOf(s)}${tbTag(s)}")(
       q.select(col("vec_id"), assignExpr(cents).as("cell")))
   }
 
@@ -987,7 +1232,7 @@ object SimilarityQueries {
     trainCentroids(vecs.select(col("vec_id"),
       transform(V.vecD(col("embedding")),
         x => floor(x * QuantScale).cast("long")).as("qv")).localCheckpoint(),
-      activeNCells)
+      activeNCells, activeTrainBuckets)
 
   /** The trained coarse codebook, exposed model-sized (K rows of
     * quantized centroid longs) for layout probes to rank against.
@@ -1080,13 +1325,16 @@ object SimilarityQueries {
     slice(qv, m * PqSubDim + 1, PqSubDim)
 
   /** One subspace's Lloyd loop over (vec_id, sq) — the collects fetch
-    * the K×SubDim-long codebook, never the corpus. */
-  private def trainPqSub(sub: DataFrame, pqk: Int): Seq[(Long, Array[Long])] = {
+    * the K×SubDim-long codebook, never the corpus. `tb` bounds the
+    * iteration scans to the [[trainSubset]] ([[TrainBucketsKey]]). */
+  private def trainPqSub(sub: DataFrame, pqk: Int,
+                         tb: Int = 1): Seq[(Long, Array[Long])] = {
+    val subT = trainSubset(sub, pqk, tb)
     var cents: Seq[(Long, Array[Long])] = sub
       .filter(col("vec_id") >= 1 && col("vec_id") <= pqk)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
     for (_ <- 1 to PqIters) {
-      val assigned = sub.select(pqAssignExpr(col("sq"), cents).as("code"), col("sq"))
+      val assigned = subT.select(pqAssignExpr(col("sq"), cents).as("code"), col("sq"))
       val sums = assigned
         .select(col("code"), posexplode(col("sq")).as(Seq("dim", "x")))
         .groupBy("code", "dim")
@@ -1113,9 +1361,11 @@ object SimilarityQueries {
     // M×K rows of (sub, cid, 16 longs) on disk — load-or-train like the
     // coarse codebook; the key embeds a non-default codebook size
     // (recall-lever variants must never reuse the default model)
-    graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](s, s"sim.pq-model:$dir:pk$pqk")(
+    graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](s,
+      s"sim.pq-model:$dir:pk$pqk${tbTag(s)}")(
       (0 until PqM).map(m =>
-        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")), pqk)).toSeq) {
+        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")), pqk,
+          trainBucketsOf(s))).toSeq) {
       (ss, model) =>
         import ss.implicits._
         model.zipWithIndex.flatMap { case (cb, m) =>
@@ -1139,7 +1389,7 @@ object SimilarityQueries {
   private def pqCodes(s: SparkSession, dir: String, pqk: Int = PqK): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     val model = pqModel(s, dir, pqk)
-    graft.CacheLife.cached(s, s"sim.pq-codes:$dir:k${nCellsOf(s)}:pk$pqk")(
+    graft.CacheLife.cached(s, s"sim.pq-codes:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
       q.select(col("vec_id") +: assignExpr(cents).as("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
@@ -1227,7 +1477,7 @@ object SimilarityQueries {
     */
   private def residuals(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
-    graft.CacheLife.cached(s, s"sim.pq-res:$dir:k${nCellsOf(s)}")(
+    graft.CacheLife.cached(s, s"sim.pq-res:$dir:k${nCellsOf(s)}${tbTag(s)}")(
       kmeansCells(s, dir).join(q, Seq("vec_id"))
         .join(broadcast(centDf(s, cents)), Seq("cell"))
         .select(col("vec_id"), col("cell"),
@@ -1244,9 +1494,10 @@ object SimilarityQueries {
                          pqk: Int = PqK): Seq[Seq[(Long, Array[Long])]] = {
     val r = residuals(s, dir)
     graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](
-      s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}:pk$pqk")(
+      s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
       (0 until PqM).map(m =>
-        trainPqSub(r.select(col("vec_id"), subSlice(col("rv"), m).as("sq")), pqk)).toSeq) {
+        trainPqSub(r.select(col("vec_id"), subSlice(col("rv"), m).as("sq")), pqk,
+          trainBucketsOf(s))).toSeq) {
       (ss, model) =>
         import ss.implicits._
         model.zipWithIndex.flatMap { case (cb, m) =>
@@ -1267,7 +1518,7 @@ object SimilarityQueries {
   private def pqResCodes(s: SparkSession, dir: String,
                          pqk: Int = PqK): DataFrame = {
     val model = pqResModel(s, dir, pqk)
-    graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}:pk$pqk")(
+    graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
       residuals(s, dir).select(col("vec_id") +: col("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("rv"), m), model(m)).as(s"c$m")): _*))
@@ -1383,7 +1634,7 @@ object SimilarityQueries {
   }
 
   def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame =
-    ivfPqProbeRerank(s, dir, NProbeIvf, identity)
+    ivfPqProbeRerank(s, dir, nProbeOf(s), identity)
 
   // ---- Filtered IVF-PQ: the production shape when the corpus is
   // PQ-compressed (round-12 verdict stretch #7) ----
@@ -1612,9 +1863,12 @@ object SimilarityQueries {
     "sim_knn_ann_pq_sample" -> (knnAnnPqSample _),
     "sim_knn_ann_pq_recall" -> (knnAnnPqRecall _),
     "sim_knn_ann_pq_tradeoff" -> (knnAnnPqTradeoff _),
+    "sim_knn_ann_probe_tradeoff" -> (knnAnnProbeTradeoff _),
     "sim_knn_ann_pq_res" -> (knnAnnPqRes _),
     "sim_knn_ann_pq_res_recall" -> (knnAnnPqResRecall _),
     "sim_knn_ann_kmeans" -> (knnAnnKmeans _),
+    "sim_knn_ann_hier" -> (knnAnnHier _),
+    "sim_knn_ann_hier_recall" -> (knnAnnHierRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_ivf_cells" -> (ivfCells _),
@@ -1684,18 +1938,20 @@ object SimilarityQueries {
     * (candidates always corpus-wide) — mirrors [[knnAnn]] /
     * [[knnAnnSample]] riding [[probeQuerySet]].
     */
-  private def oKnnAnnOver(srcWhere: String): String =
+  private def oKnnAnnOver(srcWhere: String, nprobe: Int = -1): String = {
+    val np = if (nprobe > 0) nprobe else activeNProbe
     s"WITH e AS ($oE), $oCells, " +
     s"qs AS (SELECT q.vec_id AS src, q.v AS qv, c.cid, " +
     s"round(${VO.cosine("c.cv", "q.v")}, 6) AS ccos FROM e q, cents c$srcWhere), " +
     s"qc AS (SELECT src, qv, cid AS cell FROM (" +
     s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM qs) " +
-    s"WHERE rn <= $NProbeIvf), " +
+    s"WHERE rn <= $np), " +
     s"cand AS (SELECT src, vec_id AS dst, round(${VO.cosine("v", "qv")}, 6) AS cos " +
     s"FROM cells JOIN qc USING (cell) WHERE vec_id <> src) " +
     s"SELECT src, dst, cos, rn FROM (" +
     s"SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM cand) " +
     s"WHERE rn <= $KnnK"
+  }
 
   private def oKnnAnn: String = oKnnAnnOver("")
   private def oKnnAnnSample: String = oKnnAnnOver(
@@ -1720,8 +1976,8 @@ object SimilarityQueries {
     def qdot(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     def score(cv: String) =
       s"round(${qdot("qv", cv)} / (sqrt(${qdot("qv", "qv")}) * sqrt(${qdot(cv, cv)})), 6)"
-    def assign(si: String, ci: String, ai: String) =
-      s"""$si AS (SELECT q.vec_id, q.qv, c.cid, ${score("c.cv")} AS sc FROM q, $ci c),
+    def assign(si: String, ci: String, ai: String, from: String = "q") =
+      s"""$si AS (SELECT q.vec_id, q.qv, c.cid, ${score("c.cv")} AS sc FROM $from q, $ci c),
          |$ai AS MATERIALIZED (SELECT vec_id, qv, cid AS cell FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid) AS rn FROM $si)
          |  WHERE rn = 1)""".stripMargin
@@ -1730,13 +1986,23 @@ object SimilarityQueries {
          |  FROM (SELECT cell, unnest(qv) AS x, generate_subscripts(qv, 1) AS dim FROM $ai)
          |  GROUP BY 1, 2),
          |$ci AS MATERIALIZED (SELECT cell AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
+    // sampled-trainer knob: the Lloyd ITERATIONS read the bounded
+    // training subset (seeds ∪ the 1/B md5 bucket — trainSubset's
+    // filter verbatim); the final assignment reads the full corpus
+    val tb = activeTrainBuckets
+    val trainSrc = if (tb > 1) "qt" else "q"
+    val qtCte = if (tb > 1)
+      s"""qt AS (SELECT * FROM q WHERE vec_id BETWEEN 1 AND $activeNCells
+         |  OR ${graft.functions.Buckets.sqlBucket("vec_id::VARCHAR", tb)} = 0),
+         |""".stripMargin
+    else ""
     val iters = (1 to KmeansIters).map { i =>
-      assign(s"s$i", s"c${i - 1}", s"a$i") + ",\n" + update(s"a$i", s"u$i", s"c$i")
+      assign(s"s$i", s"c${i - 1}", s"a$i", trainSrc) + ",\n" + update(s"a$i", s"u$i", s"c$i")
     }.mkString(",\n")
     val fin = KmeansIters + 1
     s"""e AS ($oE),
        |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $activeNCells),
+       |${qtCte}c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $activeNCells),
        |$iters,
        |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}""".stripMargin.replace("\n", " ")
   }
@@ -1773,7 +2039,7 @@ object SimilarityQueries {
     s"SELECT *, row_number() OVER (ORDER BY ccos DESC, cid) AS rn FROM qs) WHERE rn <= $nprobe)"
 
   private def oIvfMulti: String =
-    s"WITH e AS ($oE), $oCells, ${oProbeCtes(NProbeIvf)} " +
+    s"WITH e AS ($oE), $oCells, ${oProbeCtes(activeNProbe)} " +
     s"SELECT vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos FROM cells JOIN qc ON cell = qcell " +
     s"WHERE vec_id <> $QueryVecId ORDER BY cos DESC, vec_id LIMIT 10"
 
@@ -1856,11 +2122,21 @@ object SimilarityQueries {
     */
   private def oPqSubChains(pqk: Int = PqK, src: String = "q",
                            vcol: String = "qv", pfx: String = ""): String = {
+    // sampled-trainer knob — the oKmeansChain discipline per subspace:
+    // iterations read the bounded subset CTE, the final (code)
+    // assignment reads the full subspace table
+    val tb = activeTrainBuckets
     val subChains = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
-      def assign(si: String, ci: String, ai: String) =
-        s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM ${pfx}sub$m q, $ci c),
+      val trainSrc = if (tb > 1) s"${pfx}sub${m}t" else s"${pfx}sub$m"
+      val subTCte = if (tb > 1)
+        s"""${pfx}sub${m}t AS (SELECT * FROM ${pfx}sub$m WHERE vec_id BETWEEN 1 AND $pqk
+           |  OR ${graft.functions.Buckets.sqlBucket("vec_id::VARCHAR", tb)} = 0),
+           |""".stripMargin
+      else ""
+      def assign(si: String, ci: String, ai: String, from: String = s"${pfx}sub$m") =
+        s"""$si AS (SELECT q.vec_id, q.sq, c.cid, ${oPqL2("q.sq", "c.cv")} AS d FROM $from q, $ci c),
            |$ai AS MATERIALIZED (SELECT vec_id, sq, cid AS code FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM $si)
            |  WHERE rn = 1)""".stripMargin
@@ -1870,11 +2146,11 @@ object SimilarityQueries {
            |  GROUP BY 1, 2),
            |$ci AS MATERIALIZED (SELECT code AS cid, list(cx ORDER BY dim) AS cv FROM $ui GROUP BY 1)""".stripMargin
       val iters = (1 to PqIters).map { i =>
-        assign(s"${pfx}p${m}s$i", s"${pfx}p${m}c${i - 1}", s"${pfx}p${m}a$i") + ",\n" +
+        assign(s"${pfx}p${m}s$i", s"${pfx}p${m}c${i - 1}", s"${pfx}p${m}a$i", trainSrc) + ",\n" +
           update(s"${pfx}p${m}a$i", s"${pfx}p${m}u$i", s"${pfx}p${m}c$i")
       }.mkString(",\n")
       s"""${pfx}sub$m AS MATERIALIZED (SELECT vec_id, $vcol[$lo:$hi] AS sq FROM $src),
-         |${pfx}p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM ${pfx}sub$m WHERE vec_id BETWEEN 1 AND $pqk),
+         |$subTCte${pfx}p${m}c0 AS (SELECT vec_id AS cid, sq AS cv FROM ${pfx}sub$m WHERE vec_id BETWEEN 1 AND $pqk),
          |$iters,
          |${assign(s"${pfx}p${m}s$oPqFinIter", s"${pfx}p${m}c$PqIters", s"${pfx}p${m}a$oPqFinIter")}""".stripMargin
     }.mkString(",\n")
@@ -1959,7 +2235,7 @@ object SimilarityQueries {
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
   }
 
-  private def oAnnIvfPqMulti: String = oPqProbeRerank(NProbeIvf, "")
+  private def oAnnIvfPqMulti: String = oPqProbeRerank(activeNProbe, "")
 
   /** PQ-compressed kNN oracle over an optionally-restricted query side
     * (candidates always corpus-wide) — mirrors [[knnPqOver]] stage for
@@ -1991,7 +2267,7 @@ object SimilarityQueries {
        |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
        |pc AS (SELECT src, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
-       |  WHERE rn <= $NProbeIvf),
+       |  WHERE rn <= $activeNProbe),
        |$kcb,
        |klut AS MATERIALIZED (SELECT s.src, kcb.sub, kcb.cid AS code, $lutD AS d
        |  FROM (SELECT vec_id AS src, qv AS qqv FROM q$srcWhere) s, kcb),
@@ -2053,7 +2329,7 @@ object SimilarityQueries {
        |ps AS (SELECT q.vec_id AS src, q.qv, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
        |pc AS (SELECT src, qv, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
-       |  WHERE rn <= $NProbeIvf),
+       |  WHERE rn <= $activeNProbe),
        |pr AS MATERIALIZED (SELECT pc.src, pc.qcell,
        |  list_transform(range(1, ${dims + 1}), i -> pc.qv[i] - c.cv[i]) AS rqv
        |  FROM pc JOIN c$KmeansIters c ON pc.qcell = c.cid),
@@ -2097,7 +2373,7 @@ object SimilarityQueries {
        |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c),
        |pc AS (SELECT src, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
-       |  WHERE rn <= $NProbeIvf),
+       |  WHERE rn <= $activeNProbe),
        |cand AS (SELECT pc.src, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
        |  WHERE a.vec_id <> pc.src)
        |SELECT src, dst, cos, rn FROM (
@@ -2108,6 +2384,57 @@ object SimilarityQueries {
        |  FROM cand JOIN e ev ON cand.vec_id = ev.vec_id JOIN e qs ON cand.src = qs.vec_id)
        |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
   }
+  /** Two-level-probe corpus-wide kNN oracle — mirrors [[knnAnnHier]]
+    * stage for stage: the super-quantizer Lloyd chain trains over the
+    * kmeans chain's FINAL centroids (K rows — model-over-model, the
+    * driver-side [[trainSuper]] in SQL), sources rank the K2 supers,
+    * member centroids of the probed supers rank next, and candidates +
+    * exact rerank are the [[oKnnKmeans]] tail verbatim.
+    */
+  private def oKnnHier: String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    def sc(a: String, b: String) =
+      s"round(${qd(a, b)} / (sqrt(${qd(a, a)}) * sqrt(${qd(b, b)})), 6)"
+    val k2 = hierK2(activeNCells)
+    val cfin = s"c$KmeansIters"
+    def assign(si: String, ci: String, ai: String) =
+      s"""$si AS (SELECT t.cid, t.cv, s.sid, ${sc("t.cv", "s.sv")} AS scs FROM $cfin t, $ci s),
+         |$ai AS MATERIALIZED (SELECT cid, cv, sid AS scell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY scs DESC, sid) AS rn FROM $si)
+         |  WHERE rn = 1)""".stripMargin
+    def update(ai: String, ui: String, ci: String) =
+      s"""$ui AS (SELECT scell, dim, CAST(floor(SUM(x)::DOUBLE / COUNT(*)) AS BIGINT) AS sx
+         |  FROM (SELECT scell, unnest(cv) AS x, generate_subscripts(cv, 1) AS dim FROM $ai)
+         |  GROUP BY 1, 2),
+         |$ci AS MATERIALIZED (SELECT scell AS sid, list(sx ORDER BY dim) AS sv FROM $ui GROUP BY 1)""".stripMargin
+    val iters = (1 to KmeansIters).map { i =>
+      assign(s"hs$i", s"hc${i - 1}", s"ha$i") + ",\n" + update(s"ha$i", s"hu$i", s"hc$i")
+    }.mkString(",\n")
+    val fin = KmeansIters + 1
+    s"""WITH $oKmeansChain,
+       |hc0 AS (SELECT cid AS sid, cv AS sv FROM $cfin WHERE cid BETWEEN 1 AND $k2),
+       |$iters,
+       |${assign(s"hs$fin", s"hc$KmeansIters", s"ha$fin")},
+       |ps AS (SELECT q.vec_id AS src, s.sid, ${sc("q.qv", "s.sv")} AS scos FROM q, hc$KmeansIters s),
+       |psel AS (SELECT src, sid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY scos DESC, sid) AS rn FROM ps)
+       |  WHERE rn <= $activeNProbe),
+       |cs AS (SELECT p.src, m.cid, ${sc("q2.qv", "m.cv")} AS ccos
+       |  FROM psel p JOIN ha$fin m ON m.scell = p.sid JOIN q q2 ON q2.vec_id = p.src),
+       |pc AS (SELECT src, cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM cs)
+       |  WHERE rn <= $activeNProbe),
+       |cand AS (SELECT pc.src, a.vec_id FROM pc JOIN $oKmeansFin a ON a.cell = pc.qcell
+       |  WHERE a.vec_id <> pc.src)
+       |SELECT src, dst, cos, rn FROM (
+       |  SELECT cand.src, cand.vec_id AS dst,
+       |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY cand.src
+       |      ORDER BY round(${VO.cosine("ev.v", "qs.v")}, 6) DESC, cand.vec_id) AS rn
+       |  FROM cand JOIN e ev ON cand.vec_id = ev.vec_id JOIN e qs ON cand.src = qs.vec_id)
+       |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+  }
+
   private def oAnnFilteredPq: String =
     oPqProbeRerank(NProbeFiltered, s"AND e.label = $FilterLabel")
 
@@ -2164,6 +2491,11 @@ object SimilarityQueries {
     "sim_knn_ann_pq" -> oKnnPq,
     "sim_knn_ann_pq_sample" -> oKnnPqSample,
     "sim_knn_ann_kmeans" -> oKnnKmeans,
+    "sim_knn_ann_hier" -> oKnnHier,
+    "sim_knn_ann_hier_recall" ->
+      (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS hits FROM ($oKnnHier) a JOIN ($oKnnExact) x USING (src, dst)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
     "sim_knn_ann_pq_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnPq) a JOIN ($oKnnExact) x USING (src, dst)), " +
@@ -2183,6 +2515,19 @@ object SimilarityQueries {
         s"JOIN ($oKnnExact) x USING (src, dst)), " +
         s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"
       }.mkString(" UNION ALL "),
+    "sim_knn_ann_probe_tradeoff" -> {
+      val srcW =
+        s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0"
+      val exactS = s"SELECT * FROM ($oKnnExact) WHERE " +
+        s"${graft.functions.Buckets.sqlBucket("src::VARCHAR", KnnSampleBuckets)} = 0"
+      Seq(1, NProbeIvf, ProbeTradeoffWide).map { np =>
+        s"SELECT 'np$np' AS variant, hits, n_exact, " +
+        s"round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+        s"(SELECT COUNT(*) AS hits FROM (${oKnnAnnOver(srcW, np)}) a " +
+        s"JOIN ($exactS) x USING (src, dst)), " +
+        s"(SELECT COUNT(*) AS n_exact FROM ($exactS))"
+      }.mkString(" UNION ALL ")
+    },
     "sim_ivf_cells" ->
       (s"WITH e AS ($oE), $oCells " +
        "SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1"),
@@ -2206,7 +2551,7 @@ object SimilarityQueries {
        s"qs AS (SELECT qid, qv, cid, round(${VO.cosine("cv", "qv")}, 6) AS ccos FROM cents, qset), " +
        s"qc AS (SELECT qid, qv, cid AS qcell FROM (" +
        s"SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rn FROM qs) " +
-       s"WHERE rn <= $NProbeIvf), " +
+       s"WHERE rn <= $activeNProbe), " +
        s"cand AS (SELECT qid, vec_id, round(${VO.cosine("v", "qv")}, 6) AS cos " +
        s"FROM cells JOIN qc ON cell = qcell WHERE vec_id <> qid) " +
        s"SELECT qid, vec_id, cos, rn::INTEGER AS rn FROM (" +

@@ -331,6 +331,93 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sim.nprobe knob: probing every cell makes the kNN join exact; nprobe=0 refuses") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.NProbeKey -> "0") {
+        SimilarityQueries.nProbeOf(spark)
+      }
+    }
+    // the exactness law the knob is graded by: at nprobe = ncells the
+    // probe set covers every cell, so candidate generation is total and
+    // the lossy-by-contract kNN must EQUAL the exact kernel's kNN —
+    // same edges, same cosines, same ranks
+    val exact = SimilarityQueries.knnJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = withConf(
+      SimilarityQueries.NProbeKey -> SimilarityQueries.nCellsOf(spark).toString) {
+      SimilarityQueries.knnAnn(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    assert(full == exact,
+      s"full-probe kNN (${full.size} edges) must equal the exact kNN (${exact.size})")
+    // and the default (nprobe=3) run is a SUBSET relation only on true
+    // edges — recall ≤ 1 by construction, already measured by
+    // sim_knn_ann_recall; here we just pin that the knob changes the
+    // candidate set (a wider probe can only gain edges)
+    CacheLife.release(spark)
+  }
+
+  test("probe-width tradeoff: recall is monotone in nprobe and consistent with the sampled exact set") {
+    val rows = SimilarityQueries.knnAnnProbeTradeoff(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("np1", s"np${SimilarityQueries.NProbeIvf}",
+      s"np${SimilarityQueries.ProbeTradeoffWide}"))
+    // one shared denominator: the exact kNN restricted to the sampled sources
+    assert(rows.values.map(_._2).toSet.size == 1, "n_exact must be shared")
+    // a wider probe proposes a SUPERSET of candidates; a true edge in the
+    // candidate set always survives the exact top-k (at most k-1 others
+    // beat it globally), so recall can only rise with nprobe
+    val r1 = rows("np1")._3
+    val r3 = rows(s"np${SimilarityQueries.NProbeIvf}")._3
+    val r6 = rows(s"np${SimilarityQueries.ProbeTradeoffWide}")._3
+    assert(r1 <= r3 && r3 <= r6, s"recall must be monotone: $r1 / $r3 / $r6")
+    assert(r6 > 0 && r6 <= 1.0)
+    CacheLife.release(spark)
+  }
+
+  test("two-level probe: equals the flat trained-quantizer kNN when the supers cover everything") {
+    // at the compiled default K=8, K2=ceil(sqrt(8))=3 = nprobe — the
+    // probed supers cover every super, so the hierarchy's member
+    // ranking sees ALL K centroids and the output must be bit-equal to
+    // the flat probe's (the lossy level only bites once K2 > nprobe)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val hier = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
+    val flat = SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
+    assert(hier == flat, s"hier ${hier.size} edges vs flat ${flat.size}")
+    // and the recall row is consistent with the shared denominator
+    val r = SimilarityQueries.knnAnnHierRecall(spark, Sf).collect().head
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
+  test("sim.trainbuckets knob: bounded trainer still assigns the whole corpus; keys isolate") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.TrainBucketsKey -> "0") {
+        SimilarityQueries.trainBucketsOf(spark)
+      }
+    }
+    val n = Tables.embeddings(spark, Sf).count()
+    val defaultHist = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val knobHist = withConf(SimilarityQueries.TrainBucketsKey -> "2") {
+      SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    // the TRAINER samples; the ASSIGNMENT never does — every vector
+    // lands in a cell under the bounded model too
+    assert(knobHist.map(_._2).sum == n,
+      "bounded-trainer assignment must still cover the whole corpus")
+    assert(knobHist.map(_._1).forall(c => c >= 1 && c <= SimilarityQueries.NCells))
+    // cache isolation: the knobbed session trained its OWN model (keys
+    // embed tb) — back at the default the original histogram reappears
+    // bit-for-bit instead of a sampled-model leftover
+    val back = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(back == defaultHist, "default-session model must be untouched by a tb session")
+    CacheLife.release(spark)
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()

@@ -9,8 +9,9 @@ exec >>"$LOG" 2>&1
 echo "==== run_r14_passes $(date -u +%FT%TZ) ===="
 
 # kernel-riding exclusions for the 10x pass — keep in lockstep with
-# Bench.UpExcluded (7 names as of round 14)
-KNN_EX="sim_pairs_threshold,sim_pairs_recall,sim_knn_join,sim_knn_ann_recall,sim_knn_ann_pq_recall,sim_knn_ann_pq_res_recall,sim_knn_ann_pq_tradeoff"
+# Bench.UpExcluded
+# kernel-riding exclusions (9 names as of the probe-tradeoff + hier rows)
+KNN_EX="sim_pairs_threshold,sim_pairs_recall,sim_knn_join,sim_knn_ann_recall,sim_knn_ann_pq_recall,sim_knn_ann_pq_res_recall,sim_knn_ann_pq_tradeoff,sim_knn_ann_probe_tradeoff,sim_knn_ann_hier_recall"
 
 stage() { echo; echo "---- $1 $(date -u +%T) ----"; }
 
