@@ -80,6 +80,18 @@ class PlanQualitySpec extends SparkSpec {
     CacheLife.release(spark) // rides the cached cell index
   }
 
+  test("hierarchical kNN keeps the candidate join shuffled on the cell key with partial top-k") {
+    val p = plan(SimilarityQueries.knnAnnHier(spark, Sf))
+    // stage 2's member ranking joins the corpus-sized (source, super)
+    // set against the model-sized member table (broadcast is fine
+    // THERE); the candidate join must still shuffle both corpus-sized
+    // sides on the cell key, and the per-src top-k must partial-limit
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    CacheLife.release(spark) // rides the cached assignment + models
+  }
+
   test("PQ kNN shortlists by shuffled cell equi-join over codes with partial top-k, never a corpus broadcast") {
     val p = plan(SimilarityQueries.knnAnnPq(spark, Sf))
     // the candidate join shuffles the code table against the
