@@ -641,12 +641,21 @@ object SimilarityQueries {
     * hierarchical ranking above; candidate join and exact rerank are
     * shared verbatim.
     */
-  def knnAnnHier(s: SparkSession, dir: String): DataFrame = {
+  def knnAnnHier(s: SparkSession, dir: String): DataFrame =
+    knnHierOver(s, dir, identity)
+
+  /** The hierarchical kNN over an optionally-restricted query side
+    * (candidates always corpus-wide) — the [[knnPqOver]] shape, so the
+    * sample twin is an exact source restriction (per-source
+    * independence, the knnAnnSample argument verbatim).
+    */
+  private def knnHierOver(s: SparkSession, dir: String,
+                          srcFilter: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val (q, cents) = trainedModel(s, dir)
     val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
     val np = nProbeOf(s)
-    val qsup = q.select(col("vec_id").as("qid"), col("qv"),
+    val qsup = srcFilter(q).select(col("vec_id").as("qid"), col("qv"),
       explode(trainedTop(sup, col("qv"), np)).as("scell"))
     val memberDf = cents.map { case (cid, v) =>
       (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
@@ -672,6 +681,18 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= KnnK)
   }
+
+  /** Deterministic 1/[[KnnSampleBuckets]] source sample of
+    * [[knnAnnHier]] — the decade-portable oracle row (the
+    * knnAnnSample/knnAnnPqSample idiom): the 100× oracle's super-chain
+    * stays model-sized but its probe/candidate CTEs scale with the
+    * query side, so the sample is what makes the second upward decade
+    * DuckDB-feasible for this family too.
+    */
+  def knnAnnHierSample(s: SparkSession, dir: String): DataFrame =
+    knnHierOver(s, dir, q => q.filter(
+      graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
+        KnnSampleBuckets) === 0))
 
   /** Edge recall of the two-level probe against the exact kernel — the
     * [[knnAnnRecall]] discipline, so the flat ([[knnAnnKmeans]]-path)
@@ -1868,6 +1889,7 @@ object SimilarityQueries {
     "sim_knn_ann_pq_res_recall" -> (knnAnnPqResRecall _),
     "sim_knn_ann_kmeans" -> (knnAnnKmeans _),
     "sim_knn_ann_hier" -> (knnAnnHier _),
+    "sim_knn_ann_hier_sample" -> (knnAnnHierSample _),
     "sim_knn_ann_hier_recall" -> (knnAnnHierRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
@@ -2391,7 +2413,9 @@ object SimilarityQueries {
     * member centroids of the probed supers rank next, and candidates +
     * exact rerank are the [[oKnnKmeans]] tail verbatim.
     */
-  private def oKnnHier: String = {
+  private def oKnnHier: String = oKnnHierOver("")
+
+  private def oKnnHierOver(srcWhere: String): String = {
     def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     def sc(a: String, b: String) =
       s"round(${qd(a, b)} / (sqrt(${qd(a, a)}) * sqrt(${qd(b, b)})), 6)"
@@ -2415,7 +2439,7 @@ object SimilarityQueries {
        |hc0 AS (SELECT cid AS sid, cv AS sv FROM $cfin WHERE cid BETWEEN 1 AND $k2),
        |$iters,
        |${assign(s"hs$fin", s"hc$KmeansIters", s"ha$fin")},
-       |ps AS (SELECT q.vec_id AS src, s.sid, ${sc("q.qv", "s.sv")} AS scos FROM q, hc$KmeansIters s),
+       |ps AS (SELECT q.vec_id AS src, s.sid, ${sc("q.qv", "s.sv")} AS scos FROM q, hc$KmeansIters s$srcWhere),
        |psel AS (SELECT src, sid FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY scos DESC, sid) AS rn FROM ps)
        |  WHERE rn <= $activeNProbe),
@@ -2492,6 +2516,8 @@ object SimilarityQueries {
     "sim_knn_ann_pq_sample" -> oKnnPqSample,
     "sim_knn_ann_kmeans" -> oKnnKmeans,
     "sim_knn_ann_hier" -> oKnnHier,
+    "sim_knn_ann_hier_sample" -> oKnnHierOver(
+      s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0"),
     "sim_knn_ann_hier_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnHier) a JOIN ($oKnnExact) x USING (src, dst)), " +

@@ -388,6 +388,12 @@ class QueriesSpec extends SparkSpec {
     // and the recall row is consistent with the shared denominator
     val r = SimilarityQueries.knnAnnHierRecall(spark, Sf).collect().head
     assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    // the sample twin is an EXACT source restriction (per-source
+    // independence) — the decade-portable oracle idiom
+    val sample = SimilarityQueries.knnAnnHierSample(spark, Sf).collect().map(key).toSet
+    val sampledSrcs = sample.map(_._1)
+    val expected = hier.filter(e => sampledSrcs.contains(e._1))
+    assert(sample == expected, s"sample ${sample.size} vs restriction ${expected.size}")
     CacheLife.release(spark)
   }
 
