@@ -67,6 +67,10 @@ object VerifyStream {
       VectorLayout.knn(s, sfDir, StoreBuild.vectorLayoutDir(root),
         nprobe = graft.operators.SimilarityQueries.nProbeOf(s))
         .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cos"), col("rn"))),
+    "sim_knn_ann_hier" -> (s =>
+      VectorLayout.knnHier(s, sfDir, StoreBuild.vectorLayoutDir(root))
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("cos"), col("rn"))))
 
   def main(args: Array[String]): Unit = {

@@ -634,7 +634,7 @@ object SimilarityQueries {
     (sup, cents.map { case (cid, v) => (cid, assign(v, sup)) }.toMap)
   }
 
-  private def hierK2(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
+  private[graft] def hierK2(k: Int): Int = math.ceil(math.sqrt(k.toDouble)).toInt
 
   /** Corpus-wide kNN over the trained quantizer with the TWO-LEVEL
     * probe — [[knnAnnKmeans]] with the probe stage swapped for the

@@ -651,6 +651,63 @@ object VectorLayout {
       .filter(col("rn") <= k)
   }
 
+  /** Corpus-wide kNN read from the layout through the HIERARCHICAL
+    * (two-level) probe — the serving twin of
+    * [[SimilarityQueries.knnAnnHier]], and the serving layer is where
+    * the hierarchy actually earns its keep: the flat [[knn]] ships the
+    * whole K-row codebook into a per-row ranking expression, sane while
+    * the model is expression-sized, while here the per-row expression
+    * ranks only the K2=⌈√K⌉ super-centroids (trained on the DRIVER over
+    * the stored codebook — model-over-model, engine-exact arithmetic)
+    * and the member ranking is a broadcast join against the model-sized
+    * (super, cid, centroid) table + a per-query window over
+    * ~nprobe·√K rows. Candidate join and rerank are [[knn]] verbatim
+    * (the stored `cell` partition column is the same flat assignment,
+    * so the hierarchy changes WHICH cells are probed, never where
+    * vectors live).
+    */
+  def knnHier(spark: SparkSession, sfDir: String, outDir: String,
+              nprobe: Int = -1,
+              k: Int = SimilarityQueries.KnnK,
+              upToBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val dir = resolve(spark, outDir)
+    requireLayout(spark, dir)
+    val rows = vectors(spark, dir, upToBatch)
+    val storedCents = centroidsFor(spark, sfDir, dir)
+    val np = if (nprobe > 0) nprobe else SimilarityQueries.nProbeOf(spark)
+    val (sup, members) = SimilarityQueries.trainSuper(
+      storedCents, SimilarityQueries.hierK2(storedCents.size))
+    val qsup = rows
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qqv", transform(col("qv").cast("array<double>"),
+        x => floor(x * SimilarityQueries.QuantScale)))
+      .select(col("qid"), col("qv"), col("qqv"),
+        explode(SimilarityQueries.topCellsNative(
+          sup.map(_._1), sup.map(_._2.map(_.toDouble)),
+          col("qqv"), np)).as("scell"))
+    val memberDf = storedCents.map { case (cid, v) =>
+      (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(call_function("graft_cosine",
+          col("qqv").cast("array<double>"), col("cv")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= np)
+      .select(col("qid"), col("qv"), col("cid").as("qcell"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    rows
+      .join(probes.hint("merge"), col("cell").cast("long") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_cosine", col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+  }
+
   /** Read-only integrity report of the vector layout — the
     * [[graft.Doctor]] leg. A plain (unversioned) dir is one nested
     * batch-log check; a versioned root additionally validates the

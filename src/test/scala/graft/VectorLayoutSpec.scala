@@ -53,6 +53,13 @@ class VectorLayoutSpec extends SparkSpec {
     val want = SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
     assert(got.nonEmpty && got === want,
       s"layout kNN drifted from knnAnnKmeans: ${got.size} vs ${want.size} rows")
+    // the hierarchical serving twin: same super training over the
+    // stored codebook, same member ranking, same candidates/rerank —
+    // row-for-row against the session two-level probe
+    val gotH = VectorLayout.knnHier(spark, Sf, out).collect().map(key).toSet
+    val wantH = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
+    assert(gotH.nonEmpty && gotH === wantH,
+      s"layout hier kNN drifted from knnAnnHier: ${gotH.size} vs ${wantH.size} rows")
     CacheLife.release(spark)
   }
 }
