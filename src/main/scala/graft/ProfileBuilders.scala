@@ -29,7 +29,24 @@ object ProfileBuilders {
     val dir = args(0)
     val names = args(1).split(',').toSet
     val iters = args.lift(2).map(_.toInt).getOrElse(1)
+    // optional 4th arg `conf:k=v,k=v` — the Verify/VerifyStream
+    // discipline, so knobbed configurations (scaled K, assignment mode)
+    // profile through the same entry; malformed input refuses loudly
+    require(args.lift(3).forall(_.startsWith("conf:")),
+      s"the 4th arg must be conf:k=v,k=v — got '${args.lift(3).getOrElse("")}'")
+    val confs: Seq[(String, String)] = args.lift(3).toSeq
+      .flatMap(_.stripPrefix("conf:").split(',').toSeq)
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"malformed conf token '$kv' — expected key=value")
+        }
+      }
     val spark = Sessions.local()
+    confs.foreach { case (k, v) =>
+      println(s"[pbuild] conf $k=$v")
+      spark.conf.set(k, v)
+    }
     try {
       val builders = (DedupQueries.indexBuilders(spark, dir) ++
         SubstrDedup.indexBuilders(spark, dir) ++

@@ -893,6 +893,40 @@ object SimilarityQueries {
     val b = trainBucketsOf(s); if (b > 1) s":tb$b" else ""
   }
 
+  /** Assignment mode — the OTHER n·K term. [[TrainBucketsKey]] bounds
+    * the Lloyd iterations; the one n·K scan left is the final
+    * corpus-wide ASSIGNMENT (argmax over all K centroids per vector —
+    * `build:sim.kmeans_cells`'s residual 5× per-decade geo-mean under
+    * the scaled-K contract). `hier` assigns IMI-style through the same
+    * two-level structure the probe rung uses ([[trainSuper]]): top-1
+    * super (K2=⌈√K⌉ scores), then top-1 member cell of that super
+    * (~√K scores) — O(√K) per row, at the standard lossiness (a vector
+    * whose true argmax cell lives under a different super lands in its
+    * super's best cell instead; cells are partitions either way, and
+    * probes/recall rows measure the effect). TRAINING keeps the flat
+    * argmax (training quality is the model; the assignment knob is a
+    * scan-cost lever). Every model/assignment cache key embeds the
+    * non-default mode, and the oracle's final-assignment CTE regenerates
+    * two-stage from the live conf — a knobbed run verifies through the
+    * same gate. Default `flat` is bit-identical to the unknobbed engine.
+    */
+  val AssignKey = "spark.graft.sim.assign"
+
+  def assignModeOf(s: SparkSession): String = {
+    val m = s.conf.getOption(AssignKey).getOrElse("flat")
+    require(m == "flat" || m == "hier",
+      s"$AssignKey must be 'flat' or 'hier', got '$m'")
+    m
+  }
+
+  private def activeAssignMode: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(assignModeOf).getOrElse("flat")
+
+  /** Cache-key suffix for the assignment-mode knob (tbTag discipline). */
+  private def haTag(s: SparkSession): String =
+    if (assignModeOf(s) == "hier") ":ha" else ""
+
   /** The training subset a Lloyd trainer iterates over: the 1/B md5
     * bucket of `vec_id` UNION the seed rows (1..`seeds` — the seeds
     * must exist in iteration 1 regardless of the sample). B=1 is the
@@ -1142,6 +1176,28 @@ object SimilarityQueries {
   private def assignExpr(cents: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column =
     element_at(trainedTop(cents, col("qv"), 1), 1)
 
+  /** Two-level (IMI-style) assignment — [[AssignKey]]=hier: top-1 super
+    * by the same integer cosine/tie rule, then top-1 member cell of
+    * that super. A branch-per-super CASE: only the matching branch
+    * evaluates, so the per-row work is K2 + |members| ≈ 2√K scores
+    * (plan size stays O(K) constructor data, like the flat reference
+    * object).
+    */
+  private def hierAssignExpr(cents: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+    val (sup, members) = trainSuper(cents, hierK2(cents.size))
+    val bySuper = cents.groupBy(c => members(c._1))
+    val sc = element_at(trainedTop(sup, col("qv"), 1), 1)
+    val branches = bySuper.toSeq.sortBy(_._1).map { case (sid, mem) =>
+      when(sc === lit(sid), element_at(trainedTop(mem, col("qv"), 1), 1))
+    }
+    coalesce(branches: _*)
+  }
+
+  /** The session-resolved assignment ([[AssignKey]]). */
+  private def assignExprOf(s: SparkSession,
+                           cents: Seq[(Long, Array[Long])]): org.apache.spark.sql.Column =
+    if (assignModeOf(s) == "hier") hierAssignExpr(cents) else assignExpr(cents)
+
   /** Runs the Lloyd loop eagerly (the collects are the 8×64-long MODEL,
     * never the data) and returns (persisted quantized corpus, trained
     * centroids). Both the histogram and the ANN probe build on this.
@@ -1216,8 +1272,8 @@ object SimilarityQueries {
     // n·K scores per evaluation, and four query families touch it —
     // uncached, every one re-paid the scan (the 7× per-decade bend on
     // sim_kmeans_cells at scaled K was exactly this re-evaluation)
-    graft.CacheLife.cached(s, s"sim.kmeans-cells:$dir:k${nCellsOf(s)}${tbTag(s)}")(
-      q.select(col("vec_id"), assignExpr(cents).as("cell")))
+    graft.CacheLife.cached(s, s"sim.kmeans-cells:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}")(
+      q.select(col("vec_id"), assignExprOf(s, cents).as("cell")))
   }
 
   /** Trained-cell assignment for ARBITRARY arriving `(vec_id, embedding)`
@@ -1238,7 +1294,8 @@ object SimilarityQueries {
                                        vecs: DataFrame): DataFrame =
     vecs.withColumn("qv",
         transform(V.vecD(col("embedding")), x => floor(x * QuantScale).cast("long")))
-      .withColumn("cell", assignExpr(cents))
+      .withColumn("cell",
+        if (activeAssignMode == "hier") hierAssignExpr(cents) else assignExpr(cents))
       .drop("qv")
 
   /** Run the Lloyd loop over an ARBITRARY `(vec_id, embedding)` frame —
@@ -1277,7 +1334,7 @@ object SimilarityQueries {
   // learned (data-adaptive) cells instead of seed vectors.
   def annKmeans(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
-    val assigned = q.select(col("vec_id"), assignExpr(cents).as("cell"))
+    val assigned = q.select(col("vec_id"), assignExprOf(s, cents).as("cell"))
     val withVec = embs(s, dir).select(col("vec_id"), col("v"))
       .join(assigned, Seq("vec_id"))
     val qside = withVec.filter(col("vec_id") === QueryVecId)
@@ -1410,8 +1467,8 @@ object SimilarityQueries {
   private def pqCodes(s: SparkSession, dir: String, pqk: Int = PqK): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     val model = pqModel(s, dir, pqk)
-    graft.CacheLife.cached(s, s"sim.pq-codes:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
-      q.select(col("vec_id") +: assignExpr(cents).as("cell") +:
+    graft.CacheLife.cached(s, s"sim.pq-codes:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
+      q.select(col("vec_id") +: assignExprOf(s, cents).as("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
   }
@@ -1498,7 +1555,7 @@ object SimilarityQueries {
     */
   private def residuals(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
-    graft.CacheLife.cached(s, s"sim.pq-res:$dir:k${nCellsOf(s)}${tbTag(s)}")(
+    graft.CacheLife.cached(s, s"sim.pq-res:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}")(
       kmeansCells(s, dir).join(q, Seq("vec_id"))
         .join(broadcast(centDf(s, cents)), Seq("cell"))
         .select(col("vec_id"), col("cell"),
@@ -1515,7 +1572,7 @@ object SimilarityQueries {
                          pqk: Int = PqK): Seq[Seq[(Long, Array[Long])]] = {
     val r = residuals(s, dir)
     graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](
-      s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
+      s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
       (0 until PqM).map(m =>
         trainPqSub(r.select(col("vec_id"), subSlice(col("rv"), m).as("sq")), pqk,
           trainBucketsOf(s))).toSeq) {
@@ -1539,7 +1596,7 @@ object SimilarityQueries {
   private def pqResCodes(s: SparkSession, dir: String,
                          pqk: Int = PqK): DataFrame = {
     val model = pqResModel(s, dir, pqk)
-    graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}${tbTag(s)}:pk$pqk")(
+    graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
       residuals(s, dir).select(col("vec_id") +: col("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("rv"), m), model(m)).as(s"c$m")): _*))
@@ -2022,11 +2079,30 @@ object SimilarityQueries {
       assign(s"s$i", s"c${i - 1}", s"a$i", trainSrc) + ",\n" + update(s"a$i", s"u$i", s"c$i")
     }.mkString(",\n")
     val fin = KmeansIters + 1
+    // assignment-mode knob: the FINAL corpus assignment is either the
+    // flat argmax over all K centroids or the IMI-style two-stage form
+    // (top-1 super from the `g`-prefixed super chain, then top-1 member
+    // cell) — [[hierAssignExpr]]'s SQL twin; training stays flat either
+    // way. Same (vec_id, qv, cell) shape, so every downstream CTE is
+    // mode-agnostic.
+    val finalAssign =
+      if (activeAssignMode == "hier")
+        s"""${oSuperChain("g")},
+           |gq AS (SELECT q.vec_id, q.qv, s.sid, ${score("s.sv")} AS scs FROM q, gc$KmeansIters s),
+           |gsel AS MATERIALIZED (SELECT vec_id, qv, sid FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY scs DESC, sid) AS rn FROM gq)
+           |  WHERE rn = 1),
+           |gms AS (SELECT v.vec_id, v.qv, m.cid, ${score("m.cv")} AS mcs
+           |  FROM gsel v JOIN ga$fin m ON m.scell = v.sid),
+           |a$fin AS MATERIALIZED (SELECT vec_id, qv, cid AS cell FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY mcs DESC, cid) AS rn FROM gms)
+           |  WHERE rn = 1)""".stripMargin
+      else assign(s"s$fin", s"c$KmeansIters", s"a$fin")
     s"""e AS ($oE),
        |q AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(floor(x * $QuantScale) AS BIGINT)) AS qv FROM e),
        |${qtCte}c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND $activeNCells),
        |$iters,
-       |${assign(s"s$fin", s"c$KmeansIters", s"a$fin")}""".stripMargin.replace("\n", " ")
+       |$finalAssign""".stripMargin.replace("\n", " ")
   }
 
   private def oKmeans: String =
@@ -2415,7 +2491,15 @@ object SimilarityQueries {
     */
   private def oKnnHier: String = oKnnHierOver("")
 
-  private def oKnnHierOver(srcWhere: String): String = {
+  /** The super-quantizer Lloyd chain over the kmeans chain's FINAL
+    * centroids (`c$KmeansIters`) — the SQL twin of [[trainSuper]]. CTE
+    * names carry `pfx` so the hierarchical PROBE chain (`h`) and the
+    * hierarchical ASSIGNMENT chain (`g`, [[AssignKey]]=hier) can
+    * coexist in one WITH. Exposes `${pfx}c$KmeansIters` (supers:
+    * sid, sv) and `${pfx}a${KmeansIters+1}` (membership: cid, cv,
+    * scell).
+    */
+  private def oSuperChain(pfx: String): String = {
     def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     def sc(a: String, b: String) =
       s"round(${qd(a, b)} / (sqrt(${qd(a, a)}) * sqrt(${qd(b, b)})), 6)"
@@ -2432,13 +2516,22 @@ object SimilarityQueries {
          |  GROUP BY 1, 2),
          |$ci AS MATERIALIZED (SELECT scell AS sid, list(sx ORDER BY dim) AS sv FROM $ui GROUP BY 1)""".stripMargin
     val iters = (1 to KmeansIters).map { i =>
-      assign(s"hs$i", s"hc${i - 1}", s"ha$i") + ",\n" + update(s"ha$i", s"hu$i", s"hc$i")
+      assign(s"${pfx}s$i", s"${pfx}c${i - 1}", s"${pfx}a$i") + ",\n" +
+        update(s"${pfx}a$i", s"${pfx}u$i", s"${pfx}c$i")
     }.mkString(",\n")
     val fin = KmeansIters + 1
-    s"""WITH $oKmeansChain,
-       |hc0 AS (SELECT cid AS sid, cv AS sv FROM $cfin WHERE cid BETWEEN 1 AND $k2),
+    s"""${pfx}c0 AS (SELECT cid AS sid, cv AS sv FROM $cfin WHERE cid BETWEEN 1 AND $k2),
        |$iters,
-       |${assign(s"hs$fin", s"hc$KmeansIters", s"ha$fin")},
+       |${assign(s"${pfx}s$fin", s"${pfx}c$KmeansIters", s"${pfx}a$fin")}""".stripMargin
+  }
+
+  private def oKnnHierOver(srcWhere: String): String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    def sc(a: String, b: String) =
+      s"round(${qd(a, b)} / (sqrt(${qd(a, a)}) * sqrt(${qd(b, b)})), 6)"
+    val fin = KmeansIters + 1
+    s"""WITH $oKmeansChain,
+       |${oSuperChain("h")},
        |ps AS (SELECT q.vec_id AS src, s.sid, ${sc("q.qv", "s.sv")} AS scos FROM q, hc$KmeansIters s$srcWhere),
        |psel AS (SELECT src, sid FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY scos DESC, sid) AS rn FROM ps)

@@ -424,6 +424,30 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sim.assign knob: two-level assignment covers the corpus; refuses junk; keys isolate") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.AssignKey -> "both") {
+        SimilarityQueries.assignModeOf(spark)
+      }
+    }
+    val n = Tables.embeddings(spark, Sf).count()
+    val flatHist = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val hierHist = withConf(SimilarityQueries.AssignKey -> "hier") {
+      SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    // two-level assignment is a TOTAL function into the same cell set —
+    // every vector lands exactly once, cells stay 1..K
+    assert(hierHist.map(_._2).sum == n)
+    assert(hierHist.map(_._1).forall(c => c >= 1 && c <= SimilarityQueries.NCells))
+    // back at the default, the flat assignment reappears bit-for-bit
+    val back = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(back == flatHist, "flat assignment must be untouched by a hier session")
+    CacheLife.release(spark)
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()
