@@ -69,6 +69,11 @@ object Verify {
       println(s"[verify] conf $k=$v")
       spark.conf.set(k, v)
     }
+    // ncells=auto resolves against THIS pass's corpus before anything
+    // reads the knob: queries pin lazily on first corpus touch, but a
+    // prefix-filtered run that selects no sim query still GENERATES the
+    // sim oracle strings below, which read the resolved value
+    operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

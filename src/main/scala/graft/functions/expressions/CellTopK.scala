@@ -20,7 +20,13 @@ import org.apache.spark.sql.types._
   * same HALF_UP 6-dp round (the Spark `Round` rule for doubles:
   * `BigDecimal.valueOf(x).setScale(6, HALF_UP)`, NaN/∞ pass through),
   * same highest-score-then-lowest-cid tie-break — so every oracle hash
-  * built on the declarative form is unchanged.
+  * built on the declarative form is unchanged. Degenerate-input rules
+  * (round-15 advice): a dimension-mismatched centroid ranks below every
+  * real-scored one and fills tail ranks lowest-cid-first (the fold's
+  * null-score-struct order, matched exactly); an input array CONTAINING
+  * a null element nulls the whole row — the one documented divergence
+  * (the fold would emit all-null scores and rank by cid) — because the
+  * primitive getters would otherwise read undefined values.
   *
   * Why custom: the declarative form's expression TREE is O(K·nprobe) —
   * K struct constructors each wrapping a cosine call, re-referenced by
@@ -72,8 +78,14 @@ case class CellTopK(child: Expression,
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val x = new Array[Double](n)
+    // a null ELEMENT would read as 0.0 through getFloat/getDouble —
+    // an undefined value, where graft_cosine nulls the score. The row
+    // is nulled instead (round-15 advice; divergence from the
+    // declarative fold documented in the scaladoc)
     var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val x = new Array[Double](n)
+    i = 0
     elemType.get match {
       case FloatType => while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
       case DoubleType => while (i < n) { x(i) = arr.getDouble(i); i += 1 }
@@ -98,15 +110,26 @@ case class CellTopK(child: Expression,
       val x = ctx.freshName("x")
       val i = ctx.freshName("i")
       val ids = ctx.freshName("ids")
+      val hasNull = ctx.freshName("hasNull")
       val cls = CellTopK.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // null-element guard mirrors nullSafeEval: null the row rather
+      // than read an undefined 0.0 through the primitive getter
       s"""
          |final int $n = $a.numElements();
-         |final double[] $x = new double[$n];
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $x[$i] = (double) $a.$get($i);
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
          |}
-         |final long[] $ids = $cls.topK($x, $centsRef, $cidsRef, $nprobe);
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($ids);
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $x = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $x[$i] = (double) $a.$get($i);
+         |  }
+         |  final long[] $ids = $cls.topK($x, $centsRef, $cidsRef, $nprobe);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($ids);
+         |}
        """.stripMargin
     })
   }
@@ -159,11 +182,16 @@ object CellTopK {
     var j = 0
     while (j < x.length) { nx += x(j) * x(j); j += 1 }
     val sx = math.sqrt(nx)
+    var nMismatch = 0
     while (c < k) {
       val cent = cents(c)
-      // dimension mismatch scores NULL in the declarative form, which
-      // array_max ranks below every real score — skipping the centroid
-      // reproduces that ordering for every rank that matters
+      // dimension mismatch scores NULL in the declarative form; the
+      // null-score struct survives that chain's filter (it checks the
+      // cid field) and ranks below every REAL score — so mismatched
+      // centroids fill TAIL ranks, lowest cid first, when fewer than
+      // nprobe valid centroids exist (round-15 advice: they used to be
+      // skipped entirely, diverging in exactly that degenerate case)
+      if (cent.length != x.length) nMismatch += 1
       if (cent.length == x.length) {
         var dot = 0.0; var nc = 0.0
         var i = 0
@@ -192,6 +220,24 @@ object CellTopK {
         }
       }
       c += 1
+    }
+    if (filled < keep && nMismatch > 0) {
+      // tail-fill with the mismatched cids, ascending (the declarative
+      // fold's order among equal-null scores: max of -cid)
+      val tail = new Array[Long](nMismatch)
+      var t = 0
+      c = 0
+      while (c < k) {
+        if (cents(c).length != x.length) { tail(t) = cids(c); t += 1 }
+        c += 1
+      }
+      java.util.Arrays.sort(tail)
+      t = 0
+      while (filled < keep && t < nMismatch) {
+        bestSc(filled) = java.lang.Double.NaN // unused; slots are id-read
+        bestId(filled) = tail(t)
+        filled += 1; t += 1
+      }
     }
     java.util.Arrays.copyOf(bestId, filled)
   }

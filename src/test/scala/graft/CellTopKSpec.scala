@@ -99,6 +99,45 @@ class CellTopKSpec extends SparkSpec {
       "NaN ordering (greatest, ties by cid) must match Spark's double ordering")
   }
 
+  test("dimension-mismatched centroids fill tail ranks lowest-cid-first, matching the fold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(29)
+    // 2 valid centroids + 2 MISMATCHED (wrong dim → null score in the
+    // declarative fold, which survives its filter and ranks below every
+    // real score); nprobe=5 forces the tail ranks into view (round-15
+    // advice: the native loop used to skip mismatched centroids
+    // entirely, returning 2 ids where the fold returns 4)
+    val cents = Seq(
+      (7L, Seq.fill(D)(rnd.nextGaussian())),
+      (4L, Seq.fill(D + 1)(rnd.nextGaussian())), // mismatched
+      (2L, Seq.fill(D)(rnd.nextGaussian())),
+      (9L, Seq.fill(D - 3)(rnd.nextGaussian()))) // mismatched
+    val df = Seq((1L, Seq.fill(D)(rnd.nextGaussian().toFloat))).toDF("vec_id", "v")
+    val got = df.select(declarativeTop(cents, col("v"), 5).as("d"),
+      nativeTop(cents, col("v"), 5).as("n")).head()
+    assert(got.getSeq[Long](0) === got.getSeq[Long](1),
+      s"tail ranks must match the fold: ${got.getSeq[Long](0)} vs ${got.getSeq[Long](1)}")
+    assert(got.getSeq[Long](1).length === 4)
+    // the two mismatched cids sit LAST, ascending
+    assert(got.getSeq[Long](1).takeRight(2) === Seq(4L, 9L))
+  }
+
+  test("an input array containing a null element nulls the row (documented divergence)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(31)
+    val cents = (1L to 5L).map(c => (c, Seq.fill(D)(rnd.nextGaussian()))).toSeq
+    val df = Seq((1L, Seq.fill(D)(Option(rnd.nextGaussian())).updated(3, None)))
+      .toDF("vec_id", "v")
+    // the primitive getters would read an undefined 0.0 for the null
+    // slot; the expression nulls the whole row instead (scaladoc'd as
+    // the one divergence from the declarative fold)
+    val got = df.select(nativeTop(cents.map { case (c, v) => (c, v) },
+      col("v").cast("array<double>"), 3).as("n")).head()
+    assert(got.isNullAt(0), "null-element input must null the row")
+  }
+
   test("plan stays in whole-stage codegen at large K") {
     val s = spark
     val rnd = new Random(23)

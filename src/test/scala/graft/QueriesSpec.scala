@@ -331,6 +331,24 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sim.ncells=auto derives K from the corpus and pins the resolved value") {
+    withConf(SimilarityQueries.NCellsKey -> SimilarityQueries.AutoNCells) {
+      // unresolved auto refuses a dir-less read LOUDLY — cache keys and
+      // oracle strings must never embed the literal "auto"
+      intercept[IllegalArgumentException] { SimilarityQueries.nCellsOf(spark) }
+      val n = Tables.embeddings(spark, Sf).count()
+      val k = SimilarityQueries.nCellsOf(spark, Sf)
+      assert(k == math.max(SimilarityQueries.NCells,
+        math.ceil(math.sqrt(2.0 * n)).toInt),
+        s"auto must resolve the balanced optimum ceil(sqrt(2n)): got $k for n=$n")
+      // pinned: the conf now holds the concrete int, so every later
+      // read (incl. the oracle generator's activeNCells) sees one value
+      assert(spark.conf.get(SimilarityQueries.NCellsKey) == k.toString)
+      assert(SimilarityQueries.nCellsOf(spark) == k)
+    }
+    CacheLife.release(spark)
+  }
+
   test("sim.nprobe knob: probing every cell makes the kNN join exact; nprobe=0 refuses") {
     intercept[IllegalArgumentException] {
       withConf(SimilarityQueries.NProbeKey -> "0") {
@@ -445,6 +463,40 @@ class QueriesSpec extends SparkSpec {
     val back = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(back == flatHist, "flat assignment must be untouched by a hier session")
+    // totality at KNOBBED Ks where trained cells can die (round-15
+    // advice: a super that ends the final membership memberless used to
+    // null-cell every vector whose top-1 super it was — silently
+    // dropping them from the histogram sum; and K2 used to derive from
+    // the SURVIVING count, diverging from the oracle's configured-K)
+    for (k <- Seq("13", "29")) {
+      val h = withConf(SimilarityQueries.AssignKey -> "hier",
+        SimilarityQueries.NCellsKey -> k) {
+        SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(h.map(_._2).sum == n,
+        s"hier assignment at K=$k must cover the whole corpus (no NULL cells)")
+      assert(h.map(_._1).forall(c => c >= 1 && c <= k.toInt))
+      CacheLife.release(spark)
+    }
+    CacheLife.release(spark)
+  }
+
+  test("sim.assign=auto escalates to hier at HierAssignMinK and not below") {
+    // auto is flat at the compiled default K (bit-identical world) ...
+    val flatHist = SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val autoHist = withConf(SimilarityQueries.AssignKey -> "auto") {
+      assert(SimilarityQueries.assignModeOf(spark) == "flat")
+      SimilarityQueries.kmeansHistogram(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    assert(autoHist == flatHist, "auto below the threshold must BE flat")
+    // ... and resolves to hier at/above the measured threshold
+    withConf(SimilarityQueries.AssignKey -> "auto",
+      SimilarityQueries.NCellsKey -> SimilarityQueries.HierAssignMinK.toString) {
+      assert(SimilarityQueries.assignModeOf(spark) == "hier")
+    }
     CacheLife.release(spark)
   }
 

@@ -62,4 +62,37 @@ class VectorLayoutSpec extends SparkSpec {
       s"layout hier kNN drifted from knnAnnHier: ${gotH.size} vs ${wantH.size} rows")
     CacheLife.release(spark)
   }
+
+  test("the layout pins its (K, assign) knobs: mismatched sessions refuse; hier parity holds at a knobbed K") {
+    val out = Files.createTempDirectory("graft-vectors-pin").toString + "/vectors"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    withConf(SimilarityQueries.NCellsKey -> "13") {
+      VectorLayout.materialize(spark, Sf, out)
+      // serving parity at a K where trained cells CAN die (round-15
+      // advice: the store twin used to derive K2 from the SURVIVING
+      // centroid count while the session twin used the configured K —
+      // parity only held at K=8, where every cell survives; both now
+      // derive K2 from the pinned/configured K)
+      val gotH = VectorLayout.knnHier(spark, Sf, out).collect().map(key).toSet
+      val wantH = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
+      assert(gotH.nonEmpty && gotH === wantH,
+        s"layout hier kNN drifted from knnAnnHier at K=13: ${gotH.size} vs ${wantH.size}")
+    }
+    // the session now resolves the compiled default K — on a plain
+    // (codebook-less) layout the fallback session model would be a
+    // DIFFERENT quantizer than the one that wrote the cells: refused
+    // loudly (the SubstrLayout width-pin discipline), never a silent
+    // wrong-partition probe
+    val e = intercept[IllegalArgumentException] {
+      VectorLayout.knn(spark, Sf, out).collect()
+    }
+    assert(e.getMessage.contains("ncells=13"),
+      s"refusal must name the pinned knobs: ${e.getMessage}")
+    // back under the pinned K the layout serves again
+    withConf(SimilarityQueries.NCellsKey -> "13") {
+      assert(VectorLayout.knn(spark, Sf, out).collect().nonEmpty)
+    }
+    CacheLife.release(spark)
+  }
 }

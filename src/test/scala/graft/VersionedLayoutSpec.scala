@@ -52,7 +52,8 @@ class VersionedLayoutSpec extends SparkSpec {
     // on it — set-equal to an independent retrain + reassignment
     val grown = VectorLayout.vectors(spark, s"$root/v1").localCheckpoint()
     val cents = SimilarityQueries.trainCentroidsOver(grown)
-    val expected = SimilarityQueries.assignVectorsWith(cents, grown)
+    val expected = SimilarityQueries.assignVectorsWith(cents, grown,
+        SimilarityQueries.nCellsOf(spark), SimilarityQueries.assignModeOf(spark))
       .select(col("vec_id"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = VectorLayout.vectors(spark, root)
