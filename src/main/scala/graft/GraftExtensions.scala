@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CellTopK, CharShingles, CosineSim, MinHashSig, WordShingles}
+import graft.functions.expressions.{CellTopK, CharShingles, CosineSim, HierAssign, MinHashSig, WordShingles}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so they are callable from both
@@ -58,6 +58,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_cell_topk(v array<numeric>, cents array<array<double>> lit, " +
             "cids array<bigint> lit, nprobe int lit)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hier_assign"),
+      new ExpressionInfo(classOf[HierAssign].getName, "graft_hier_assign"),
+      (children: Seq[Expression]) => children match {
+        // (vector, live super cents array<array<double>> lit, super cids
+        // array<bigint> lit, member cents grouped per super
+        // array<array<array<double>>> lit, member cids grouped
+        // array<array<bigint>> lit) — all model-sized literals unpacked
+        // once at plan build into reference objects (CellTopK rule)
+        case Seq(v, sc: Literal, si: Literal, mc: Literal, mi: Literal) =>
+          HierAssign(v, CellTopK.literalCids(si), CellTopK.literalCents(sc),
+            CellTopK.literalCidGroups(mi), CellTopK.literalCentGroups(mc))
+        case _ => throw new IllegalArgumentException(
+          "graft_hier_assign(v array<numeric>, sup_cents array<array<double>> lit, " +
+            "sup_cids array<bigint> lit, mem_cents array<array<array<double>>> lit, " +
+            "mem_cids array<array<bigint>> lit)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

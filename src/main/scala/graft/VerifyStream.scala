@@ -98,6 +98,9 @@ object VerifyStream {
       }
     val spark = Sessions.local()
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // ncells=auto resolves against THIS corpus before the drain builds
+    // any store or the oracle strings read the knob (Verify discipline)
+    operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
     try {
       val code = StreamDrain.run(spark, sfDir, root, nBatches)
       require(code == 0,

@@ -140,6 +140,115 @@ case class CellTopK(child: Expression,
   override def prettyName: String = "graft_cell_topk"
 }
 
+/** Two-level (IMI-style) assignment as ONE native expression —
+  * `graft_hier_assign`: top-1 super-centroid by the [[CellTopK]] rank
+  * rule (round-6 cosine DESC, ties to lowest id), then top-1 member
+  * cell of that super by the same rule, returned as the cell id.
+  *
+  * Why not compose it: the first `assign=hier` form was a CASE with one
+  * `when` branch per super, each wrapping its own [[CellTopK]] — K2
+  * branches of generated code. The round-15 K-sweep measured that form
+  * LOSING to the flat argmax at K=5000 (0.69×) despite doing ~35×
+  * fewer FLOPs: the O(K2) branch dispatch and generated-method size ate
+  * the savings. Here both levels run in one codegen'd loop over
+  * reference-object arrays — expression size O(1) in K, per-row work
+  * K2 + |members(top super)| ≈ 2√K scores, and the measured sweep
+  * separates the way the cost model says it should.
+  *
+  * The caller passes LIVE supers only (supers that ended training with
+  * members) — the memberless-super NULL-cell hole is closed at
+  * construction; `require` re-checks alignment.
+  */
+case class HierAssign(child: Expression,
+                      supCids: Array[Long], supCents: Array[Array[Double]],
+                      memCids: Array[Array[Long]],
+                      memCents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(supCids.length == supCents.length &&
+    supCids.length == memCids.length && supCids.length == memCents.length,
+    s"super/member group arrays must align: ${supCids.length}/" +
+      s"${supCents.length}/${memCids.length}/${memCents.length}")
+  require(supCids.nonEmpty, "at least one live super required")
+  require(memCids.forall(_.nonEmpty),
+    "every super passed must have members (live supers only)")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(LongType, _) => Some(LongType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case Some(_) => TypeCheckResult.TypeCheckSuccess
+    case None => TypeCheckResult.TypeCheckFailure(
+      "graft_hier_assign expects an array<float|double|bigint> vector, got " +
+        child.dataType.simpleString(5))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val x = new Array[Double](n)
+    i = 0
+    elemType.get match {
+      case FloatType => while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      case DoubleType => while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+      case LongType => while (i < n) { x(i) = arr.getLong(i).toDouble; i += 1 }
+      case _ => throw new IllegalStateException
+    }
+    CellTopK.hierAssign(x, supCids, supCents, memCids, memCents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supCidsRef = ctx.addReferenceObj("supCids", supCids, "long[]")
+    val supCentsRef = ctx.addReferenceObj("supCents", supCents, "double[][]")
+    val memCidsRef = ctx.addReferenceObj("memCids", memCids, "long[][]")
+    val memCentsRef = ctx.addReferenceObj("memCents", memCents, "double[][][]")
+    val get = elemType.get match {
+      case FloatType => "getFloat"
+      case DoubleType => "getDouble"
+      case LongType => "getLong"
+      case _ => throw new IllegalStateException
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val hasNull = ctx.freshName("hasNull")
+      val cls = CellTopK.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $x = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $x[$i] = (double) $a.$get($i);
+         |  }
+         |  ${ev.value} = $cls.hierAssign($x, $supCidsRef, $supCentsRef, $memCidsRef, $memCentsRef);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierAssign =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hier_assign"
+}
+
 object CellTopK {
 
   /** Unpack the codebook literal (`array<array<double>>`) the SQL
@@ -153,6 +262,37 @@ object CellTopK {
   /** Unpack the cid literal (`array<bigint>`). */
   def literalCids(l: org.apache.spark.sql.catalyst.expressions.Literal): Array[Long] =
     l.value.asInstanceOf[ArrayData].toLongArray()
+
+  /** Unpack grouped codebooks (`array<array<array<double>>>`) — the
+    * per-super member-centroid groups of [[HierAssign]]. */
+  def literalCentGroups(
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Array[Array[Array[Double]]] =
+    l.value.asInstanceOf[ArrayData].toArray[ArrayData](
+      ArrayType(ArrayType(DoubleType)))
+      .map(_.toArray[ArrayData](ArrayType(DoubleType)).map(_.toDoubleArray()))
+
+  /** Unpack grouped cids (`array<array<bigint>>`). */
+  def literalCidGroups(
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Array[Array[Long]] =
+    l.value.asInstanceOf[ArrayData].toArray[ArrayData](
+      ArrayType(LongType)).map(_.toLongArray())
+
+  /** The two-level assignment loop: [[topK]] at nprobe=1 over the
+    * supers, then [[topK]] at nprobe=1 over the winning super's member
+    * group — the exact rank rule both times, so the result is
+    * bit-identical to the branch-per-super CASE of CellTopK calls it
+    * replaces (HierAssignSpec pins it) at O(1) generated-code size.
+    */
+  def hierAssign(x: Array[Double], supCids: Array[Long],
+                 supCents: Array[Array[Double]],
+                 memCids: Array[Array[Long]],
+                 memCents: Array[Array[Array[Double]]]): Long = {
+    val top = topK(x, supCents, supCids, 1)
+    val sid = top(0)
+    var i = 0
+    while (supCids(i) != sid) i += 1
+    topK(x, memCents(i), memCids(i), 1)(0)
+  }
 
   /** Spark's `Round(x, 6)` rule for doubles — `BigDecimal.valueOf`
     * (i.e. `Double.toString` canonicalization) then HALF_UP setScale;

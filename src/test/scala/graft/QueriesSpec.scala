@@ -349,6 +349,44 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sim.knnsamplebucket knob: the 20 bucket samples PARTITION the full kNN") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.KnnSampleBucketKey ->
+        SimilarityQueries.KnnSampleBuckets.toString) {
+        SimilarityQueries.knnSampleBucketOf(spark)
+      }
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val full = SimilarityQueries.knnAnn(spark, Sf).collect().map(key).toSet
+    // each bucket's sample is the exact per-source restriction of the
+    // full result, the buckets are source-disjoint, and their union is
+    // the WHOLE graph — the property that lets the 100× full-corpus
+    // oracle run as 20 DuckDB-feasible chunks (checked here on 3
+    // buckets + the union law on all 20 source sets)
+    val seen = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+    for (b <- Seq(0, 7, 19)) {
+      val s = withConf(SimilarityQueries.KnnSampleBucketKey -> b.toString) {
+        SimilarityQueries.knnAnnSample(spark, Sf).collect().map(key).toSet
+      }
+      val srcs = s.map(_._1)
+      assert(s == full.filter(e => srcs.contains(e._1)),
+        s"bucket $b sample must be an exact source restriction")
+      assert(s.intersect(seen.toSet).isEmpty, s"bucket $b overlaps another bucket")
+      seen ++= s
+    }
+    val allSrcs = (0 until SimilarityQueries.KnnSampleBuckets).flatMap { b =>
+      withConf(SimilarityQueries.KnnSampleBucketKey -> b.toString) {
+        SimilarityQueries.knnAnnSample(spark, Sf).select("src")
+          .distinct().collect().map(_.getLong(0))
+      }
+    }
+    assert(allSrcs.distinct.length == allSrcs.length, "buckets must be disjoint")
+    assert(allSrcs.toSet == full.map(_._1),
+      "the 20 buckets must cover every source in the full kNN")
+    CacheLife.release(spark)
+  }
+
   test("sim.nprobe knob: probing every cell makes the kNN join exact; nprobe=0 refuses") {
     intercept[IllegalArgumentException] {
       withConf(SimilarityQueries.NProbeKey -> "0") {
