@@ -45,6 +45,12 @@ object KSweep {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // optional 4th arg "probe": also time the corpus-wide kNN under the
+    // FLAT probe (knnAnnKmeans: every source ranks all K centroids)
+    // vs the TWO-LEVEL probe (knnAnnHier: K2 supers in-expression, the
+    // probed supers' members through a broadcast join) — the other
+    // O(K)-per-row term of the family, measured in the same regime
+    val withProbe = args.lift(3).contains("probe")
     val rows = ks.map { k =>
       spark.conf.set(SimilarityQueries.NCellsKey, k.toString)
       spark.conf.set(SimilarityQueries.TrainBucketsKey, tb)
@@ -64,13 +70,30 @@ object KSweep {
       val tHier = scan("hier")
       println(f"[ksweep] K=$k%-6d train=$tTrain%8.3fs flat=$tFlat%8.3fs " +
         f"hier=$tHier%8.3fs speedup=${tFlat / tHier}%6.2fx")
-      (k, tTrain, tFlat, tHier)
+      val (pFlat, pHier) =
+        if (!withProbe) (-1.0, -1.0)
+        else {
+          SimilarityQueries.knnAnnKmeans(spark, dir).count() // warm
+          val pf = median((1 to 3).map(_ =>
+            timed(SimilarityQueries.knnAnnKmeans(spark, dir).count())))
+          SimilarityQueries.knnAnnHier(spark, dir).count() // warm
+          val ph = median((1 to 3).map(_ =>
+            timed(SimilarityQueries.knnAnnHier(spark, dir).count())))
+          println(f"[ksweep] K=$k%-6d probe: flat=$pf%8.3fs hier=$ph%8.3fs " +
+            f"speedup=${pf / ph}%6.2fx")
+          (pf, ph)
+        }
+      (k, tTrain, tFlat, tHier, pFlat, pHier)
     }
     spark.conf.unset(SimilarityQueries.NCellsKey)
     spark.conf.unset(SimilarityQueries.TrainBucketsKey)
-    val json = rows.map { case (k, tr, fl, hi) =>
+    val json = rows.map { case (k, tr, fl, hi, pf, ph) =>
       s"""{"k":$k,"train_sec":${fmt(tr)},"flat_sec":${fmt(fl)},""" +
-        s""""hier_sec":${fmt(hi)},"speedup":${fmt(fl / hi)}}"""
+        s""""hier_sec":${fmt(hi)},"speedup":${fmt(fl / hi)}""" +
+        (if (pf > 0)
+          s""","probe_flat_sec":${fmt(pf)},"probe_hier_sec":${fmt(ph)},""" +
+            s""""probe_speedup":${fmt(pf / ph)}}"""
+         else "}")
     }.mkString(
       s"""{"corpus":"$dir","trainbuckets":"$tb","sweep":[""", ",", "]}")
     println(json)
