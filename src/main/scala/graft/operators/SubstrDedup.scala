@@ -219,6 +219,41 @@ object SubstrDedup {
         .mdBucket(col("doc_id").cast("string"), SampleBuckets) === 0),
       spans(s, dir))
 
+  /** FULL-corpus string-granularity verification in DuckDB-feasible
+    * chunks — the round-15 kNN-bucket pattern applied to the one
+    * non-pass left in the 100× matrix (round-15 verdict #2): the
+    * [[CleanChunkBuckets]] md5 doc buckets PARTITION the doc_ids and
+    * the per-doc ordered re-join is independent across docs, so
+    * bucket-by-bucket hash equality of [[cleanChunk]] IS full-corpus
+    * equality of [[clean]] — while each chunk's `string_agg` stays at
+    * ~1/20 of the token rows that made the one-piece oracle die even
+    * at a 100 GB cap. Span derivation stays CORPUS-WIDE (duplicate
+    * counts must see every doc); only the excision re-join restricts.
+    * Pure verification chunking: no cache key embeds the knob, and the
+    * oracle SQL regenerates the same bucket filter from the live conf.
+    * QueriesSpec pins the partition laws (disjoint, union = full).
+    */
+  val CleanChunkBuckets = 20
+  val CleanChunkKey = "spark.graft.dedup.cleanchunk"
+
+  def cleanChunkOf(s: SparkSession): Int = {
+    val b = s.conf.getOption(CleanChunkKey).map(_.toInt).getOrElse(0)
+    require(b >= 0 && b < CleanChunkBuckets,
+      s"$CleanChunkKey must be in [0, $CleanChunkBuckets), got $b")
+    b
+  }
+
+  private def activeCleanChunk: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(cleanChunkOf).getOrElse(0)
+
+  def cleanChunk(s: SparkSession, dir: String): DataFrame =
+    cleanOver(
+      Tables.documents(s, dir).filter(graft.functions.Buckets
+        .mdBucket(col("doc_id").cast("string"), CleanChunkBuckets)
+        === cleanChunkOf(s)),
+      spans(s, dir))
+
   private[graft] def cleanOver(docs: DataFrame, sp: DataFrame): DataFrame = {
     // the kept set has ONE definition — [[cleanTokensOver]] — and this
     // is its per-doc ordered re-join: a span-boundary fix lands in one
@@ -381,6 +416,7 @@ object SubstrDedup {
     "dedup_substr_stats" -> (stats _),
     "dedup_substr_clean" -> (clean _),
     "dedup_substr_clean_sample" -> (cleanSample _),
+    "dedup_substr_clean_chunk" -> (cleanChunk _),
     "dedup_substr_clean_tokens" -> (cleanTokens _),
     "dedup_substr_winnow_spans" -> (winnowSpans _),
     "dedup_substr_winnow_clean_tokens" -> (winnowCleanTokens _),
@@ -506,6 +542,20 @@ object SubstrDedup {
       (s"""WITH ${oSpanCtes(w)},
           |samp AS (SELECT doc_id, toks FROM t
           |         WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", SampleBuckets)} = 0),
+          |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
+          |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+          |        FROM samp, unnest(range(0, len(toks))) AS u(i)),
+          |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+          |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos),
+          |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          |       COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+          |SELECT samp.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+          |  len(samp.toks) - coalesce(ka.n_kept, 0) AS n_removed
+          |FROM samp LEFT JOIN ka USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "dedup_substr_clean_chunk" ->
+      (s"""WITH ${oSpanCtes(w)},
+          |samp AS (SELECT doc_id, toks FROM t
+          |         WHERE ${graft.functions.Buckets.sqlBucket("doc_id::VARCHAR", CleanChunkBuckets)} = $activeCleanChunk),
           |cov AS (SELECT doc_id, u.pos FROM sp, unnest(range(span_start, span_end + 1)) AS u(pos)),
           |tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
           |        FROM samp, unnest(range(0, len(toks))) AS u(i)),

@@ -203,8 +203,15 @@ object VectorLayout {
     if (fs(spark, resolvedDir).exists(
         new org.apache.hadoop.fs.Path(codebookPath(resolvedDir)))) {
       val cents = readCodebook(spark, resolvedDir)
+      // meta-less codebook dir (pre-pin legacy): the assign mode rides
+      // the SESSION like the old activeAssignMode behavior — a hier
+      // session appending to a hier-written legacy store must keep
+      // assigning hier (round-15 advice: a hard "flat" default silently
+      // mixed two assignment regimes in one store). `auto` resolves
+      // against the dir's own trained K, not a session pin it may lack.
       (cents, meta.map(_._1).getOrElse(cents.size),
-        meta.map(_._2).getOrElse("flat"))
+        meta.map(_._2).getOrElse(SimilarityQueries.assignModeFor(
+          spark, meta.map(_._1).getOrElse(cents.size))))
     } else {
       val k = SimilarityQueries.nCellsOf(spark, sfDir)
       val mode = SimilarityQueries.assignModeOf(spark)
@@ -302,6 +309,12 @@ object VectorLayout {
       s"retrainAndSwap($root): no published version — run materializeVersioned first"))
     val corpus = vectors(spark, versionDir(root, curN))
       .localCheckpoint() // read once: training collects + reassignment + hist
+    // a dedicated retrain session may arrive with ncells=auto and no
+    // corpus-dir touch to pin it — resolve from the grown corpus row
+    // count in hand before ANY knob read (training reads activeNCells;
+    // round-15 advice: this threw the unresolved-auto error here)
+    SimilarityQueries.pinAutoNCellsFromCount(spark, corpus.count(),
+      s"retrainAndSwap($root) grown corpus")
     val cents = SimilarityQueries.trainCentroidsOver(corpus)
     val next = curN + 1
     // staged build + single-rename publish: two CONCURRENT retrains both
@@ -783,6 +796,86 @@ object VectorLayout {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_cosine", col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+  }
+
+  /** Corpus-wide kNN read from the layout through the COMPOSED
+    * two-level probe + PQ/ADC shortlist + exact rerank — the serving
+    * twin of [[SimilarityQueries.knnAnnHierPq]], i.e. the IMI+IVFADC
+    * index shape a 10⁴⁺-cell deployment actually serves: the per-row
+    * expression ranks only the K2=⌈√K⌉ supers (trained on the DRIVER
+    * over the stored codebook, [[knnHier]] verbatim), the candidate
+    * scan touches PQ CODES computed for the stored vectors with the
+    * session-trained subspace codebooks ([[SimilarityQueries
+    * .pqEncodeWith]] — same argmin, same model, so store and session
+    * shortlists are identical), and only the per-query shortlist joins
+    * back to the stored raw vectors for the exact rerank. The stored
+    * `cell` partition column is the same flat assignment, so the
+    * composition changes WHICH cells are probed and WHAT the scan
+    * reads (codes, not floats) — never where vectors live.
+    */
+  def knnHierPq(spark: SparkSession, sfDir: String, outDir: String,
+                nprobe: Int = -1,
+                k: Int = SimilarityQueries.KnnK,
+                upToBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val dir = resolve(spark, outDir)
+    requireLayout(spark, dir)
+    val rows = vectors(spark, dir, upToBatch)
+    val (storedCents, trainedK, _) = modelFor(spark, sfDir, dir)
+    val np = if (nprobe > 0) nprobe else SimilarityQueries.nProbeOf(spark)
+    val (sup, members) = SimilarityQueries.trainSuper(
+      storedCents, SimilarityQueries.hierK2(trainedK))
+    // quantize stored floats exactly like the session corpus (floor to
+    // LONG — the ADC arithmetic is integer L2², exact on both engines)
+    val quantize = (c: org.apache.spark.sql.Column) =>
+      transform(c.cast("array<double>"),
+        x => floor(x * SimilarityQueries.QuantScale).cast("long"))
+    val qsup = rows
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qqv", quantize(col("qv")))
+      .select(col("qid"), col("qqv"),
+        explode(SimilarityQueries.topCellsNative(
+          sup.map(_._1), sup.map(_._2.map(_.toDouble)),
+          col("qqv"), np)).as("scell"))
+    val memberDf = storedCents.map { case (cid, v) =>
+      (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
+      .select(col("qid"), col("qqv"), col("cid"),
+        round(call_function("graft_cosine",
+          col("qqv").cast("array<double>"), col("cv")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= np)
+      .select(col("qid"),
+        SimilarityQueries.adcLutFor(spark, sfDir, col("qqv")).as("lut"),
+        col("cid").as("qcell"))
+    // the stored rows' PQ code table — cell from the layout's partition
+    // column, codes from the session-trained subspace codebooks
+    val idx = SimilarityQueries.pqEncodeWith(spark, sfDir,
+      rows.select(col("vec_id"), col("cell").cast("long").as("cell"),
+        quantize(col("embedding")).as("qv"))).drop("qv")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlisted = idx
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        SimilarityQueries.adcDistFromLut(col("lut")).as("adist"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= SimilarityQueries.PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val raw = rows.select(col("vec_id"), col("embedding"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    shortlisted
+      .join(raw, Seq("vec_id"))
+      .join(raw.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+        Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_cosine", col("embedding"), col("qemb")), 6).as("cos"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
   }

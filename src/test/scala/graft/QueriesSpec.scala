@@ -453,6 +453,29 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("composed hier+PQ kNN: equals flat PQ when supers cover everything; sample is exact") {
+    // the two-level rung of the composition is lossless at the compiled
+    // default (K=8, K2=3 = nprobe — every super probed, so the member
+    // ranking sees all K cells and the probe set equals the flat PQ
+    // form's); the ADC+rerank rungs are shared code, so the composed
+    // output must be bit-equal to knnAnnPq. The lossy super level only
+    // bites once K2 > nprobe (the recall row prices it there).
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val composed = SimilarityQueries.knnAnnHierPq(spark, Sf).collect().map(key).toSet
+    val flatPq = SimilarityQueries.knnAnnPq(spark, Sf).collect().map(key).toSet
+    assert(composed == flatPq, s"hier+PQ ${composed.size} edges vs PQ ${flatPq.size}")
+    val r = SimilarityQueries.knnAnnHierPqRecall(spark, Sf).collect().head
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    // sample twin is an exact source restriction (per-source
+    // independence — the decade-portable oracle idiom)
+    val sample = SimilarityQueries.knnAnnHierPqSample(spark, Sf).collect().map(key).toSet
+    val sampledSrcs = sample.map(_._1)
+    val expected = composed.filter(e => sampledSrcs.contains(e._1))
+    assert(sample == expected, s"sample ${sample.size} vs restriction ${expected.size}")
+    CacheLife.release(spark)
+  }
+
   test("sim.trainbuckets knob: bounded trainer still assigns the whole corpus; keys isolate") {
     intercept[IllegalArgumentException] {
       withConf(SimilarityQueries.TrainBucketsKey -> "0") {

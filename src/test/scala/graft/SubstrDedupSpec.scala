@@ -273,6 +273,47 @@ class SubstrDedupSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("dedup.cleanchunk knob: the 20 doc-bucket chunks PARTITION the full clean output") {
+    intercept[IllegalArgumentException] {
+      withConf(SubstrDedup.CleanChunkKey ->
+        SubstrDedup.CleanChunkBuckets.toString) {
+        SubstrDedup.cleanChunkOf(spark)
+      }
+    }
+    def rows(df: DataFrame): Map[Long, (String, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[Number](2).longValue()))).toMap
+    val full = rows(SubstrDedup.clean(spark, Sf))
+    // each chunk is the exact per-doc restriction of the full clean
+    // (span derivation stays corpus-wide), the chunks are doc-disjoint,
+    // and their union is the WHOLE output — the property that lets the
+    // 100× string-granularity oracle run as 20 DuckDB-feasible
+    // string_agg chunks (checked on 3 chunks + the union law on all 20
+    // doc sets)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    for (b <- Seq(0, 7, 19)) {
+      val chunk = withConf(SubstrDedup.CleanChunkKey -> b.toString) {
+        rows(SubstrDedup.cleanChunk(spark, Sf))
+      }
+      chunk.foreach { case (id, v) =>
+        assert(full(id) === v, s"doc $id drifted between clean and chunk $b")
+      }
+      assert(chunk.keySet.intersect(seen.toSet).isEmpty,
+        s"chunk $b overlaps another chunk")
+      seen ++= chunk.keySet
+    }
+    val allIds = (0 until SubstrDedup.CleanChunkBuckets).flatMap { b =>
+      withConf(SubstrDedup.CleanChunkKey -> b.toString) {
+        SubstrDedup.cleanChunk(spark, Sf).select("doc_id")
+          .collect().map(_.getLong(0))
+      }
+    }
+    assert(allIds.distinct.length == allIds.length, "chunks must be disjoint")
+    assert(allIds.toSet == full.keySet,
+      "the 20 chunks must cover every doc in the full clean output")
+    CacheLife.release(spark)
+  }
+
   test("winnow excision keeps a superset of the exact excision (covers shrink, kept grows)") {
     def kept(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

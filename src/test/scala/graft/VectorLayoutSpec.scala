@@ -60,6 +60,15 @@ class VectorLayoutSpec extends SparkSpec {
     val wantH = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
     assert(gotH.nonEmpty && gotH === wantH,
       s"layout hier kNN drifted from knnAnnHier: ${gotH.size} vs ${wantH.size} rows")
+    // the composed (IMI+IVFADC) serving twin: two-level probe over the
+    // stored codebook, PQ codes computed for the STORED vectors with
+    // the session-trained subspace codebooks, shared ADC arithmetic,
+    // exact rerank over stored floats — row-for-row against the
+    // session composition
+    val gotHP = VectorLayout.knnHierPq(spark, Sf, out).collect().map(key).toSet
+    val wantHP = SimilarityQueries.knnAnnHierPq(spark, Sf).collect().map(key).toSet
+    assert(gotHP.nonEmpty && gotHP === wantHP,
+      s"layout hier+PQ kNN drifted from knnAnnHierPq: ${gotHP.size} vs ${wantHP.size} rows")
     CacheLife.release(spark)
   }
 
