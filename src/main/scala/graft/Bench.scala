@@ -118,7 +118,9 @@ object Bench {
     "sim_knn_ann_hier_recall" ->
       "two-level-probe recall eval against the exact-kernel baseline",
     "sim_knn_ann_hier_pq_recall" ->
-      "composed hier+PQ recall eval against the exact-kernel baseline")
+      "composed hier+PQ recall eval against the exact-kernel baseline",
+    "sim_knn_ann_hier_pq_res_recall" ->
+      "composed hier+residual-PQ recall eval against the exact-kernel baseline")
 
   /** Builder twin of [[UpExcluded]]. */
   val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")

@@ -846,6 +846,84 @@ object SimilarityQueries {
         round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  // ---- Hier + residual PQ: the full IVFADC under the IMI probe ----
+  // [[knnHierPqOver]] with residual quantization in the ADC rung — the
+  // last cell of the family matrix (flat probe has raw-codebook AND
+  // residual PQ; the two-level probe had only raw). Residual encoding
+  // is what production IVFADC actually stores (codes quantize
+  // qv − centroid(cell), concentrating the codebook's dynamic range
+  // near the origin), so this is the composed form a 10⁴⁺-cell
+  // deployment serves. Structure: the two-level probe chain verbatim,
+  // then [[knnPqResOver]]'s two model-sized deltas — probe rows join
+  // the broadcast centroid table (the query's residual depends on the
+  // probed cell) and the ADC LUT is per (source, probed-cell) — then
+  // the shared shortlist window and exact rerank. Each row of `probes`
+  // carries ITS OWN lut through the candidate join, so per-cell LUT
+  // correctness needs no extra key matching.
+  private def knnHierPqResOver(s: SparkSession, dir: String,
+                               srcFilter: DataFrame => DataFrame,
+                               pqk: Int = PqK,
+                               shortlist: Int = PqShortlist): DataFrame = {
+    import s.implicits._
+    val (q, cents) = trainedModel(s, dir)
+    val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
+    val np = nProbeOf(s)
+    val model = pqResModel(s, dir, pqk)
+    val idx = pqResCodes(s, dir, pqk)
+    val qsup = srcFilter(q).select(col("vec_id").as("qid"), col("qv"),
+      explode(trainedTop(sup, col("qv"), np)).as("scell"))
+    val memberDf = cents.map { case (cid, v) =>
+      (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(call_function("graft_cosine",
+          col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= np)
+      .select(col("qid"), col("qv").as("qqv"), col("cid").as("qcell"))
+      .join(broadcast(centDf(s, cents).withColumnRenamed("cell", "qcell")),
+        Seq("qcell"))
+      .select(col("qid"), col("qcell"),
+        adcResLut(zip_with(col("qqv"), col("ccv"), (x, c) => x - c),
+          model, pqk).as("lut"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    // merge-hinted shuffle join on the cell key — the knnPqOver
+    // rationale verbatim (the probe side is corpus-sized)
+    val shortlisted = idx
+      .join(probes.hint("merge"), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    rerankShortlist(s, dir, shortlisted)
+  }
+
+  def knnAnnHierPqRes(s: SparkSession, dir: String): DataFrame =
+    knnHierPqResOver(s, dir, identity)
+
+  /** Edge recall of the composed hier + residual-PQ stack against the
+    * exact kernel — completes the rung-pricing table: beside
+    * [[knnAnnHierPqRecall]] it isolates what residual encoding buys
+    * UNDER the two-level probe, the same controlled measurement
+    * [[knnAnnPqResRecall]] makes under the flat probe. Rides the exact
+    * kernel → excluded from the up passes by name while
+    * [[knnAnnHierPqRes]] itself runs there.
+    */
+  def knnAnnHierPqResRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnJoin(s, dir).select("src", "dst")
+    val hits = knnAnnHierPqRes(s, dir).select("src", "dst")
+      .join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(nExact)
+      .select(col("hits"), col("n_exact"),
+        round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Edge recall of the PQ-compressed kNN against the exact kernel's
     * kNN — the [[knnAnnRecall]] discipline; rides the exact kernel, so
     * excluded from the up-decade passes by name while [[knnAnnPq]]
@@ -2277,6 +2355,8 @@ object SimilarityQueries {
     "sim_knn_ann_hier_pq" -> (knnAnnHierPq _),
     "sim_knn_ann_hier_pq_sample" -> (knnAnnHierPqSample _),
     "sim_knn_ann_hier_pq_recall" -> (knnAnnHierPqRecall _),
+    "sim_knn_ann_hier_pq_res" -> (knnAnnHierPqRes _),
+    "sim_knn_ann_hier_pq_res_recall" -> (knnAnnHierPqResRecall _),
     "sim_dim_stats" -> (dimStats _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_ivf_cells" -> (ivfCells _),
@@ -2950,6 +3030,71 @@ object SimilarityQueries {
     s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)}" +
       s" = $activeKnnSampleBucket")
 
+  /** Composed hier + RESIDUAL-PQ corpus-wide kNN oracle —
+    * [[oKnnHierPqOver]]'s two-level probe chain feeding
+    * [[oKnnPqResOver]]'s residual ADC stage (residual corpus + `r`
+    * sub-chains, the query's residual against each PROBED cell's
+    * centroid in `pr`, per-(src, qcell) LUT) and the shared exact
+    * rerank tail — the SQL twin of [[knnHierPqResOver]], stage for
+    * stage.
+    */
+  private def oKnnHierPqResOver(srcWhere: String, pqk: Int = PqK,
+                                shortlist: Int = PqShortlist): String = {
+    def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
+    def sc(a: String, b: String) =
+      s"round(${qd(a, b)} / (sqrt(${qd(a, a)}) * sqrt(${qd(b, b)})), 6)"
+    val fin = KmeansIters + 1
+    val dims = PqM * PqSubDim
+    val kcb = (0 until PqM).map(m =>
+      s"SELECT $m::INTEGER AS sub, cid, cv FROM rp${m}c$PqIters")
+      .mkString("kcb AS (", " UNION ALL ", ")")
+    val lutD = s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> (pr.rqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i]) * " +
+      s"(pr.rqv[kcb.sub * $PqSubDim + i] - (kcb.cv)[i])))"
+    s"""WITH $oKmeansChain,
+       |res AS MATERIALIZED (SELECT a.vec_id, a.cell,
+       |  list_transform(range(1, ${dims + 1}), i -> a.qv[i] - c.cv[i]) AS rv
+       |  FROM $oKmeansFin a JOIN c$KmeansIters c ON a.cell = c.cid),
+       |${oPqSubChains(pqk, "res", "rv", "r")},
+       |${oSuperChain("h")},
+       |ps AS (SELECT q.vec_id AS src, s.sid, ${sc("q.qv", "s.sv")} AS scos FROM q, hc$KmeansIters s$srcWhere),
+       |psel AS (SELECT src, sid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY scos DESC, sid) AS rn FROM ps)
+       |  WHERE rn <= $activeNProbe),
+       |cs AS (SELECT p.src, m.cid, ${sc("q2.qv", "m.cv")} AS ccos
+       |  FROM psel p JOIN ha$fin m ON m.scell = p.sid JOIN q q2 ON q2.vec_id = p.src),
+       |pc AS (SELECT src, cid AS qcell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM cs)
+       |  WHERE rn <= $activeNProbe),
+       |pr AS MATERIALIZED (SELECT pc.src, pc.qcell,
+       |  list_transform(range(1, ${dims + 1}), i -> q2.qv[i] - c.cv[i]) AS rqv
+       |  FROM pc JOIN q q2 ON q2.vec_id = pc.src JOIN c$KmeansIters c ON pc.qcell = c.cid),
+       |$kcb,
+       |klut AS MATERIALIZED (SELECT pr.src, pr.qcell, kcb.sub, kcb.cid AS code, $lutD AS d
+       |  FROM pr, kcb),
+       |cand AS (SELECT pr.src, pr.qcell, a.vec_id FROM pr JOIN $oKmeansFin a ON a.cell = pr.qcell
+       |  WHERE a.vec_id <> pr.src),
+       |ck AS MATERIALIZED (SELECT cand.src, cand.qcell, cand.vec_id, k.sub, k.code
+       |  FROM cand JOIN rcodes k ON k.vec_id = cand.vec_id),
+       |kcd AS (SELECT ck.src, ck.vec_id, SUM(l.d) AS d
+       |  FROM ck JOIN klut l ON l.src = ck.src AND l.qcell = ck.qcell
+       |    AND l.sub = ck.sub AND l.code = ck.code
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT src, vec_id FROM (
+       |  SELECT src, vec_id, row_number() OVER (
+       |    PARTITION BY src ORDER BY d, vec_id) AS srn
+       |  FROM kcd) WHERE srn <= $shortlist)
+       |SELECT src, dst, cos, rn FROM (
+       |  SELECT sl.src, sl.vec_id AS dst,
+       |    round(${VO.cosine("ev.v", "qs.v")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY sl.src
+       |      ORDER BY round(${VO.cosine("ev.v", "qs.v")}, 6) DESC, sl.vec_id) AS rn
+       |  FROM sl JOIN e ev ON sl.vec_id = ev.vec_id JOIN e qs ON sl.src = qs.vec_id)
+       |WHERE rn <= $KnnK""".stripMargin.replace("\n", " ")
+  }
+
+  private def oKnnHierPqRes: String = oKnnHierPqResOver("")
+
   private def oAnnFilteredPq: String =
     oPqProbeRerank(NProbeFiltered, s"AND e.label = $FilterLabel")
 
@@ -3018,6 +3163,11 @@ object SimilarityQueries {
     "sim_knn_ann_hier_pq_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
        s"(SELECT COUNT(*) AS hits FROM ($oKnnHierPq) a JOIN ($oKnnExact) x USING (src, dst)), " +
+       s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
+    "sim_knn_ann_hier_pq_res" -> oKnnHierPqRes,
+    "sim_knn_ann_hier_pq_res_recall" ->
+      (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +
+       s"(SELECT COUNT(*) AS hits FROM ($oKnnHierPqRes) a JOIN ($oKnnExact) x USING (src, dst)), " +
        s"(SELECT COUNT(*) AS n_exact FROM ($oKnnExact))"),
     "sim_knn_ann_pq_recall" ->
       (s"SELECT hits, n_exact, round(hits::DOUBLE / n_exact, 6) AS recall FROM " +

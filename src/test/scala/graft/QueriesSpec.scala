@@ -476,6 +476,23 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("composed hier+residual-PQ kNN: equals flat residual PQ when supers cover everything") {
+    // same lossless-composition law as the raw-codebook twin: at the
+    // compiled default (K=8, K2=3 = nprobe) every super is probed, so
+    // the two-level probe set equals the flat form's, and the residual
+    // ADC + rerank rungs are shared code paths — the composed output
+    // must be bit-equal to knnAnnPqRes. The recall row prices the
+    // composition where the super level actually prunes.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val composed = SimilarityQueries.knnAnnHierPqRes(spark, Sf).collect().map(key).toSet
+    val flatRes = SimilarityQueries.knnAnnPqRes(spark, Sf).collect().map(key).toSet
+    assert(composed == flatRes, s"hier+PQres ${composed.size} edges vs PQres ${flatRes.size}")
+    val r = SimilarityQueries.knnAnnHierPqResRecall(spark, Sf).collect().head
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    CacheLife.release(spark)
+  }
+
   test("sim.trainbuckets knob: bounded trainer still assigns the whole corpus; keys isolate") {
     intercept[IllegalArgumentException] {
       withConf(SimilarityQueries.TrainBucketsKey -> "0") {

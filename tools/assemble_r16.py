@@ -51,6 +51,7 @@ if mode in ("all", "knobs"):
         ("/tmp/rec_r16_hpq_auto.json", "auto"),
         ("/tmp/rec_r16_hpq_aa.json", "aa2000"),
         ("/tmp/rec_r16_k633aa.json", "k633aa"),
+        ("/tmp/rec_r16_hpqres_auto.json", "auto"),
     ]
     counts = {}
     stale = []
@@ -129,6 +130,10 @@ if mode in ("all", "stream"):
 
 if mode in ("all", "up"):
     up = load("/tmp/rec_r16_up.json")
+    # the residual composition landed after the main 10x pass ran —
+    # its supplemental row (same corpus, same auto contract) merges in
+    if os.path.exists("/tmp/rec_r16_up_res.json"):
+        up.update(rows(load("/tmp/rec_r16_up_res.json")))
     p, n = npass(up)
     out = dict(rows(up))
     out["_meta"] = {

@@ -19,6 +19,22 @@ set -o pipefail
 
 stage() { echo; echo "---- $1 $(date -u +%T) ----"; }
 
+# 0. the round-16 residual composition (sim_knn_ann_hier_pq_res):
+#    knob wave at the corpus-derived K, and the full row over the 10x
+#    corpus under the auto contract — assemble_r16.py merges both.
+if [ ! -f /tmp/rec_r16_hpqres_auto.json ]; then
+  stage "Verify sf0.01 hier+PQ-res @auto"
+  rm -rf /tmp/verify_r16_hpqres_auto
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_r16_hpqres_auto sim_knn_ann_hier_pq_res conf:spark.graft.sim.ncells=auto" | grep -E "\[verify\]|\[graft\]" ;
+  python3 tools/check_oracle.py /tmp/verify_r16_hpqres_auto /root/testdata/sf0.01 /tmp/rec_r16_hpqres_auto.json | tail -3
+fi
+if [ ! -f /tmp/rec_r16_up_res.json ]; then
+  stage "Verify 10x hier+PQ-res (ncells=auto -> 200, tb=2)"
+  rm -rf /tmp/verify_r16_up_res
+  sbt -batch "runMain graft.Verify testdata_up/sf1 /tmp/verify_r16_up_res sim_knn_ann_hier_pq_res conf:spark.graft.sim.ncells=auto,spark.graft.sim.trainbuckets=2" | grep -E "\[verify\]|\[graft\]" ;
+  python3 tools/check_oracle_chunked.py /tmp/verify_r16_up_res testdata_up/sf1 /tmp/rec_r16_up_res.json 1 64GB 100GB | tail -3
+fi
+
 # 1. probe + store sweep where auto-K lives (judge item #5). tb=8
 #    matches the bench's 100x contract; K=633 is what ncells=auto
 #    resolves to on this corpus (2M vectors).

@@ -13,7 +13,7 @@ exec >>"$LOG" 2>&1
 echo "==== run_r16_passes $(date -u +%FT%TZ) ===="
 
 # kernel-riding exclusions — keep in lockstep with Bench.UpExcluded
-KNN_EX="sim_pairs_threshold,sim_pairs_recall,sim_knn_join,sim_knn_ann_recall,sim_knn_ann_pq_recall,sim_knn_ann_pq_res_recall,sim_knn_ann_pq_tradeoff,sim_knn_ann_probe_tradeoff,sim_knn_ann_hier_recall,sim_knn_ann_hier_pq_recall"
+KNN_EX="sim_pairs_threshold,sim_pairs_recall,sim_knn_join,sim_knn_ann_recall,sim_knn_ann_pq_recall,sim_knn_ann_pq_res_recall,sim_knn_ann_pq_tradeoff,sim_knn_ann_probe_tradeoff,sim_knn_ann_hier_recall,sim_knn_ann_hier_pq_recall,sim_knn_ann_hier_pq_res_recall"
 
 stage() { echo; echo "---- $1 $(date -u +%T) ----"; }
 set -o pipefail
