@@ -66,6 +66,30 @@ object KSweep {
     val withProbe = modes.contains("probe")
     val withStore = modes.contains("store")
     val outPath = args.lift(4).getOrElse("KSWEEP.json")
+    // optional 6th arg: timing repetitions per measurement (default 3).
+    // The 100x-corpus probe/store pairs run minutes per rep — reps=2
+    // (median = mean of two) keeps the sweep inside a round while the
+    // measured quantities are long enough that run-to-run variance is
+    // a small fraction (the record carries the rep count).
+    val reps = args.lift(5).map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    var done = List.empty[String]
+    def rowJson(k: Int, tr: Double, fl: Double, hi: Double,
+                pf: Double, ph: Double, sf: Double, sh: Double): String =
+      s"""{"k":$k,"train_sec":${fmt(tr)},"flat_sec":${fmt(fl)},""" +
+        s""""hier_sec":${fmt(hi)},"speedup":${fmt(fl / hi)}""" +
+        (if (pf > 0)
+          s""","probe_flat_sec":${fmt(pf)},"probe_hier_sec":${fmt(ph)},""" +
+            s""""probe_speedup":${fmt(pf / ph)}"""
+         else "") +
+        (if (sf > 0)
+          s""","store_flat_sec":${fmt(sf)},"store_hier_sec":${fmt(sh)},""" +
+            s""""store_speedup":${fmt(sf / sh)}"""
+         else "") + "}"
+    def writeOut(): Unit =
+      Files.writeString(Paths.get(outPath), done.reverse.mkString(
+        s"""{"corpus":"$dir","trainbuckets":"$tb","reps":$reps,"sweep":[""",
+        ",", "]}"))
     val rows = ks.map { k =>
       spark.conf.set(SimilarityQueries.NCellsKey, k.toString)
       spark.conf.set(SimilarityQueries.TrainBucketsKey, tb)
@@ -73,7 +97,7 @@ object KSweep {
       // training pays n/B·K per Lloyd iteration regardless of the
       // assignment mode — timed once, outside both scan timings
       val tTrain = timed(SimilarityQueries.trainedCentroids(spark, dir))
-      def scan(mode: String): Double = median((1 to 3).map { _ =>
+      def scan(mode: String): Double = median((1 to reps).map { _ =>
         var got: (Long, Long) = (0L, 0L)
         val t = timed { got = SimilarityQueries.assignScan(spark, dir, mode) }
         require(got._1 == got._2,
@@ -88,11 +112,11 @@ object KSweep {
       val (pFlat, pHier) =
         if (!withProbe) (-1.0, -1.0)
         else {
-          SimilarityQueries.knnAnnKmeans(spark, dir).count() // warm
-          val pf = median((1 to 3).map(_ =>
+          if (reps >= 2) SimilarityQueries.knnAnnKmeans(spark, dir).count() // warm
+          val pf = median((1 to reps).map(_ =>
             timed(SimilarityQueries.knnAnnKmeans(spark, dir).count())))
-          SimilarityQueries.knnAnnHier(spark, dir).count() // warm
-          val ph = median((1 to 3).map(_ =>
+          if (reps >= 2) SimilarityQueries.knnAnnHier(spark, dir).count() // warm
+          val ph = median((1 to reps).map(_ =>
             timed(SimilarityQueries.knnAnnHier(spark, dir).count())))
           println(f"[ksweep] K=$k%-6d probe: flat=$pf%8.3fs hier=$ph%8.3fs " +
             f"speedup=${pf / ph}%6.2fx")
@@ -106,35 +130,25 @@ object KSweep {
           val out = Files.createTempDirectory(s"graft-ksweep-store-k$k")
             .toString + "/vectors"
           graft.sources.VectorLayout.materialize(spark, dir, out)
-          graft.sources.VectorLayout.knn(spark, dir, out).count() // warm
-          val sf = median((1 to 3).map(_ =>
+          if (reps >= 2) graft.sources.VectorLayout.knn(spark, dir, out).count() // warm
+          val sf = median((1 to reps).map(_ =>
             timed(graft.sources.VectorLayout.knn(spark, dir, out).count())))
-          graft.sources.VectorLayout.knnHier(spark, dir, out).count() // warm
-          val sh = median((1 to 3).map(_ =>
+          if (reps >= 2) graft.sources.VectorLayout.knnHier(spark, dir, out).count() // warm
+          val sh = median((1 to reps).map(_ =>
             timed(graft.sources.VectorLayout.knnHier(spark, dir, out).count())))
           println(f"[ksweep] K=$k%-6d store: flat=$sf%8.3fs hier=$sh%8.3fs " +
             f"speedup=${sf / sh}%6.2fx")
           (sf, sh)
         }
+      done = rowJson(k, tTrain, tFlat, tHier, pFlat, pHier, sFlat, sHier) :: done
+      writeOut()
       (k, tTrain, tFlat, tHier, pFlat, pHier, sFlat, sHier)
     }
     spark.conf.unset(SimilarityQueries.NCellsKey)
     spark.conf.unset(SimilarityQueries.TrainBucketsKey)
-    val json = rows.map { case (k, tr, fl, hi, pf, ph, sf, sh) =>
-      s"""{"k":$k,"train_sec":${fmt(tr)},"flat_sec":${fmt(fl)},""" +
-        s""""hier_sec":${fmt(hi)},"speedup":${fmt(fl / hi)}""" +
-        (if (pf > 0)
-          s""","probe_flat_sec":${fmt(pf)},"probe_hier_sec":${fmt(ph)},""" +
-            s""""probe_speedup":${fmt(pf / ph)}"""
-         else "") +
-        (if (sf > 0)
-          s""","store_flat_sec":${fmt(sf)},"store_hier_sec":${fmt(sh)},""" +
-            s""""store_speedup":${fmt(sf / sh)}"""
-         else "") + "}"
-    }.mkString(
-      s"""{"corpus":"$dir","trainbuckets":"$tb","sweep":[""", ",", "]}")
-    println(json)
-    Files.writeString(Paths.get(outPath), json)
+    val _ = rows
+    writeOut()
+    println(Files.readString(Paths.get(outPath)))
     spark.stop()
   }
 }
