@@ -114,6 +114,13 @@ if mode in ("all", "stream"):
     p2, n2 = npass(up)
     out = dict(rows(base))
     out.update({f"{k}@sf1up": v for k, v in rows(up).items()})
+    up2line = ""
+    if os.path.exists("/tmp/rec_r16_stream_up2.json"):
+        up2 = load("/tmp/rec_r16_stream_up2.json")
+        p3, n3 = npass(up2)
+        out.update({f"{k}@sf10up": v for k, v in rows(up2).items()})
+        up2line = (f" AND {p3}/{n3} at 100x (auto K=633 — the first 100x "
+                   "drain under the auto contract; r11's ran pre-auto)")
     out["_meta"] = {
         "round": 16,
         "what": ("store-backed registered queries over a STREAM-BUILT root "
@@ -122,8 +129,9 @@ if mode in ("all", "stream"):
                  "StoreMaintain + Doctor gate), then one registered query per "
                  "store family answered by READING the drained store and "
                  "hash-compared against the registered DuckDB oracle over the "
-                 "raw corpus tables; both scales run the auto-K contract"),
-        "result": f"{p1}/{n1} pass at sf0.01 AND {p2}/{n2} pass at 10x (auto K)",
+                 "raw corpus tables; all scales run the auto-K contract"),
+        "result": (f"{p1}/{n1} pass at sf0.01 AND {p2}/{n2} pass at 10x "
+                   f"(auto K){up2line}"),
     }
     json.dump(out, open("CORRECTNESS_STREAM.json", "w"), indent=1, sort_keys=True)
     print(f"STREAM: {p1}/{n1} base, {p2}/{n2} up")
