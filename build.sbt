@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two obstacles in sbt's default behavior: (a) a forked run's
+// stdout is routed through LoggedOutput, prefixing every line with
+// "[info] "; (b) sbt prints "[success] Total time: …" after the run.
+// StdoutOutput passes the child's stdout through raw, and
+// showSuccess=false drops the trailer — making the bench summary line
+// the physical last line of the captured output.
+Compile / run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
