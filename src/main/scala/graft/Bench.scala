@@ -23,7 +23,8 @@ object Bench {
   private[graft] case class PassResult(
       builds: Seq[(String, Double)], queries: Seq[(String, Double)],
       errors: Seq[String], rows: Map[String, Long],
-      resolvedNCells: String, cold: Seq[(String, Double)] = Seq.empty) {
+      resolvedNCells: String, resolvedProbe: String = "flat",
+      cold: Seq[(String, Double)] = Seq.empty) {
     def timesMap: Map[String, Double] =
       queries.toMap ++ builds.map { case (n, t) => s"build:$n" -> t }
   }
@@ -86,7 +87,9 @@ object Bench {
     }
     val kRes = spark.conf.getOption(SimilarityQueries.NCellsKey)
       .getOrElse(SimilarityQueries.NCells.toString)
-    PassResult(builds, queries, errors.toSeq, rows.toMap, kRes)
+    val pRes = spark.conf.getOption(SimilarityQueries.ProbeKey)
+      .getOrElse(SimilarityQueries.DefaultProbeMode)
+    PassResult(builds, queries, errors.toSeq, rows.toMap, kRes, pRes)
   }
 
   /** Entries excluded from the upward pass — ONLY the exact-O(n²)
@@ -285,6 +288,12 @@ object Bench {
     // while the JSON still reported the requested value)
     if (ncells != "default") spark.conf.set(SimilarityQueries.NCellsKey, ncells)
     if (tb != "default") spark.conf.set(SimilarityQueries.TrainBucketsKey, tb)
+    // the auto contract is ONE contract: a pass asked to derive K from
+    // the corpus also derives the probe mode from the measured
+    // crossover (round-16 verdict #3), and the pass record publishes
+    // both resolutions (resolved_ncells / resolved_probe)
+    if (ncells == SimilarityQueries.AutoNCells)
+      spark.conf.set(SimilarityQueries.ProbeKey, SimilarityQueries.AutoProbe)
     try {
       warmup(spark, dir, qf)
       val res = runPass(spark, dir, iters, bf, qf)
@@ -292,11 +301,13 @@ object Bench {
     } finally {
       if (ncells != "default") spark.conf.unset(SimilarityQueries.NCellsKey)
       if (tb != "default") spark.conf.unset(SimilarityQueries.TrainBucketsKey)
+      if (ncells == SimilarityQueries.AutoNCells)
+        spark.conf.unset(SimilarityQueries.ProbeKey)
     }
   }
 
   private def passJson(r: PassResult): String =
-    s"""{"resolved_ncells":"${r.resolvedNCells}","errors":${jarr(r.errors)},""" +
+    s"""{"resolved_ncells":"${r.resolvedNCells}","resolved_probe":"${r.resolvedProbe}","errors":${jarr(r.errors)},""" +
       s""""n_builds":${r.builds.size},"n_queries":${r.queries.size},""" +
       s""""n_rows":${r.rows.size},"n_cold":${r.cold.size},""" +
       s""""builds":${jmap6(r.builds)},"queries":${jmap6(r.queries)},""" +
@@ -308,6 +319,7 @@ object Bench {
     val res = PassResult(builds, queries, sectionArr(js, "errors"),
       section(js, "rows").map { case (k, v) => k -> v.toLong },
       sectionStr(js, "resolved_ncells").getOrElse("?"),
+      sectionStr(js, "resolved_probe").getOrElse("?"),
       section(js, "cold").toSeq.sortBy(_._1))
     // loud-drop contract (round-15 advice): the child writes its own
     // section sizes; a name the EntryRe character class cannot carry
@@ -536,7 +548,7 @@ object Bench {
       val excl = UpExcluded.toSeq.sortBy(_._1)
         .map { case (n, why) => s"$n ($why)" }.mkString("; ")
       s""","scale_dir_up":"$upDir","sim_ncells_up":"$upNCells",""" +
-        s""""sim_ncells_up_resolved":"${r.resolvedNCells}","sim_trainbuckets_up":"$upTb",""" +
+        s""""sim_ncells_up_resolved":"${r.resolvedNCells}","sim_probe_up_resolved":"${r.resolvedProbe}","sim_trainbuckets_up":"$upTb",""" +
         s""""scale_queries_up":${jmap(r.queries)},""" +
         s""""scale_ratio_up":${jmap(ratiosAgainst(r.timesMap, mains))},""" +
         s""""scale_errors_up":${jarr(r.errors)},""" +
@@ -610,7 +622,7 @@ object Bench {
           s"unconditionally (decade-portable representatives): ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
         s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells",""" +
-          s""""sim_ncells_up2_resolved":"${r2.resolvedNCells}","sim_trainbuckets_up2":"$up2Tb",""" +
+          s""""sim_ncells_up2_resolved":"${r2.resolvedNCells}","sim_probe_up2_resolved":"${r2.resolvedProbe}","sim_trainbuckets_up2":"$up2Tb",""" +
           s""""scale_queries_up2":${jmap(m2.toSeq.sortBy(_._1))},""" +
           s""""scale_ratio_up2":${jmap(ratiosAgainst(m2, upMap))},""" +
           s""""scale_per_decade_up2":${jmap(ratiosGeo)},""" +
@@ -702,6 +714,7 @@ object Bench {
         s""""host_quiet":$hostQuiet,"per_scale_jvm":${!sparkUsed},""" +
         s""""errors_all_scales":$errTotal,"n_queries":${mainRes.queries.size},""" +
         s""""sim_ncells_resolved":{"up":"${up.map(_.resolvedNCells).getOrElse("-")}"},""" +
+        s""""sim_probe_resolved":{"up":"${up.map(_.resolvedProbe).getOrElse("-")}"},""" +
         s""""per_scale_total_sec":${jmap(perScale)},"scale_geo":${jmap(geoParts)},""" +
         s""""index_build_total":${fmt(buildTotal)},""" +
         s""""full_record":"BENCH_LOCAL${sys.env.get("SPARK_GRAFT_BENCH_TAG").fold("")("_" + _)}.json",""" +

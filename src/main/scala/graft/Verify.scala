@@ -60,20 +60,32 @@ object Verify {
       if (arg2.startsWith("exclude:"))
         arg2.stripPrefix("exclude:").split(',').toSet
       else Set.empty
+    // `only:a,b` — EXACT names, not prefixes: a prefix filter silently
+    // widens (`sim_knn_ann_hier_pq_res` also selects `…_res_recall`,
+    // which rides the exact O(n²) kernel — the round-16 advice found
+    // exactly that row leaking into an up-decade record)
+    val onlyExact: Set[String] =
+      if (arg2.startsWith("only:"))
+        arg2.stripPrefix("only:").split(',').toSet
+      else Set.empty
     val prefixes =
-      (if (arg2.startsWith("exclude:")) "" else arg2).split(',').toSeq
+      (if (arg2.startsWith("exclude:") || arg2.startsWith("only:")) ""
+       else arg2).split(',').toSeq
     def selected(name: String): Boolean =
-      prefixes.exists(name.startsWith) && !excluded.contains(name)
+      if (onlyExact.nonEmpty) onlyExact.contains(name)
+      else prefixes.exists(name.startsWith) && !excluded.contains(name)
     val spark = Sessions.local()
     confs.foreach { case (k, v) =>
       println(s"[verify] conf $k=$v")
       spark.conf.set(k, v)
     }
-    // ncells=auto resolves against THIS pass's corpus before anything
-    // reads the knob: queries pin lazily on first corpus touch, but a
-    // prefix-filtered run that selects no sim query still GENERATES the
-    // sim oracle strings below, which read the resolved value
+    // ncells=auto / probe=auto resolve against THIS pass's corpus
+    // before anything reads the knobs: queries pin lazily on first
+    // corpus touch, but a prefix-filtered run that selects no sim
+    // query still GENERATES the sim oracle strings below, which read
+    // the resolved values
     operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
+    operators.SimilarityQueries.pinProbeMode(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

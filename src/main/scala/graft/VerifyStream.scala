@@ -75,38 +75,55 @@ object VerifyStream {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: VerifyStream <sfDir> <workRoot> <outDir> [nBatches] [conf:k=v,k=v]")
+      "usage: VerifyStream <sfDir> <workRoot> <outDir> [nBatches] " +
+        "[conf:k=v,k=v] [only:prefix]")
     val (sfDir, root, outDir) = (args(0), args(1), args(2))
+    // nBatches=0 = REUSE: the root was drained by a prior run (the
+    // bucket-chunked oracle sweeps re-dump a handful of store-served
+    // queries 20 times over ONE drained root — re-draining the 100×
+    // corpus per bucket would dominate the sweep); the Doctor fsck
+    // still gates every dump, so a reused root gets the same
+    // sick-store refusal a fresh drain does.
     val nBatches = args.lift(3).map(_.toInt).getOrElse(6)
-    // optional 5th arg `conf:k=v,k=v` — the Verify discipline verbatim:
-    // session confs applied BEFORE the drain, so the stores build under
-    // the knobbed configuration AND the oracle strings resolve the live
-    // value (e.g. spark.graft.sim.ncells=200 drains + serves + oracles
-    // the up-decade corpus under the deployment-scaled quantizer). A
-    // malformed arg refuses loudly rather than silently verifying the
-    // default configuration.
-    require(args.lift(4).forall(_.startsWith("conf:")),
-      s"the 5th arg must be conf:k=v,k=v — got '${args.lift(4).getOrElse("")}', " +
-        "which would silently drain the DEFAULT configuration instead")
-    val confs: Seq[(String, String)] = args.lift(4).toSeq
+    // optional tail args, any order — the Verify discipline verbatim:
+    // `conf:k=v,k=v` applies session confs BEFORE the drain, so the
+    // stores build under the knobbed configuration AND the oracle
+    // strings resolve the live value (e.g. spark.graft.sim.ncells=200
+    // drains + serves + oracles the up-decade corpus under the
+    // deployment-scaled quantizer); `only:prefix` restricts which
+    // store-served queries dump (the bucket sweeps re-dump only the
+    // kNN family). A malformed token refuses loudly rather than
+    // silently verifying the default configuration.
+    args.drop(4).foreach(a => require(
+      a.startsWith("conf:") || a.startsWith("only:"),
+      s"tail args must be conf:k=v,k=v or only:prefix — got '$a', " +
+        "which would silently verify the DEFAULT configuration instead"))
+    val confs: Seq[(String, String)] = args.drop(4).filter(_.startsWith("conf:"))
       .flatMap(_.stripPrefix("conf:").split(',').toSeq)
       .map { kv =>
         kv.split("=", 2) match {
           case Array(k, v) => (k, v)
           case _ => sys.error(s"malformed conf token '$kv' — expected key=value")
         }
-      }
+      }.toSeq
+    val onlyPrefix = args.drop(4).find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:"))
     val spark = Sessions.local()
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    // ncells=auto resolves against THIS corpus before the drain builds
-    // any store or the oracle strings read the knob (Verify discipline)
+    // ncells=auto / probe=auto resolve against THIS corpus before the
+    // drain builds any store or the oracle strings read the knobs
+    // (Verify discipline)
     operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
+    operators.SimilarityQueries.pinProbeMode(spark, sfDir)
     try {
-      val code = StreamDrain.run(spark, sfDir, root, nBatches)
+      val code =
+        if (nBatches == 0) Doctor.run(spark, Seq(root))
+        else StreamDrain.run(spark, sfDir, root, nBatches)
       require(code == 0,
         s"drain fsck exited $code — refusing to dump from a sick root")
       new java.io.File(outDir).mkdirs()
       val qs = storeQueries(root, sfDir)
+        .filter(kv => onlyPrefix.forall(kv._1.startsWith))
       qs.foreach { case (name, fn) =>
         fn(spark).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[verify-stream] dumped $name")

@@ -368,6 +368,74 @@ object SimilarityQueries {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(knnSampleBucketOf).getOrElse(0)
 
+  /** Verification-chunking knob for the CORPUS-WIDE trained-model kNN
+    * rows (`sim_knn_ann_kmeans`, `sim_knn_ann_hier`) and their
+    * store-served twins ([[graft.sources.VectorLayout.knn]] /
+    * `knnHier`) — the [[KnnSampleBucketKey]] idiom applied to the
+    * families whose ONE-PIECE 100× oracle is DuckDB-infeasible
+    * (round-16 stream record: the K=633 model chain + ~60M-row
+    * candidate window OOMs at the 64 GB cap). `-1` (default) leaves
+    * the rows corpus-wide; `b` (0..19) restricts the SOURCE side to
+    * one md5 bucket, and `b:w` to the RANGE of `w` buckets [b, b+w) —
+    * the chunk-width lever: the oracle's Lloyd-chain CTEs are
+    * bucket-independent and dominate each DuckDB run's TIME (~9 min at
+    * 100×) while the per-source candidate/window tail dominates its
+    * MEMORY, so wider chunks amortize the chain across buckets as long
+    * as the tail still fits the cap (w=5 → 4 chunks/query ≈ 55 GB tail
+    * vs the one-piece form's ~230 GB). The buckets PARTITION the
+    * source ids and the probe is per-source independent (candidates
+    * stay corpus-wide), so any disjoint cover of 0..19 unions to
+    * EXACTLY the full row — chunk-by-chunk hash equality IS
+    * full-corpus equality (partition laws pinned in QueriesSpec beside
+    * the sample knob's). Pure verification chunking: no cache key
+    * embeds it, the trained model is bucket-independent, and the
+    * oracle SQL regenerates the same source filter from the live conf.
+    */
+  val KnnBucketKey = "spark.graft.sim.knnbucket"
+
+  /** The live bucket range `Some((start, width))`, `None` when off. */
+  def knnBucketOf(s: SparkSession): Option[(Int, Int)] =
+    s.conf.getOption(KnnBucketKey).filter(_ != "-1").map { raw =>
+      val (b, w) = raw.split(':') match {
+        case Array(bs) => (bs.toInt, 1)
+        case Array(bs, ws) => (bs.toInt, ws.toInt)
+        case _ => sys.error(
+          s"$KnnBucketKey must be -1, 'b', or 'b:w', got '$raw'")
+      }
+      require(b >= 0 && w >= 1 && b + w <= KnnSampleBuckets,
+        s"$KnnBucketKey range [b, b+w) must sit inside " +
+          s"[0, $KnnSampleBuckets), got b=$b w=$w")
+      (b, w)
+    }
+
+  private def activeKnnBucket: Option[(Int, Int)] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(knnBucketOf)
+
+  /** Source-side restriction of the live [[KnnBucketKey]] — identity
+    * when the knob is off, the md5-bucket range filter on `idCol` when
+    * set.
+    */
+  def knnBucketFilter(s: SparkSession,
+                      idCol: String = "vec_id"): DataFrame => DataFrame =
+    knnBucketOf(s) match {
+      case None => identity
+      case Some((b, w)) => df => df.filter(graft.functions.Buckets.mdBucket(
+        col(idCol).cast("string"), KnnSampleBuckets).between(b, b + w - 1))
+    }
+
+  /** The oracle spelling of the live [[KnnBucketKey]] restriction —
+    * empty when off, a `WHERE` clause on `qualId` when set (appended
+    * after the probe CTE's FROM list like every other srcWhere).
+    */
+  private def oKnnBucketWhere(qualId: String = "q.vec_id"): String =
+    activeKnnBucket match {
+      case None => ""
+      case Some((b, w)) =>
+        s" WHERE ${graft.functions.Buckets.sqlBucket(
+          s"$qualId::VARCHAR", KnnSampleBuckets)} BETWEEN $b AND ${b + w - 1}"
+    }
+
   def knnAnnSample(s: SparkSession, dir: String): DataFrame =
     probeQuerySet(s, dir,
       embs(s, dir)
@@ -589,8 +657,10 @@ object SimilarityQueries {
     */
   def knnAnnKmeans(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
-    // per-row probe ranking — see [[knnPqOver]]'s rationale
-    val probes = q.select(col("vec_id").as("qid"),
+    // per-row probe ranking — see [[knnPqOver]]'s rationale; the query
+    // side honors the knnbucket verification-chunking knob (off by
+    // default), candidates stay corpus-wide
+    val probes = knnBucketFilter(s)(q).select(col("vec_id").as("qid"),
       explode(trainedTop(cents, col("qv"), nProbeOf(s))).as("qcell"))
     val raw = embs(s, dir).select(col("vec_id"), col("v"))
     val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
@@ -694,7 +764,7 @@ object SimilarityQueries {
     * shared verbatim.
     */
   def knnAnnHier(s: SparkSession, dir: String): DataFrame =
-    knnHierOver(s, dir, identity)
+    knnHierOver(s, dir, knnBucketFilter(s))
 
   /** The hierarchical kNN over an optionally-restricted query side
     * (candidates always corpus-wide) — the [[knnPqOver]] shape, so the
@@ -1244,6 +1314,104 @@ object SimilarityQueries {
   /** Cache-key suffix for the assignment-mode knob (tbTag discipline). */
   private def haTag(s: SparkSession): String =
     if (assignModeOf(s) == "hier") ":ha" else ""
+
+  // ---- probe=auto: the measured flat-vs-hier PROBE crossover ----
+  // [[AssignKey]]'s auto treatment applied to the probe path (round-16
+  // verdict #3), with one structural difference: the assignment
+  // crossover is a function of K alone, but KSWEEP.json proves the
+  // PROBE crossover is context- and corpus-dependent — in-session the
+  // two-level probe WINS at K well above the corpus's balanced optimum
+  // (sf1 corpus, autoK=200: 1.32× at K=400, 2.84× at K=2000, 3.25× at
+  // K=5000) and LOSES at K = autoK itself (sf10 corpus, K=633=autoK:
+  // 0.76× — the shared candidate-join + rerank dominates and the
+  // member broadcast join is pure overhead), while the SERVING layer
+  // wins already at deployment K (store-served 2.01× at K=633, where
+  // the flat store probe ships the whole codebook into a per-row
+  // expression). `auto` therefore resolves per context:
+  //   session: hier iff K >= HierProbeSessionMinKFactor × autoK(n)
+  //            (boundary pinned at the sf1 K=400 = 2×autoK win;
+  //             K = 1×autoK measured losing on both corpora)
+  //   store:   hier iff trained K >= HierProbeStoreMinK
+  //            (the assignment threshold; measured winning at the
+  //             first contract-resolved K above it, 633)
+  // Like [[AutoNCells]], the session resolution needs the corpus (n),
+  // so `auto` is OPT-IN and pinned on first corpus touch
+  // ([[pinProbeMode]] — Verify/VerifyStream/Bench pin it beside
+  // pinAutoNCells); the compiled default `flat` is bit-identical to
+  // the pre-knob engine. The resolved mode is what the dispatcher row
+  // (`sim_knn_ann_auto`) and its oracle both read — one value, one
+  // gate.
+  val ProbeKey = "spark.graft.sim.probe"
+  val AutoProbe = "auto"
+  val DefaultProbeMode = "flat"
+  val HierProbeSessionMinKFactor = 2
+  val HierProbeStoreMinK: Int = HierAssignMinK
+
+  def probeModeOf(s: SparkSession): String = {
+    val m = s.conf.getOption(ProbeKey).getOrElse(DefaultProbeMode)
+    require(m == "flat" || m == "hier" || m == AutoProbe,
+      s"$ProbeKey must be 'flat', 'hier', or '$AutoProbe', got '$m'")
+    require(m != AutoProbe,
+      s"$ProbeKey=$AutoProbe is unresolved — the session crossover needs " +
+        "the corpus row count: any sim query / Verify / Bench pass pins " +
+        "it on first corpus touch (pinProbeMode)")
+    m
+  }
+
+  /** Resolve [[AutoProbe]] against `dir`'s corpus and PIN the result —
+    * the [[pinAutoNCells]] discipline verbatim: the conf is REPLACED
+    * with the concrete mode, so the dispatcher query, its oracle
+    * string, and the bench record all read one value. No-op unless the
+    * live value is `auto`.
+    */
+  def pinProbeMode(s: SparkSession, dir: String): Unit =
+    if (s.conf.getOption(ProbeKey).contains(AutoProbe)) {
+      val k = nCellsOf(s, dir)
+      val n = Tables.embeddings(s, dir).count()
+      val autoK = math.max(NCells, math.ceil(math.sqrt(2.0 * n)).toInt)
+      val mode =
+        if (k >= HierProbeSessionMinKFactor.toLong * autoK) "hier" else "flat"
+      println(s"[graft] $ProbeKey=$AutoProbe resolved to $mode (K=$k vs " +
+        s"$HierProbeSessionMinKFactor*autoK=${HierProbeSessionMinKFactor * autoK}, " +
+        s"n=$n) from $dir")
+      s.conf.set(ProbeKey, mode)
+    }
+
+  /** The session-resolved probe mode with the [[AutoProbe]] derivation
+    * applied first (callers that hold a corpus dir). */
+  def probeModeOf(s: SparkSession, dir: String): String = {
+    pinProbeMode(s, dir)
+    probeModeOf(s)
+  }
+
+  /** The STORE-context resolution — a pure function of the layout's
+    * pinned trained K (no corpus count needed: the serving win is the
+    * codebook-sized per-row expression, measured 2.01× at K=633).
+    * `mode` is the validated knob value; `auto` resolves here.
+    */
+  def probeModeForStore(mode: String, trainedK: Int): String = {
+    require(mode == "flat" || mode == "hier" || mode == AutoProbe,
+      s"$ProbeKey must be 'flat', 'hier', or '$AutoProbe', got '$mode'")
+    if (mode != AutoProbe) mode
+    else if (trainedK >= HierProbeStoreMinK) "hier" else "flat"
+  }
+
+  private def activeProbeMode: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(probeModeOf).getOrElse(DefaultProbeMode)
+
+  /** The probe-mode-dispatched corpus-wide kNN — the deployment row:
+    * [[knnAnnKmeans]] (flat probe) or [[knnAnnHier]] (two-level probe)
+    * per the resolved [[ProbeKey]], so an operator who sets
+    * `probe=auto` beside `ncells=auto` gets the measured-faster path
+    * at whatever K the contract resolves, without hand-picking the
+    * probe form per decade. The oracle regenerates the SAME dispatch
+    * from the live conf, so a knobbed run verifies through the same
+    * DuckDB gate.
+    */
+  def knnAnnAuto(s: SparkSession, dir: String): DataFrame =
+    if (probeModeOf(s, dir) == "hier") knnAnnHier(s, dir)
+    else knnAnnKmeans(s, dir)
 
   /** The training subset a Lloyd trainer iterates over: the 1/B md5
     * bucket of `vec_id` UNION the seed rows (1..`seeds` — the seeds
@@ -2349,6 +2517,7 @@ object SimilarityQueries {
     "sim_knn_ann_pq_res" -> (knnAnnPqRes _),
     "sim_knn_ann_pq_res_recall" -> (knnAnnPqResRecall _),
     "sim_knn_ann_kmeans" -> (knnAnnKmeans _),
+    "sim_knn_ann_auto" -> (knnAnnAuto _),
     "sim_knn_ann_hier" -> (knnAnnHier _),
     "sim_knn_ann_hier_sample" -> (knnAnnHierSample _),
     "sim_knn_ann_hier_recall" -> (knnAnnHierRecall _),
@@ -2881,12 +3050,18 @@ object SimilarityQueries {
     * rerank. Mirrors [[knnAnnKmeans]] (and its store-backed twin that
     * VerifyStream dumps under the same name).
     */
-  private def oKnnKmeans: String = {
+  private def oKnnKmeans: String = oKnnKmeansOver(oKnnBucketWhere())
+
+  /** Trained-kmeans kNN oracle over an optionally-restricted query
+    * side (candidates always corpus-wide) — mirrors [[knnAnnKmeans]]
+    * honoring [[KnnBucketKey]].
+    */
+  private def oKnnKmeansOver(srcWhere: String): String = {
     def qd(a: String, b: String) = s"list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[])"
     val sc = s"round(${qd("q.qv", "c.cv")} / " +
       s"(sqrt(${qd("q.qv", "q.qv")}) * sqrt(${qd("c.cv", "c.cv")})), 6)"
     s"""WITH $oKmeansChain,
-       |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c),
+       |ps AS (SELECT q.vec_id AS src, c.cid, $sc AS ccos FROM q, c$KmeansIters c$srcWhere),
        |pc AS (SELECT src, cid AS qcell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY ccos DESC, cid) AS rn FROM ps)
        |  WHERE rn <= $activeNProbe),
@@ -2907,7 +3082,7 @@ object SimilarityQueries {
     * member centroids of the probed supers rank next, and candidates +
     * exact rerank are the [[oKnnKmeans]] tail verbatim.
     */
-  private def oKnnHier: String = oKnnHierOver("")
+  private def oKnnHier: String = oKnnHierOver(oKnnBucketWhere())
 
   /** The super-quantizer Lloyd chain over the kmeans chain's FINAL
     * centroids (`c$KmeansIters`) — the SQL twin of [[trainSuper]]. CTE
@@ -3151,6 +3326,8 @@ object SimilarityQueries {
     "sim_knn_ann_pq" -> oKnnPq,
     "sim_knn_ann_pq_sample" -> oKnnPqSample,
     "sim_knn_ann_kmeans" -> oKnnKmeans,
+    "sim_knn_ann_auto" ->
+      (if (activeProbeMode == "hier") oKnnHier else oKnnKmeans),
     "sim_knn_ann_hier" -> oKnnHier,
     "sim_knn_ann_hier_sample" -> oKnnHierOver(
       s" WHERE ${graft.functions.Buckets.sqlBucket("q.vec_id::VARCHAR", KnnSampleBuckets)} = 0"),

@@ -719,7 +719,10 @@ object VectorLayout {
     // + window materialized n·K rows through a qid shuffle, quadratic
     // once the codebook K scales with the corpus
     val storedCents = centroidsFor(spark, sfDir, dir)
-    val qcells = rows
+    // query side honors the knnbucket verification-chunking knob (off
+    // by default) — candidates stay corpus-wide, so the restriction is
+    // exact per-source (the registered twin's law)
+    val qcells = SimilarityQueries.knnBucketFilter(spark)(rows)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qqv", transform(col("qv").cast("array<double>"),
         x => floor(x * SimilarityQueries.QuantScale)))
@@ -770,7 +773,9 @@ object VectorLayout {
     val np = if (nprobe > 0) nprobe else SimilarityQueries.nProbeOf(spark)
     val (sup, members) = SimilarityQueries.trainSuper(
       storedCents, SimilarityQueries.hierK2(trainedK))
-    val qsup = rows
+    // query side honors the knnbucket verification-chunking knob (off
+    // by default) — candidates stay corpus-wide (exact per-source law)
+    val qsup = SimilarityQueries.knnBucketFilter(spark)(rows)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qqv", transform(col("qv").cast("array<double>"),
         x => floor(x * SimilarityQueries.QuantScale)))
@@ -798,6 +803,31 @@ object VectorLayout {
         round(call_function("graft_cosine", col("embedding"), col("qv")), 6).as("cos"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= k)
+  }
+
+  /** The probe-mode-dispatched serving read — [[knn]] (flat,
+    * whole-codebook per-row ranking) or [[knnHier]] (two-level) per
+    * [[SimilarityQueries.probeModeForStore]] over the layout's PINNED
+    * trained K and the live [[SimilarityQueries.ProbeKey]]: the store
+    * context resolves `auto` from K alone (hier iff K >=
+    * HierProbeStoreMinK — the measured 2.01× serving win at the
+    * contract-resolved K=633, KSWEEP.json round 16), no corpus count
+    * needed. Output is EXACTLY whichever explicit path wins the
+    * resolution — both already oracle-green — so the dispatcher adds a
+    * policy, never a third semantics.
+    */
+  def knnAuto(spark: SparkSession, sfDir: String, outDir: String,
+              k: Int = SimilarityQueries.KnnK,
+              upToBatch: Option[Long] = None): DataFrame = {
+    val dir = resolve(spark, outDir)
+    requireLayout(spark, dir)
+    val (_, trainedK, _) = modelFor(spark, sfDir, dir)
+    val mode = SimilarityQueries.probeModeForStore(
+      spark.conf.getOption(SimilarityQueries.ProbeKey)
+        .getOrElse(SimilarityQueries.AutoProbe), trainedK)
+    println(s"[graft] store probe mode resolved to $mode (trained K=$trainedK)")
+    if (mode == "hier") knnHier(spark, sfDir, outDir, k = k, upToBatch = upToBatch)
+    else knn(spark, sfDir, outDir, k = k, upToBatch = upToBatch)
   }
 
   /** Corpus-wide kNN read from the layout through the COMPOSED

@@ -387,6 +387,108 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sim.knnbucket knob: bucket restrictions PARTITION the trained-model kNN rows") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.KnnBucketKey ->
+        SimilarityQueries.KnnSampleBuckets.toString) {
+        SimilarityQueries.knnBucketOf(spark)
+      }
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    // the laws that let the 100× STREAM-DRAIN oracle rows run as 20
+    // DuckDB-feasible chunks (round-16 verdict #2): each bucket is the
+    // exact per-source restriction of the full row, buckets are
+    // source-disjoint, and the 20 source sets cover the full row's —
+    // checked for BOTH chunked families (kmeans + hier; 3 buckets for
+    // restriction/disjointness, all 20 for the cover law)
+    for (fn <- Seq(SimilarityQueries.knnAnnKmeans _,
+                   SimilarityQueries.knnAnnHier _)) {
+      val full = fn(spark, Sf).collect().map(key).toSet
+      val seen = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+      for (b <- Seq(0, 7, 19)) {
+        val s = withConf(SimilarityQueries.KnnBucketKey -> b.toString) {
+          fn(spark, Sf).collect().map(key).toSet
+        }
+        val srcs = s.map(_._1)
+        assert(s == full.filter(e => srcs.contains(e._1)),
+          s"bucket $b must be an exact source restriction")
+        assert(s.intersect(seen.toSet).isEmpty, s"bucket $b overlaps another bucket")
+        seen ++= s
+      }
+      val allSrcs = (0 until SimilarityQueries.KnnSampleBuckets).flatMap { b =>
+        withConf(SimilarityQueries.KnnBucketKey -> b.toString) {
+          fn(spark, Sf).select("src").distinct().collect().map(_.getLong(0))
+        }
+      }
+      assert(allSrcs.distinct.length == allSrcs.length, "buckets must be disjoint")
+      assert(allSrcs.toSet == full.map(_._1),
+        "the 20 buckets must cover every source in the full kNN")
+    }
+    // the b:w RANGE form (the chunk-width lever that amortizes the
+    // oracle's bucket-independent Lloyd chain): 4 disjoint width-5
+    // chunks union to EXACTLY the full row
+    val fullK = SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
+    val chunks = Seq(0, 5, 10, 15).map { b =>
+      withConf(SimilarityQueries.KnnBucketKey -> s"$b:5") {
+        SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
+      }
+    }
+    assert(chunks.map(_.size).sum == fullK.size, "width-5 chunks must be disjoint")
+    assert(chunks.reduce(_ ++ _) == fullK,
+      "the 4 width-5 chunks must union to the full kNN")
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.KnnBucketKey -> "16:5") {
+        SimilarityQueries.knnBucketOf(spark)
+      }
+    }
+    CacheLife.release(spark)
+  }
+
+  test("sim.probe knob: auto resolves the measured crossover and the dispatcher row follows it") {
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.ProbeKey -> "bogus") {
+        SimilarityQueries.probeModeOf(spark)
+      }
+    }
+    // unresolved auto refuses loudly (the nCellsOf discipline): reading
+    // the mode without a corpus pin would silently default a policy
+    intercept[IllegalArgumentException] {
+      withConf(SimilarityQueries.ProbeKey -> SimilarityQueries.AutoProbe) {
+        SimilarityQueries.probeModeOf(spark)
+      }
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val km = SimilarityQueries.knnAnnKmeans(spark, Sf).collect().map(key).toSet
+    // compiled default (flat) is bit-identical to the kmeans row
+    assert(SimilarityQueries.knnAnnAuto(spark, Sf).collect().map(key).toSet == km)
+    // explicit hier dispatches the two-level row
+    withConf(SimilarityQueries.ProbeKey -> "hier") {
+      val hier = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
+      assert(SimilarityQueries.knnAnnAuto(spark, Sf).collect().map(key).toSet == hier)
+    }
+    // auto at the spec corpus (n=500, autoK=32): K=8 < 2*autoK resolves
+    // FLAT and PINS the conf to the concrete mode (pinAutoNCells
+    // discipline — one value for the query, its oracle, and the record)
+    withConf(SimilarityQueries.ProbeKey -> SimilarityQueries.AutoProbe) {
+      val got = SimilarityQueries.knnAnnAuto(spark, Sf).collect().map(key).toSet
+      assert(spark.conf.get(SimilarityQueries.ProbeKey) == "flat",
+        "auto at K=8 must pin flat")
+      assert(got == km)
+    }
+    // auto at K >= 2*autoK resolves HIER — the KSWEEP-measured win side
+    withConf(SimilarityQueries.NCellsKey -> "64",
+             SimilarityQueries.ProbeKey -> SimilarityQueries.AutoProbe) {
+      val got = SimilarityQueries.knnAnnAuto(spark, Sf).collect().map(key).toSet
+      assert(spark.conf.get(SimilarityQueries.ProbeKey) == "hier",
+        "auto at K=64=2*autoK must pin hier")
+      val hier = SimilarityQueries.knnAnnHier(spark, Sf).collect().map(key).toSet
+      assert(got == hier)
+    }
+    CacheLife.release(spark)
+  }
+
   test("sim.nprobe knob: probing every cell makes the kNN join exact; nprobe=0 refuses") {
     intercept[IllegalArgumentException] {
       withConf(SimilarityQueries.NProbeKey -> "0") {

@@ -72,6 +72,39 @@ class VectorLayoutSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("knnAuto dispatches the serving probe by the store-context policy") {
+    // the pure threshold (no corpus count in the store context): hier
+    // iff trained K >= HierProbeStoreMinK, pinned from the measured
+    // 2.01x serving win at the contract-resolved K=633 (KSWEEP.json)
+    assert(SimilarityQueries.probeModeForStore(
+      SimilarityQueries.AutoProbe, SimilarityQueries.HierProbeStoreMinK - 1) == "flat")
+    assert(SimilarityQueries.probeModeForStore(
+      SimilarityQueries.AutoProbe, SimilarityQueries.HierProbeStoreMinK) == "hier")
+    // explicit modes always override the policy
+    assert(SimilarityQueries.probeModeForStore("flat", 10000) == "flat")
+    assert(SimilarityQueries.probeModeForStore("hier", 2) == "hier")
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.probeModeForStore("bogus", 100)
+    }
+    val out = Files.createTempDirectory("graft-vectors-auto").toString + "/vectors"
+    VectorLayout.materialize(spark, Sf, out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    // at the spec store's K=8 < threshold, auto serves the flat path —
+    // output IDENTICAL to the explicit flat read (the dispatcher adds
+    // a policy, never a third semantics)
+    val got = VectorLayout.knnAuto(spark, Sf, out).collect().map(key).toSet
+    val flat = VectorLayout.knn(spark, Sf, out).collect().map(key).toSet
+    assert(got.nonEmpty && got === flat)
+    // explicit hier through the dispatcher = the explicit hier read
+    val gotH = withConf(SimilarityQueries.ProbeKey -> "hier") {
+      VectorLayout.knnAuto(spark, Sf, out).collect().map(key).toSet
+    }
+    val hier = VectorLayout.knnHier(spark, Sf, out).collect().map(key).toSet
+    assert(gotH === hier)
+    CacheLife.release(spark)
+  }
+
   test("the layout pins its (K, assign) knobs: mismatched sessions refuse; hier parity holds at a knobbed K") {
     val out = Files.createTempDirectory("graft-vectors-pin").toString + "/vectors"
     def key(r: org.apache.spark.sql.Row) =
