@@ -199,4 +199,18 @@ object CacheLife {
       .foreach(k => frames.remove(k).foreach(_.unpersist(blocking = true)))
     models.keys.toSeq.filter(_._1 eq sc).foreach(models.remove)
   }
+
+  /** Unpersist only the tracked frames whose logical key starts with
+    * `keyPrefix`, keeping every other cache (models included) — the
+    * measurement tool [[release]] is too blunt for: a probe-cost sweep
+    * must re-EXECUTE the kNN between timed reps (the round-17 output
+    * memo would otherwise turn rep 2+ into a cache read) while the
+    * trained model caches keep riding, or the rep measures training.
+    */
+  def drop(s: SparkSession, keyPrefix: String): Unit = {
+    val sc = s.sparkContext
+    frames.keys.toSeq
+      .filter(k => (k._1 eq sc) && k._2.startsWith(keyPrefix))
+      .foreach(k => frames.remove(k).foreach(_.unpersist(blocking = true)))
+  }
 }

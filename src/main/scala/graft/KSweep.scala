@@ -132,13 +132,21 @@ object KSweep {
           // warm-ups run UNCONDITIONALLY (round-16 advice: the old
           // reps>=2 guard made a reps=1 sweep measure cold JIT/IO in
           // the same record schema as warmed rows, distinguishable
-          // only by inference from the reps field)
-          SimilarityQueries.knnAnnKmeans(spark, dir).count() // warm
+          // only by inference from the reps field). The kNN OUTPUTS
+          // are memoized since round 17, so every timed body drops
+          // the sim.knn-out frames first — the rep must re-EXECUTE
+          // the probe, not read its own cache — while the trained
+          // model caches keep riding (or the rep measures training).
+          def probeRun(q: => Long): Double = {
+            CacheLife.drop(spark, "sim.knn-out")
+            timed(q)
+          }
+          probeRun(SimilarityQueries.knnAnnKmeans(spark, dir).count()) // warm
           val pf = median((1 to reps).map(_ =>
-            timed(SimilarityQueries.knnAnnKmeans(spark, dir).count())))
-          SimilarityQueries.knnAnnHier(spark, dir).count() // warm
+            probeRun(SimilarityQueries.knnAnnKmeans(spark, dir).count())))
+          probeRun(SimilarityQueries.knnAnnHier(spark, dir).count()) // warm
           val ph = median((1 to reps).map(_ =>
-            timed(SimilarityQueries.knnAnnHier(spark, dir).count())))
+            probeRun(SimilarityQueries.knnAnnHier(spark, dir).count())))
           println(f"[ksweep] K=$k%-6d probe: flat=$pf%8.3fs hier=$ph%8.3fs " +
             f"speedup=${pf / ph}%6.2fx")
           (pf, ph)

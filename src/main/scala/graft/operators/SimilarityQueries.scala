@@ -326,10 +326,10 @@ object SimilarityQueries {
   // candidate — [[knnAnnRecall]] is the shipped eval, the
   // sim_pairs_lsh/sim_pairs_recall discipline.
   def knnAnn(s: SparkSession, dir: String): DataFrame =
-    probeQuerySet(s, dir,
+    cachedKnn(s, dir, "ivf")(probeQuerySet(s, dir,
       embs(s, dir).select(col("vec_id").as("qid"), col("v").as("qv")),
       k = KnnK, broadcastQueries = false)
-      .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn")))
 
   /** A deterministic 1/[[KnnSampleBuckets]] SOURCE sample of [[knnAnn]]
     * — the scale-decade oracle row (the dedup_substr_clean_sample
@@ -579,7 +579,7 @@ object SimilarityQueries {
   }
 
   def knnAnnPq(s: SparkSession, dir: String): DataFrame =
-    knnPqOver(s, dir, identity)
+    cachedKnn(s, dir, "pq")(knnPqOver(s, dir, identity))
 
   /** Corpus-wide kNN over RESIDUAL-encoded codes — [[knnPqOver]] with
     * IVFADC's residual quantization ([[pqResCodes]]) in place of the
@@ -655,7 +655,10 @@ object SimilarityQueries {
     * integer cosine), so the probed cells are consistent with the cells
     * vectors actually live in.
     */
-  def knnAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+  def knnAnnKmeans(s: SparkSession, dir: String): DataFrame =
+    cachedKnn(s, dir, "kmeans")(knnAnnKmeansPlan(s, dir))
+
+  private def knnAnnKmeansPlan(s: SparkSession, dir: String): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     // per-row probe ranking — see [[knnPqOver]]'s rationale; the query
     // side honors the knnbucket verification-chunking knob (off by
@@ -764,7 +767,7 @@ object SimilarityQueries {
     * shared verbatim.
     */
   def knnAnnHier(s: SparkSession, dir: String): DataFrame =
-    knnHierOver(s, dir, knnBucketFilter(s))
+    cachedKnn(s, dir, "hier")(knnHierOver(s, dir, knnBucketFilter(s)))
 
   /** The hierarchical kNN over an optionally-restricted query side
     * (candidates always corpus-wide) — the [[knnPqOver]] shape, so the
@@ -887,7 +890,7 @@ object SimilarityQueries {
   }
 
   def knnAnnHierPq(s: SparkSession, dir: String): DataFrame =
-    knnHierPqOver(s, dir, identity)
+    cachedKnn(s, dir, "hierpq")(knnHierPqOver(s, dir, identity))
 
   /** Deterministic 1/[[KnnSampleBuckets]] source sample of
     * [[knnAnnHierPq]] — the decade-portable oracle row; rides the
@@ -973,7 +976,7 @@ object SimilarityQueries {
   }
 
   def knnAnnHierPqRes(s: SparkSession, dir: String): DataFrame =
-    knnHierPqResOver(s, dir, identity)
+    cachedKnn(s, dir, "hierpqres")(knnHierPqResOver(s, dir, identity))
 
   /** Edge recall of the composed hier + residual-PQ stack against the
     * exact kernel — completes the rung-pricing table: beside
@@ -1232,6 +1235,29 @@ object SimilarityQueries {
   private def tbTag(s: SparkSession): String = {
     val b = trainBucketsOf(s); if (b > 1) s":tb$b" else ""
   }
+
+  /** Cache key for a corpus-wide kNN OUTPUT (round-16 verdict "what's
+    * wrong" #3): the ranked result is only n·[[KnnK]] rows (≈30k at
+    * sf0.1), but each eval/recall row used to re-derive its ANN side
+    * from scratch moments after the main row ran it (~23 s of the
+    * 104 s local bench). The key embeds EVERY knob that can change the
+    * result — resolved K, probe width, trainer sampling, assignment
+    * mode, and the verification-chunking bucket range — so a knobbed
+    * session can never be served another configuration's graph
+    * (over-keying a variant that ignores one knob is harmless; serving
+    * a stale graph to the hash gate is not). Sample rows stay
+    * UNCACHED-by-derivation: deriving a sample from the cached full
+    * output would run the full computation at a decade where only the
+    * sample is affordable.
+    */
+  private def knnOutKey(s: SparkSession, dir: String, variant: String): String =
+    s"sim.knn-out:$variant:$dir:k${nCellsOf(s)}:np${nProbeOf(s)}" +
+      s"${tbTag(s)}${haTag(s)}" +
+      knnBucketOf(s).fold("") { case (b, w) => s":kb$b-w$w" }
+
+  private def cachedKnn(s: SparkSession, dir: String, variant: String)(
+      build: => DataFrame): DataFrame =
+    graft.CacheLife.cached(s, knnOutKey(s, dir, variant))(build)
 
   /** Assignment mode — the OTHER n·K term. [[TrainBucketsKey]] bounds
     * the Lloyd iterations; the one n·K scan left is the final

@@ -23,7 +23,9 @@ class SimKnnSkewSpec extends SparkSpec {
   import spark.implicits._
 
   private val N = 500
-  private val Dim = 16
+  // PqM x PqSubDim: the composed hier+PQ variant slices compiled
+  // subspaces, so the adversarial fixture carries the production width
+  private val Dim = 64
 
   /** One dominant cell by construction: seeds (vec_ids 1..NCells) are
     * the standard basis directions, every other vector is a small
@@ -58,34 +60,65 @@ class SimKnnSkewSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
-  test("AQE skew-split engages on the hot cell join and the output is identical") {
-    // thresholds scaled to the fixture (the defaults are 256 MB-class;
-    // the MECHANISM, not the production numbers, is what the spec pins)
-    val skewConfs = Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+  // thresholds scaled to the fixture (the defaults are 256 MB-class;
+  // the MECHANISM, not the production numbers, is what the spec pins)
+  private val skewConfs = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+
+  /** The two assertions every variant must hold under the hot cell:
+    * the adaptive plan shows the skew mitigation ENGAGED (split
+    * shuffle reader / skew=true join marker), and the output is
+    * IDENTICAL with skew handling off — the split is pure execution
+    * re-planning, never a semantics change. CacheLife is released
+    * between the two runs: the kNN outputs are memoized per knob key
+    * (round-17), and an un-released cache would compare a frame
+    * against itself.
+    */
+  private def assertSkewHardened(
+      name: String,
+      q: () => org.apache.spark.sql.DataFrame): Unit = {
+    CacheLife.release(spark)
     val (skewRows, skewPlan) = withConf(skewConfs: _*) {
-      val df = SimilarityQueries.knnAnn(spark, skewDir)
+      val df = q()
       val rows = df.collect().map(knnKey).toSet
       (rows, df.queryExecution.executedPlan.toString)
     }
-    // the adaptive plan must show the skew mitigation ENGAGED (the
-    // split shuffle reader / skew=true join marker), not merely enabled
     assert(skewPlan.contains("skew=true") ||
       skewPlan.toLowerCase.contains("skewed"),
-      s"expected a skew-split marker in the adaptive plan:\n$skewPlan")
-    // output-identical with AQE skew handling off — the split is pure
-    // execution re-planning, never a semantics change
+      s"$name: expected a skew-split marker in the adaptive plan:\n$skewPlan")
+    CacheLife.release(spark)
     val plainRows = withConf(
       "spark.sql.adaptive.skewJoin.enabled" -> "false") {
-      SimilarityQueries.knnAnn(spark, skewDir).collect().map(knnKey).toSet
+      q().collect().map(knnKey).toSet
     }
     assert(skewRows.nonEmpty && skewRows == plainRows,
-      s"skew-split changed the kNN output: ${skewRows.size} vs ${plainRows.size} rows")
+      s"$name: skew-split changed the kNN output: " +
+        s"${skewRows.size} vs ${plainRows.size} rows")
     CacheLife.release(spark)
+  }
+
+  test("AQE skew-split engages on the hot cell join and the output is identical") {
+    assertSkewHardened("knnAnn",
+      () => SimilarityQueries.knnAnn(spark, skewDir))
+  }
+
+  // round-16 verdict #5: the flat path's mitigation must be ASSERTED,
+  // not assumed, on the other cell-equi-join shapes — the two-level
+  // probe's candidate join and the composed hier+PQ form, whose
+  // merge-hinted CODE join is a second skew surface (the PQ code table
+  // concentrates in the same hot cell the raw vectors do)
+  test("AQE skew-split engages on the two-level probe's hot candidate join") {
+    assertSkewHardened("knnAnnHier",
+      () => SimilarityQueries.knnAnnHier(spark, skewDir))
+  }
+
+  test("AQE skew-split engages on the composed hier+PQ hot code join") {
+    assertSkewHardened("knnAnnHierPq",
+      () => SimilarityQueries.knnAnnHierPq(spark, skewDir))
   }
 }
