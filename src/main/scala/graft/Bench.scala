@@ -278,6 +278,13 @@ object Bench {
         val inc = Files.readAllLines(
           Paths.get(s.stripPrefix("include-file:"))).toArray.map(_.toString).toSet
         (n => !UpExcludedBuilders.contains(n), inc.contains)
+      case s if s.startsWith("include:") =>
+        // the forked child receives this via include-file:, but the
+        // IN-PROCESS fallback (fork died mid-pass) hands execPass the
+        // raw spec — which used to kill the whole bench on the one
+        // path that exists to survive a dying child (round 17)
+        val inc = s.stripPrefix("include:").split(',').toSet
+        (n => !UpExcludedBuilders.contains(n), inc.contains)
       case other => sys.error(s"unknown pass filter spec '$other'")
     }
 
@@ -300,6 +307,12 @@ object Bench {
     if (ncells == SimilarityQueries.AutoNCells)
       spark.conf.set(SimilarityQueries.ProbeKey, SimilarityQueries.AutoProbe)
     try {
+      // pin both auto resolutions EXPLICITLY before anything runs: the
+      // dispatcher row pins lazily, but a pass whose include list
+      // skips it (up2's budget selection) would otherwise record the
+      // raw string "auto" as its resolved_probe
+      SimilarityQueries.pinAutoNCells(spark, dir)
+      SimilarityQueries.pinProbeMode(spark, dir)
       warmup(spark, dir, qf)
       val res = runPass(spark, dir, iters, bf, qf)
       res.copy(cold = coldProfile(spark, dir, coldNames))
@@ -588,8 +601,25 @@ object Bench {
           s"(sim.ncells=$up2NCells, sim.trainbuckets=$up2Tb)")
         val budget = sys.env.getOrElse("SPARK_GRAFT_UP2_BUDGET_SEC", "300").toDouble
         val upMap = up.get.timesMap
+        // the corpus-wide FULL kNN rows are excluded from the budget
+        // selection BY NAME (round 17): their per-row medians are
+        // cache-riding artifacts since the kNN outputs memoized —
+        // whichever family row runs first pays the build and the rest
+        // read the cache, so a 0.1 s median projected 10× massively
+        // understates a Θ(n^1.5) full-corpus pass at 100× (the r17
+        // selection admitted sim_knn_ann_kmeans that way and the up2
+        // child OOM'd). Their decade-portable *_sample twins are
+        // admitted unconditionally below, and their FULL-corpus 100×
+        // evidence lives in the chunk-oracle records
+        // (CORRECTNESS_UP2 kNN bucket waves, CORRECTNESS_STREAM
+        // knnbucket chunks) — never in this budget.
+        val knnFull = Set("sim_knn_ann", "sim_knn_ann_auto",
+          "sim_knn_ann_kmeans", "sim_knn_ann_hier", "sim_knn_ann_pq",
+          "sim_knn_ann_pq_res", "sim_knn_ann_hier_pq",
+          "sim_knn_ann_hier_pq_res")
         val candidates = upMap.toSeq
-          .filter { case (n, t) => !n.startsWith("build:") && t > 0 }
+          .filter { case (n, t) =>
+            !n.startsWith("build:") && t > 0 && !knnFull.contains(n) }
           .sortBy { case (n, _) => mains.getOrElse(n, Double.MaxValue) }
         val cheapest = candidates
           .foldLeft((Set.empty[String], 0.0)) { case ((sel, acc), (n, tUp)) =>
@@ -624,7 +654,10 @@ object Bench {
         }
         val sel = s"cheapest-first by main median; included while cumulative " +
           s"10x-projected sf1-up cost <= ${budget}s, plus every *_sample row " +
-          s"unconditionally (decade-portable representatives): ${included.size} of " +
+          s"unconditionally (decade-portable representatives); the corpus-wide " +
+          s"FULL kNN rows are name-excluded (their medians are cache-riding " +
+          s"artifacts since the r17 output memo — 100x full-corpus evidence " +
+          s"lives in the chunk-oracle records): ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
         s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells",""" +
           s""""sim_ncells_up2_resolved":"${r2.resolvedNCells}","sim_probe_up2_resolved":"${r2.resolvedProbe}","sim_trainbuckets_up2":"$up2Tb",""" +

@@ -623,7 +623,7 @@ object SimilarityQueries {
   }
 
   def knnAnnPqRes(s: SparkSession, dir: String): DataFrame =
-    knnPqResOver(s, dir, identity)
+    cachedKnn(s, dir, "pqres")(knnPqResOver(s, dir, identity))
 
   /** Edge recall of the RESIDUAL-encoded kNN against the exact kernel —
     * the [[knnAnnPqRecall]] discipline at identical levers, so the pair

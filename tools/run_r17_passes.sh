@@ -43,15 +43,32 @@ fi
 # 4+5. 100x K-sweep: deployment K=633 + the rung above, WARM — reps=1
 # now measures a warmed run (KSweep's warm-ups are unconditional since
 # r16 advice #4), which is exactly the "one warm rep per rung" the
-# verdict asked for at minutes-per-measurement cost
-if [ ! -f /tmp/KSWEEP_sf10_r17.json ]; then
-  stage "100x K-sweep (K=633,2000; probe+store; warm, reps=1)"
-  sbt -batch "runMain graft.KSweep testdata_up/sf10 633,2000 8 probe,store /tmp/KSWEEP_sf10_r17.json 1" | grep -E "\[ksweep\]"
+# verdict asked for at minutes-per-measurement cost. One invocation
+# per K so a round boundary keeps whichever rungs finished.
+if [ ! -f /tmp/KSWEEP_sf10_k633_r17.json ]; then
+  stage "100x K-sweep rung K=633 (probe+store; warm, reps=1)"
+  sbt -batch "runMain graft.KSweep testdata_up/sf10 633 8 probe,store /tmp/KSWEEP_sf10_k633_r17.json 1" | grep -E "\[ksweep\]"
 fi
-if [ -f /tmp/KSWEEP_sf10_r17.json ]; then
-  stage "merge sf10 sweep into KSWEEP.json"
+if [ ! -f /tmp/KSWEEP_sf10_k2000_r17.json ]; then
+  stage "100x K-sweep rung K=2000 (probe+store; warm, reps=1)"
+  sbt -batch "runMain graft.KSweep testdata_up/sf10 2000 8 probe,store /tmp/KSWEEP_sf10_k2000_r17.json 1" | grep -E "\[ksweep\]"
+fi
+if [ -f /tmp/KSWEEP_sf10_k633_r17.json ]; then
+  stage "merge sf10 rungs into KSWEEP.json"
+  python3 - <<'EOF'
+import json
+rows = []
+for p in ("/tmp/KSWEEP_sf10_k633_r17.json", "/tmp/KSWEEP_sf10_k2000_r17.json"):
+    try:
+        rows += json.load(open(p))["sweep"]
+    except Exception:
+        pass
+rec = {"corpus": "testdata_up/sf10", "trainbuckets": "8", "reps": 1,
+       "warm": True, "sweep": rows}
+json.dump(rec, open("/tmp/KSWEEP_sf10_r17.json", "w"))
+EOF
   python3 tools/merge_ksweep.py KSWEEP.json /tmp/KSWEEP_sf10_r17.json \
-    "round 17: the 100x sweep re-ran WARM (reps=2, unconditional warm-ups — r16 advice #4) at the deployment K=633 plus the K=2000 rung above (r16 verdict #6), probe+store pairs; rows carry probe_auto/store_auto — what the new probe=auto policy picks at each (corpus, K, context) and whether the pick is the measured winner. The sf1 rows keep r15/r16 provenance (see git history for the superseded reps=1 sf10 single-shot)." || true
+    "round 17: the 100x sweep re-ran WARM (unconditional warm-ups before every measured rep - r16 advice #4; reps=1 thereafter) at the deployment K=633 plus the K=2000 rung above (r16 verdict #6), probe+store pairs; rows carry probe_auto/store_auto - what the new probe=auto policy picks at each (corpus, K, context) and whether the pick is the measured winner. The sf1 rows keep r15/r16 provenance (the superseded reps=1-cold sf10 single-shot lives in git history)." || true
 fi
 
 stage "DONE"
