@@ -1359,7 +1359,10 @@ object SimilarityQueries {
   //             K = 1×autoK measured losing on both corpora)
   //   store:   hier iff trained K >= HierProbeStoreMinK
   //            (the assignment threshold; measured winning at the
-  //             first contract-resolved K above it, 633)
+  //             first contract-resolved K above it, 633 — 2.01× on
+  //             the r16 cold single-shot, re-measured WARM in r17 at
+  //             1.03× (parity) there and 1.65× at K=2000: never a
+  //             loss at the threshold, growing with K)
   // Like [[AutoNCells]], the session resolution needs the corpus (n),
   // so `auto` is OPT-IN and pinned on first corpus touch
   // ([[pinProbeMode]] — Verify/VerifyStream/Bench pin it beside

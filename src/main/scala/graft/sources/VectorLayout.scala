@@ -810,9 +810,9 @@ object VectorLayout {
     * [[SimilarityQueries.probeModeForStore]] over the layout's PINNED
     * trained K and the live [[SimilarityQueries.ProbeKey]]: the store
     * context resolves `auto` from K alone (hier iff K >=
-    * HierProbeStoreMinK — the measured 2.01× serving win at the
-    * contract-resolved K=633, KSWEEP.json round 16), no corpus count
-    * needed. Output is EXACTLY whichever explicit path wins the
+    * HierProbeStoreMinK — serving win measured at the contract-
+    * resolved K=633 (2.01× cold r16; 1.03× warm r17) growing to 1.65×
+    * warm at K=2000, KSWEEP.json), no corpus count needed. Output is EXACTLY whichever explicit path wins the
     * resolution — both already oracle-green — so the dispatcher adds a
     * policy, never a third semantics.
     */
