@@ -126,7 +126,8 @@ object Bench {
       "composed hier+residual-PQ recall eval against the exact-kernel baseline")
 
   /** Builder twin of [[UpExcluded]]. */
-  val UpExcludedBuilders: Set[String] = Set("sim.pair_kernel")
+  val UpExcludedBuilders: Set[String] =
+    Set("sim.pair_kernel", "sim.knn_exact")
 
   /** 1-minute system load average — `/proc/loadavg` where it exists,
     * the JMX bean elsewhere. Sampled around every pass into the bench

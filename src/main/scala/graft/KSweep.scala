@@ -79,11 +79,11 @@ object KSweep {
     // that pick is the measured-faster side — the row the judge asked
     // for ("auto picks the winner on both corpora")
     val nVecs = Tables.embeddings(spark, dir).count()
-    val autoK = math.max(SimilarityQueries.NCells,
-      math.ceil(math.sqrt(2.0 * nVecs)).toInt)
+    // the ENGINE's own crossover function (round-17 advice: a second
+    // copy of the formula here would silently drift from what
+    // pinProbeMode actually picks)
     def sessionAuto(k: Int): String =
-      if (k >= SimilarityQueries.HierProbeSessionMinKFactor.toLong * autoK)
-        "hier" else "flat"
+      SimilarityQueries.sessionProbeModeFor(k, nVecs)
     def rowJson(k: Int, tr: Double, fl: Double, hi: Double,
                 pf: Double, ph: Double, sf: Double, sh: Double): String =
       s"""{"k":$k,"train_sec":${fmt(tr)},"flat_sec":${fmt(fl)},""" +

@@ -71,6 +71,15 @@ object VerifyStream {
     "sim_knn_ann_hier" -> (s =>
       VectorLayout.knnHier(s, sfDir, StoreBuild.vectorLayoutDir(root))
         .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cos"), col("rn"))),
+    // the store-context probe=auto DISPATCHER (round-17 verdict
+    // stretch #8's untested corner): an unset ProbeKey here IS the
+    // auto policy — at trained K<HierProbeStoreMinK (sf0.01: K=8,
+    // 10x: K=200) it must resolve flat and hash-match the same
+    // registered oracle the session dispatcher verifies through
+    "sim_knn_ann_auto" -> (s =>
+      VectorLayout.knnAuto(s, sfDir, StoreBuild.vectorLayoutDir(root))
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
           col("cos"), col("rn"))))
 
   def main(args: Array[String]): Unit = {
@@ -106,8 +115,11 @@ object VerifyStream {
           case _ => sys.error(s"malformed conf token '$kv' — expected key=value")
         }
       }.toSeq
-    val onlyPrefix = args.drop(4).find(_.startsWith("only:"))
-      .map(_.stripPrefix("only:"))
+    // comma-list of prefixes (round 18: `only:sim_knn_ann` would now
+    // also match the sim_knn_ann_auto dispatcher row, so the chunk
+    // sweeps name their two rows exactly)
+    val onlyPrefixes = args.drop(4).find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:").split(',').toSeq)
     val spark = Sessions.local()
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     // ncells=auto / probe=auto resolve against THIS corpus before the
@@ -123,7 +135,7 @@ object VerifyStream {
         s"drain fsck exited $code — refusing to dump from a sick root")
       new java.io.File(outDir).mkdirs()
       val qs = storeQueries(root, sfDir)
-        .filter(kv => onlyPrefix.forall(kv._1.startsWith))
+        .filter(kv => onlyPrefixes.forall(_.exists(kv._1.startsWith)))
       qs.foreach { case (name, fn) =>
         fn(spark).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[verify-stream] dumped $name")

@@ -1153,7 +1153,7 @@ object SimilarityQueries {
     */
   def pinAutoNCellsFromCount(s: SparkSession, n: Long, what: String): Unit =
     if (s.conf.getOption(NCellsKey).contains(AutoNCells)) {
-      val k = math.max(NCells, math.ceil(math.sqrt(2.0 * n)).toInt)
+      val k = autoKFor(n)
       println(s"[graft] $NCellsKey=$AutoNCells resolved to K=$k " +
         s"(ceil(sqrt(2*$n)), floor $NCells) from $what")
       s.conf.set(NCellsKey, k.toString)
@@ -1251,13 +1251,25 @@ object SimilarityQueries {
     * sample is affordable.
     */
   private def knnOutKey(s: SparkSession, dir: String, variant: String): String =
-    s"sim.knn-out:$variant:$dir:k${nCellsOf(s)}:np${nProbeOf(s)}" +
+    // nCellsOf(s, dir), not nCellsOf(s): the key is computed EAGERLY
+    // (before the memo's lazy build), so key construction itself must
+    // honor the ncells=auto first-corpus-touch resolution contract —
+    // the dir-less form here made a direct knobbed call of any memoized
+    // kNN query throw unresolved-auto (round-17 advice)
+    s"sim.knn-out:$variant:$dir:k${nCellsOf(s, dir)}:np${nProbeOf(s)}" +
       s"${tbTag(s)}${haTag(s)}" +
       knnBucketOf(s).fold("") { case (b, w) => s":kb$b-w$w" }
 
   private def cachedKnn(s: SparkSession, dir: String, variant: String)(
       build: => DataFrame): DataFrame =
-    graft.CacheLife.cached(s, knnOutKey(s, dir, variant))(build)
+    graft.CacheLife.cachedSession(s, knnOutKey(s, dir, variant))(build)
+
+  /** The memo key a kNN variant resolves to under the live conf —
+    * exposed so the memo-contract spec (and Bench's memoized-row
+    * marker) can ask [[graft.CacheLife.buildCount]] about exactly the
+    * key the engine uses, rather than re-deriving it. */
+  def knnOutKeyFor(s: SparkSession, dir: String, variant: String): String =
+    knnOutKey(s, dir, variant)
 
   /** Assignment mode — the OTHER n·K term. [[TrainBucketsKey]] bounds
     * the Lloyd iterations; the one n·K scan left is the final
@@ -1397,14 +1409,27 @@ object SimilarityQueries {
     if (s.conf.getOption(ProbeKey).contains(AutoProbe)) {
       val k = nCellsOf(s, dir)
       val n = Tables.embeddings(s, dir).count()
-      val autoK = math.max(NCells, math.ceil(math.sqrt(2.0 * n)).toInt)
-      val mode =
-        if (k >= HierProbeSessionMinKFactor.toLong * autoK) "hier" else "flat"
+      val mode = sessionProbeModeFor(k, n)
       println(s"[graft] $ProbeKey=$AutoProbe resolved to $mode (K=$k vs " +
-        s"$HierProbeSessionMinKFactor*autoK=${HierProbeSessionMinKFactor * autoK}, " +
-        s"n=$n) from $dir")
+        s"$HierProbeSessionMinKFactor*autoK=" +
+        s"${HierProbeSessionMinKFactor * autoKFor(n)}, n=$n) from $dir")
       s.conf.set(ProbeKey, mode)
     }
+
+  /** The [[AutoNCells]] derivation as a pure function of the corpus row
+    * count — ONE definition of K(n), shared by the pin and by anything
+    * that reasons about the contract offline (KSweep's adjudication
+    * columns; round-17 advice: a second copy of the formula would
+    * silently drift from what the engine picks). */
+  def autoKFor(n: Long): Int =
+    math.max(NCells, math.ceil(math.sqrt(2.0 * n)).toInt)
+
+  /** The SESSION-context `probe=auto` crossover as a pure function of
+    * (resolved K, corpus rows) — the single source [[pinProbeMode]]
+    * pins from and KSweep adjudicates against. */
+  def sessionProbeModeFor(k: Int, n: Long): String =
+    if (k >= HierProbeSessionMinKFactor.toLong * autoKFor(n)) "hier"
+    else "flat"
 
   /** The session-resolved probe mode with the [[AutoProbe]] derivation
     * applied first (callers that hold a corpus dir). */
@@ -2442,6 +2467,11 @@ object SimilarityQueries {
     "sim.kmeans_model" -> (() => { trainedModel(s, dir)._1.count(); () }),
     "sim.kmeans_cells" -> (() => { kmeansCells(s, dir).count(); () }),
     "sim.pair_kernel" -> (() => { pairKernel(s, dir).count(); () }),
+    // the exact kNN GRAPH (rank over the pair kernel) — its own build
+    // line (round-17 verdict #2: the alphabetically-first recall row
+    // absorbed this build into its median, so eval rows didn't price
+    // the eval); up-excluded with the kernel it rides
+    "sim.knn_exact" -> (() => { knnJoin(s, dir).count(); () }),
     "sim.sign_bands" -> (() => { signBands(s, dir).count(); () }),
     "sim.pq_codes" -> (() => { pqCodes(s, dir).count(); () }),
   )

@@ -812,9 +812,23 @@ object VectorLayout {
     * context resolves `auto` from K alone (hier iff K >=
     * HierProbeStoreMinK — serving win measured at the contract-
     * resolved K=633 (2.01× cold r16; 1.03× warm r17) growing to 1.65×
-    * warm at K=2000, KSWEEP.json), no corpus count needed. Output is EXACTLY whichever explicit path wins the
-    * resolution — both already oracle-green — so the dispatcher adds a
-    * policy, never a third semantics.
+    * warm at K=2000, KSWEEP.json), no corpus count needed. Output is
+    * EXACTLY whichever explicit path wins the resolution — both already
+    * oracle-green — so the dispatcher adds a policy, never a third
+    * semantics.
+    *
+    * Default contract (round-17 advice, resolved deliberately): an
+    * UNSET [[SimilarityQueries.ProbeKey]] here means `auto` — the
+    * store dispatcher's default IS the measured auto policy — while
+    * the session row `sim_knn_ann_auto` treats unset as the compiled
+    * `flat`. The asymmetry is intentional: the session resolution
+    * needs a corpus count (a side effect a default must not hide),
+    * so session-auto is opt-in; the store resolution is a pure
+    * function of the layout's own pinned K — no hidden work, and a
+    * serving layer should serve its measured-best path unless the
+    * operator pins one (`probe=flat`/`probe=hier` both override).
+    * KSWEEP.json grounds the policy: auto picks the measured winner
+    * at every tested (context, K).
     */
   def knnAuto(spark: SparkSession, sfDir: String, outDir: String,
               k: Int = SimilarityQueries.KnnK,
@@ -826,8 +840,12 @@ object VectorLayout {
       spark.conf.getOption(SimilarityQueries.ProbeKey)
         .getOrElse(SimilarityQueries.AutoProbe), trainedK)
     println(s"[graft] store probe mode resolved to $mode (trained K=$trainedK)")
+    // both arms read the LIVE probe-width knob (knn's compiled default
+    // would silently ignore a knobbed nprobe on the flat arm while the
+    // oracle regenerates the live value — round-18 fix)
     if (mode == "hier") knnHier(spark, sfDir, outDir, k = k, upToBatch = upToBatch)
-    else knn(spark, sfDir, outDir, k = k, upToBatch = upToBatch)
+    else knn(spark, sfDir, outDir,
+      nprobe = SimilarityQueries.nProbeOf(spark), k = k, upToBatch = upToBatch)
   }
 
   /** Corpus-wide kNN read from the layout through the COMPOSED

@@ -55,7 +55,7 @@ class CurationStoreSpec extends SparkSpec {
 
     val s1 = spark.newSession()
     val built = StoreBuild.buildAll(s1, Sf, root)
-    assert(built.size === 25, s"expected 25 builders, got: ${built.map(_._1)}")
+    assert(built.size === 26, s"expected 26 builders, got: ${built.map(_._1)}")
     // every store is a _SUCCESS-gated parquet layout under the root; the
     // incremental stores (dedup.layout, text.layout) are ROOTS OF
     // layouts — each of their sub-stores carries its own _SUCCESS

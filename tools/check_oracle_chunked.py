@@ -24,6 +24,16 @@ retry_mem = sys.argv[6] if len(sys.argv) > 6 else "100GB"
 here = os.path.dirname(os.path.abspath(__file__))
 
 names = sorted(json.load(open(f"{outdir}/oracle_sql.json")))
+
+# GRAFT_ORACLE_SKIP: comma-list of queries NOT to attempt in this pass —
+# for rows whose one-piece DuckDB form is known-infeasible at the scale
+# (the 100x store-served kNN rows need ~230 GB; their evidence is the
+# chunked knnbucket sweep). The skip is loud and the assembler writes
+# the delegation into the row itself.
+skip = [s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s]
+if skip:
+    print(f"[chunked] skipping by GRAFT_ORACLE_SKIP: {sorted(skip)}")
+    names = [n for n in names if n not in skip]
 merged = {}
 
 # Resume: a prior (possibly killed) run of this tool left a partial or
