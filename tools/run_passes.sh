@@ -155,34 +155,6 @@ if has knobs && [ -f /tmp/rec_${R}_storeauto.json ] && [ ! -f /tmp/rec_${R}_knob
     && touch /tmp/rec_${R}_knobs.merged
 fi
 
-# 6. warm 100x K-sweep at the deployment K and the rung above, reps=2
-#    (round-17 verdict #6: the 1.03x store-parity call was one warm shot)
-if has ksweep; then
-  for K in 633 2000; do
-    if [ ! -f /tmp/KSWEEP_sf10_k${K}_${R}.json ]; then
-      stage "100x K-sweep rung K=$K (probe+store; warm, reps=2)"
-      sbt -batch "runMain graft.KSweep testdata_up/sf10 $K 8 probe,store /tmp/KSWEEP_sf10_k${K}_${R}.json 2" | grep -E "\[ksweep\]"
-    fi
-  done
-  if [ -f /tmp/KSWEEP_sf10_k633_${R}.json ] && [ -f /tmp/KSWEEP_sf10_k2000_${R}.json ] \
-     && [ ! -f /tmp/KSWEEP_sf10_${R}.merged ]; then
-    stage "merge sf10 rungs into KSWEEP.json"
-    python3 - "$R" <<'EOF'
-import json, sys
-r = sys.argv[1]
-rows = []
-for k in (633, 2000):
-    rows += json.load(open(f"/tmp/KSWEEP_sf10_k{k}_{r}.json"))["sweep"]
-rec = {"corpus": "testdata_up/sf10", "trainbuckets": "8", "reps": 2,
-       "warm": True, "sweep": rows}
-json.dump(rec, open(f"/tmp/KSWEEP_sf10_{r}.json", "w"))
-EOF
-    python3 tools/merge_ksweep.py KSWEEP.json /tmp/KSWEEP_sf10_${R}.json \
-      "round $ROUND: the warm 100x sweep re-ran with reps=2 (medians, not single warm shots - r17 verdict #6) at the deployment K=633 and the K=2000 rung, probe+store pairs; probe_auto/store_auto columns adjudicate the auto policy against the engine's own crossover helper (sessionProbeModeFor/probeModeForStore - one formula, no drift)." \
-      && touch /tmp/KSWEEP_sf10_${R}.merged
-  fi
-fi
-
 # 7. 100x coverage rotation (round-17 verdict #5): one timing at the
 #    100x corpus for every registered query the up2 budget has never
 #    admitted — except the exact-kernel-riding rows (UpExcluded for
@@ -252,6 +224,37 @@ d["_meta"] = {
 json.dump(d, open("BENCH_UP2_ROTATION.json", "w"), indent=1, sort_keys=True)
 print("wrote BENCH_UP2_ROTATION.json:", len(d.get("queries", {})), "queries")
 EOF
+  fi
+fi
+
+# 6. warm 100x K-sweep at the deployment K and the rung above, reps=2
+#    (round-17 verdict #6: the 1.03x store-parity call was one warm shot)
+if has ksweep; then
+  for K in 633 2000; do
+    if [ ! -f /tmp/KSWEEP_sf10_k${K}_${R}.json ]; then
+      stage "100x K-sweep rung K=$K (probe+store; warm, reps=2)"
+      sbt -batch "runMain graft.KSweep testdata_up/sf10 $K 8 probe,store /tmp/KSWEEP_sf10_k${K}_${R}.json 2" | grep -E "\[ksweep\]"
+    fi
+  done
+  # merge whatever rungs finished (K=633 is the verdict's must-have —
+  # the store parity call needs a median; K=2000 re-measures a clear win)
+  if [ -f /tmp/KSWEEP_sf10_k633_${R}.json ] && [ ! -f /tmp/KSWEEP_sf10_${R}.merged ]; then
+    stage "merge sf10 rungs into KSWEEP.json"
+    python3 - "$R" <<'EOF'
+import json, os, sys
+r = sys.argv[1]
+rows = []
+for k in (633, 2000):
+    p = f"/tmp/KSWEEP_sf10_k{k}_{r}.json"
+    if os.path.exists(p):
+        rows += json.load(open(p))["sweep"]
+rec = {"corpus": "testdata_up/sf10", "trainbuckets": "8", "reps": 2,
+       "warm": True, "sweep": rows}
+json.dump(rec, open(f"/tmp/KSWEEP_sf10_{r}.json", "w"))
+EOF
+    python3 tools/merge_ksweep.py KSWEEP.json /tmp/KSWEEP_sf10_${R}.json \
+      "round $ROUND: the warm 100x sweep re-ran with reps=2 (medians, not single warm shots - r17 verdict #6) at the deployment K=633 and the K=2000 rung, probe+store pairs; probe_auto/store_auto columns adjudicate the auto policy against the engine's own crossover helper (sessionProbeModeFor/probeModeForStore - one formula, no drift)." \
+      && touch /tmp/KSWEEP_sf10_${R}.merged
   fi
 fi
 
