@@ -24,7 +24,8 @@ object Bench {
       builds: Seq[(String, Double)], queries: Seq[(String, Double)],
       errors: Seq[String], rows: Map[String, Long],
       resolvedNCells: String, resolvedProbe: String = "flat",
-      cold: Seq[(String, Double)] = Seq.empty) {
+      cold: Seq[(String, Double)] = Seq.empty,
+      errorsDetail: Seq[(String, String)] = Seq.empty) {
     def timesMap: Map[String, Double] =
       queries.toMap ++ builds.map { case (n, t) => s"build:$n" -> t }
   }
@@ -47,13 +48,26 @@ object Bench {
       .filter { case (name, _) => builderFilter(name) }
     CacheLife.release(spark)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // Exception text per failed name, FIRST failure wins (round-18
+    // verdict "what's missing" #2: the rotation record shipped 7 bare
+    // -1.0 rows and the cause was unrecoverable — adjudicating them
+    // took a re-run that one string field would have made a line in
+    // the record). Sanitized to the flat-JSON character set this
+    // file's dumb section parser assumes (no quotes/braces/controls).
+    val errorsDetail = scala.collection.mutable.LinkedHashMap[String, String]()
+    def noteError(name: String, e: Throwable): Unit = {
+      errors += name
+      if (!errorsDetail.contains(name))
+        errorsDetail(name) = e.toString.take(200)
+          .map(c => if (c < ' ' || "\"\\{}[]".contains(c)) ' ' else c)
+    }
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val samples: Seq[(Map[String, Double], Map[String, Double])] =
       (1 to iters).map { _ =>
         val bt = builders.map { case (name, build) =>
           val t0 = System.nanoTime()
-          val ok = try { build(); true } catch { case _: Throwable => false }
-          if (!ok) errors += s"build:$name"
+          val ok = try { build(); true }
+            catch { case e: Throwable => noteError(s"build:$name", e); false }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
         // SORTED-NAME execution order (round-12 verdict #6): the map's
@@ -68,8 +82,7 @@ object Bench {
           .filter(q => queryFilter(q._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { rows(name) = fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          if (!ok) errors += name
+            catch { case e: Throwable => noteError(name, e); false }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
         CacheLife.release(spark)
@@ -89,7 +102,8 @@ object Bench {
       .getOrElse(SimilarityQueries.NCells.toString)
     val pRes = spark.conf.getOption(SimilarityQueries.ProbeKey)
       .getOrElse(SimilarityQueries.DefaultProbeMode)
-    PassResult(builds, queries, errors.toSeq, rows.toMap, kRes, pRes)
+    PassResult(builds, queries, errors.toSeq, rows.toMap, kRes, pRes,
+      errorsDetail = errorsDetail.toSeq)
   }
 
   /** Entries excluded from the upward pass — ONLY the exact-O(n²)
@@ -193,8 +207,15 @@ object Bench {
     m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
   private def jarr(xs: Seq[String]): String =
     xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+  /** String-valued map section — values are pre-sanitized by
+    * [[runPass]]'s noteError to the flat character set (no quotes,
+    * braces, or controls), so no escaping is needed here and the dumb
+    * `indexOf('}')` section scanner stays correct. */
+  private def jmapStr(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
   private val EntryRe = """"([a-zA-Z0-9_:.@-]+)":(-?[0-9.]+)""".r
+  private val StrEntryRe = """"([a-zA-Z0-9_:.@-]+)":"([^"]*)"""".r
 
   /** The `"key":{flat map}` section of a one-line JSON record (every
     * map this file writes is flat — no nesting inside sections). */
@@ -205,6 +226,17 @@ object Bench {
       val open = start + key.length + 4
       EntryRe.findAllMatchIn(js.substring(open, js.indexOf('}', open)))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** String-map variant of [[section]] (the errors_detail section). */
+  private def sectionStrMap(js: String, key: String): Map[String, String] = {
+    val start = js.indexOf("\"" + key + "\":{")
+    if (start < 0) Map.empty
+    else {
+      val open = start + key.length + 4
+      StrEntryRe.findAllMatchIn(js.substring(open, js.indexOf('}', open)))
+        .map(m => m.group(1) -> m.group(2)).toMap
     }
   }
 
@@ -325,21 +357,24 @@ object Bench {
     }
   }
 
-  private def passJson(r: PassResult): String =
+  private[graft] def passJson(r: PassResult): String =
     s"""{"resolved_ncells":"${r.resolvedNCells}","resolved_probe":"${r.resolvedProbe}","errors":${jarr(r.errors)},""" +
+      s""""errors_detail":${jmapStr(r.errorsDetail)},""" +
       s""""n_builds":${r.builds.size},"n_queries":${r.queries.size},""" +
       s""""n_rows":${r.rows.size},"n_cold":${r.cold.size},""" +
+      s""""n_errors_detail":${r.errorsDetail.size},""" +
       s""""builds":${jmap6(r.builds)},"queries":${jmap6(r.queries)},""" +
       s""""rows":${jmapL(r.rows.toSeq.sortBy(_._1))},"cold":${jmap6(r.cold)}}"""
 
-  private def parsePassJson(js: String): PassResult = {
+  private[graft] def parsePassJson(js: String): PassResult = {
     val builds = section(js, "builds").toSeq.sortBy(_._1)
     val queries = section(js, "queries").toSeq.sortBy(_._1)
     val res = PassResult(builds, queries, sectionArr(js, "errors"),
       section(js, "rows").map { case (k, v) => k -> v.toLong },
       sectionStr(js, "resolved_ncells").getOrElse("?"),
       sectionStr(js, "resolved_probe").getOrElse("?"),
-      section(js, "cold").toSeq.sortBy(_._1))
+      section(js, "cold").toSeq.sortBy(_._1),
+      errorsDetail = sectionStrMap(js, "errors_detail").toSeq.sortBy(_._1))
     // loud-drop contract (round-15 advice): the child writes its own
     // section sizes; a name the EntryRe character class cannot carry
     // (or a malformed value) must fail the parse, not silently vanish
@@ -353,6 +388,7 @@ object Bench {
     expect("n_queries", res.queries.size)
     expect("n_rows", res.rows.size)
     expect("n_cold", res.cold.size)
+    expect("n_errors_detail", res.errorsDetail.size)
     res
   }
 
@@ -504,7 +540,7 @@ object Bench {
       // a BUILD line, and that is exactly where super-linearity hides
       s""","scale_dir":"$scaleDir","scale_queries":${jmap(r.queries)},""" +
         s""""scale_ratio":${jmap(ratiosAgainst(mains, r.timesMap))},""" +
-        s""""scale_errors":${jarr(r.errors)}"""
+        s""""scale_errors":${jarr(r.errors)},"scale_errors_detail":${jmapStr(r.errorsDetail)}"""
     }
     sampleLoad("post_scale")
     // second decade: ratio between the two SMALL passes (sf0.01/sf0.001)
@@ -516,7 +552,7 @@ object Bench {
     val scalePart2 = down2.fold("") { r =>
       s""","scale_dir2":"$scaleDir2","scale_queries2":${jmap(r.queries)},""" +
         s""""scale_ratio2":${jmap(ratiosAgainst(down.get.timesMap, r.timesMap))},""" +
-        s""""scale_errors2":${jarr(r.errors)}"""
+        s""""scale_errors2":${jarr(r.errors)},"scale_errors_detail2":${jmapStr(r.errorsDetail)}"""
     }
     // UPWARD decade: SPARK_GRAFT_SCALE_UP_DIR names a corpus LARGER
     // than the main pass (built by graft.ScaleUp). The ratio direction
@@ -570,7 +606,7 @@ object Bench {
         s""""sim_ncells_up_resolved":"${r.resolvedNCells}","sim_probe_up_resolved":"${r.resolvedProbe}","sim_trainbuckets_up":"$upTb",""" +
         s""""scale_queries_up":${jmap(r.queries)},""" +
         s""""scale_ratio_up":${jmap(ratiosAgainst(r.timesMap, mains))},""" +
-        s""""scale_errors_up":${jarr(r.errors)},""" +
+        s""""scale_errors_up":${jarr(r.errors)},"scale_errors_detail_up":${jmapStr(r.errorsDetail)},""" +
         s""""rows_up":${jmapL(r.rows.toSeq.sortBy(_._1))},""" +
         s""""scale_up_excluded":"$excl""""
     }
@@ -665,7 +701,7 @@ object Bench {
           s""""scale_queries_up2":${jmap(m2.toSeq.sortBy(_._1))},""" +
           s""""scale_ratio_up2":${jmap(ratiosAgainst(m2, upMap))},""" +
           s""""scale_per_decade_up2":${jmap(ratiosGeo)},""" +
-          s""""scale_errors_up2":${jarr(r2.errors)},""" +
+          s""""scale_errors_up2":${jarr(r2.errors)},"scale_errors_detail_up2":${jmapStr(r2.errorsDetail)},""" +
           s""""rows_up2":${jmapL(r2.rows.toSeq.sortBy(_._1))},""" +
           s""""scale_up2_selection":"$sel""""
       }
@@ -686,7 +722,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,""" +
         s""""cpus":$cpus,"loadavg":${jmap(loadSamples)},"host_quiet":$hostQuiet,""" +
         s""""cpu_canary":${jmap(canarySamples)},"canary_steady":$canarySteady,""" +
-        s""""scale_warmed":true,"per_scale_jvm":${!sparkUsed},"errors":${jarr(mainRes.errors)},""" +
+        s""""scale_warmed":true,"per_scale_jvm":${!sparkUsed},"errors":${jarr(mainRes.errors)},"errors_detail":${jmapStr(mainRes.errorsDetail)},""" +
         s""""index_build_total":${fmt(buildTotal)},"index_build":${jmap(mainRes.builds)},""" +
         s""""cold_profile":${jmap(mainRes.cold)},"rows":${jmapL(mainRes.rows.toSeq.sortBy(_._1))},""" +
         s""""queries":${jmap(mainRes.queries)},"sf":"$sfDir"$scalePart$scalePart2$upPart$up2Part}"""

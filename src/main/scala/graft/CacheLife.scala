@@ -173,16 +173,35 @@ object CacheLife {
         s.read.parquet(path)
     }
 
+  /** Single-winner registration (round-18 advice): `concurrent.Map
+    * .getOrElseUpdate` may evaluate a racing thunk in two threads at
+    * once — the old form then double-counted the build AND left the
+    * loser's persisted frame untracked (never unpersisted by release).
+    * Here the frame is built OUTSIDE the map update and only the
+    * `putIfAbsent` winner counts + persists; a losing builder's frame
+    * was never persisted, so there is nothing to undo. (The registry's
+    * callers are driver-side query registration — effectively
+    * single-threaded — but the counter now backs KnnMemoSpec's ===1
+    * laws, which must stay sound for any future concurrent caller.)
+    */
+  private def frameMemo(rk: (SparkContext, String))(
+      make: => DataFrame): DataFrame =
+    frames.get(rk).getOrElse {
+      val built = make
+      frames.putIfAbsent(rk, built) match {
+        case Some(winner) => winner
+        case None =>
+          buildCounts.put(rk, buildCounts.getOrElse(rk, 0L) + 1L)
+          built.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   /** Memoize-and-persist one DataFrame per (context, key); with a store
     * root set, the frame round-trips through its parquet layout (built
     * at most once per root, loaded everywhere else).
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((s.sparkContext, regKey(s, key)), {
-      val rk = (s.sparkContext, regKey(s, key))
-      buildCounts.put(rk, buildCounts.getOrElse(rk, 0L) + 1L)
-      loadOrBuild(s, key)(build).persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    frameMemo((s.sparkContext, regKey(s, key)))(loadOrBuild(s, key)(build))
 
   /** Memoize-and-persist WITHOUT the on-disk store path — for frames
     * that exist purely as session memos (the corpus-wide kNN outputs):
@@ -195,11 +214,7 @@ object CacheLife {
     * `drop`/`release` semantics are identical rooted or not.
     */
   def cachedSession(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((s.sparkContext, key), {
-      val rk = (s.sparkContext, key)
-      buildCounts.put(rk, buildCounts.getOrElse(rk, 0L) + 1L)
-      build.persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    frameMemo((s.sparkContext, key))(build)
 
   /** Memoize a driver-side value (a trained model) per (context, key). */
   def memo[T](s: SparkSession, key: String)(build: => T): T =
@@ -236,6 +251,15 @@ object CacheLife {
     frames.keys.toSeq.filter(_._1 eq sc)
       .foreach(k => frames.remove(k).foreach(_.unpersist(blocking = true)))
     models.keys.toSeq.filter(_._1 eq sc).foreach(models.remove)
+    // counters ride the same context sweep (round-18 advice): left in
+    // place they accumulate one entry per knob-combo key for the JVM
+    // lifetime and keep stopped SparkContexts strongly reachable — the
+    // driver-side leak class the scaladoc warns unreleased sessions
+    // about. The memo-contract specs assert before/after DELTAS, so
+    // cumulative-within-session semantics are preserved; drop() keeps
+    // its counters because drop-then-rederive assertions are exactly
+    // what the counter exists to observe.
+    buildCounts.keys.toSeq.filter(_._1 eq sc).foreach(buildCounts.remove)
   }
 
   /** Unpersist only the tracked frames whose logical key starts with

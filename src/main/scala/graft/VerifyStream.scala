@@ -136,6 +136,23 @@ object VerifyStream {
       new java.io.File(outDir).mkdirs()
       val qs = storeQueries(root, sfDir)
         .filter(kv => onlyPrefixes.forall(_.exists(kv._1.startsWith)))
+      // The store-served dispatcher row and its registered oracle must
+      // read ONE probe resolution (round-18 advice): the oracle string
+      // resolves the SESSION policy (unset ProbeKey → flat), but the
+      // store context resolves unset → auto → probeModeForStore(trained
+      // K), so at trained K ≥ HierProbeStoreMinK (the 100× deployment)
+      // the dump would be hier against a flat oracle. Pin the STORE
+      // resolution into ProbeKey before anything dumps or generates
+      // SQL — the dispatcher rereads the pinned concrete mode and
+      // returns the identical arm, so this changes which oracle is
+      // WRITTEN, never what the engine serves.
+      if (qs.contains("sim_knn_ann_auto")) {
+        val mode = VectorLayout.storeProbeMode(
+          spark, sfDir, StoreBuild.vectorLayoutDir(root))
+        spark.conf.set(operators.SimilarityQueries.ProbeKey, mode)
+        println(s"[verify-stream] pinned $mode into " +
+          s"${operators.SimilarityQueries.ProbeKey} for the auto row's oracle")
+      }
       qs.foreach { case (name, fn) =>
         fn(spark).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[verify-stream] dumped $name")

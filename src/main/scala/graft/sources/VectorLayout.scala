@@ -830,9 +830,20 @@ object VectorLayout {
     * KSWEEP.json grounds the policy: auto picks the measured winner
     * at every tested (context, K).
     */
-  def knnAuto(spark: SparkSession, sfDir: String, outDir: String,
-              k: Int = SimilarityQueries.KnnK,
-              upToBatch: Option[Long] = None): DataFrame = {
+  /** The dispatcher's resolution as its own readable: the live
+    * [[SimilarityQueries.ProbeKey]] (unset = `auto` in the store
+    * context) through [[SimilarityQueries.probeModeForStore]] over the
+    * layout's pinned trained K. Exposed so the VERIFICATION path can
+    * pin the store's resolution into the session conf before the
+    * oracle strings are generated (round-18 advice: the registered
+    * `sim_knn_ann_auto` oracle resolves via the SESSION policy — unset
+    * ProbeKey → flat — so at trained K ≥ HierProbeStoreMinK the store
+    * dumped hier output against a flat oracle, a guaranteed red row
+    * the 100× runner only avoided by skipping the row out-of-band).
+    * One resolution, read by both the dispatcher and the gate.
+    */
+  def storeProbeMode(spark: SparkSession, sfDir: String,
+                     outDir: String): String = {
     val dir = resolve(spark, outDir)
     requireLayout(spark, dir)
     val (_, trainedK, _) = modelFor(spark, sfDir, dir)
@@ -840,6 +851,13 @@ object VectorLayout {
       spark.conf.getOption(SimilarityQueries.ProbeKey)
         .getOrElse(SimilarityQueries.AutoProbe), trainedK)
     println(s"[graft] store probe mode resolved to $mode (trained K=$trainedK)")
+    mode
+  }
+
+  def knnAuto(spark: SparkSession, sfDir: String, outDir: String,
+              k: Int = SimilarityQueries.KnnK,
+              upToBatch: Option[Long] = None): DataFrame = {
+    val mode = storeProbeMode(spark, sfDir, outDir)
     // both arms read the LIVE probe-width knob (knn's compiled default
     // would silently ignore a knobbed nprobe on the flat arm while the
     // oracle regenerates the live value — round-18 fix)

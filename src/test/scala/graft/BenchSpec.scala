@@ -45,6 +45,30 @@ class BenchSpec extends AnyFunSuite {
       s"back-to-back canaries should be the same order: $a vs $b")
   }
 
+  test("forked-pass records round-trip errors_detail (the adjudication field)") {
+    // round-18 verdict "what's missing" #2: a failed bench row recorded
+    // only -1.0 — 7 rotation failures shipped with their cause
+    // discarded. The exception text now rides the record; this pins the
+    // serialize→parse identity INCLUDING the empty map (detail absent
+    // must parse as absent, and the n_errors_detail loud-drop count
+    // must hold on both shapes).
+    val withErr = Bench.PassResult(
+      builds = Seq("b.one" -> 1.5),
+      queries = Seq("q_ok" -> 0.25, "q_bad" -> -1.0),
+      errors = Seq("q_bad"), rows = Map("q_ok" -> 10L),
+      resolvedNCells = "633", resolvedProbe = "flat",
+      errorsDetail = Seq(
+        "q_bad" -> "java.lang.OutOfMemoryError: Java heap space"))
+    val rt = Bench.parsePassJson(Bench.passJson(withErr))
+    assert(rt.errors === Seq("q_bad"))
+    assert(rt.errorsDetail ===
+      Seq("q_bad" -> "java.lang.OutOfMemoryError: Java heap space"))
+    assert(rt.queries.toMap.apply("q_bad") === -1.0)
+    val clean = withErr.copy(errors = Seq.empty, errorsDetail = Seq.empty,
+      queries = Seq("q_ok" -> 0.25))
+    assert(Bench.parsePassJson(Bench.passJson(clean)).errorsDetail.isEmpty)
+  }
+
   test("every VerifyStream store-backed query has a registered oracle under the same name") {
     // the stream-path gate dumps under REGISTERED names and reuses the
     // registered oracle subset — a rename on either side would silently

@@ -227,6 +227,111 @@ EOF
   fi
 fi
 
+# 7b. rotation ADJUDICATION (round-18 verdict #1/#5): the r18 rotation
+#     child ran 18 never-timed queries in one 8g JVM and the last 7 (in
+#     sorted execution order) errored with the cause discarded. Re-run
+#     exactly those 7 with a 32g child and the new errors_detail field,
+#     re-run the two >=5s first-touch successes at iters=3 (medians),
+#     and merge both into BENCH_UP2_ROTATION.json with the story in
+#     _meta. Requires `sbt compile` current (uses target classes).
+if has rotfix && [ ! -f /tmp/rotfix_${R}.merged ]; then
+  CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+  ADDOPENS=$(grep -o 'java.base/[a-z.]*' build.sbt | sed 's/^/--add-opens /;s/$/=ALL-UNNAMED/' | tr '\n' ' ')
+  FAILED7="sim_pairs_lsh,text_corpus_funnel,text_curriculum,text_dsir_manifest,text_dsir_select,text_dsir_weights,text_export_manifest"
+  if [ ! -f /tmp/rotfix_${R}.json ]; then
+    stage "rotation re-run: the 7 errored rows (32g child, errors_detail)"
+    SPARK_GRAFT_CPUS=32 java $ADDOPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -Xmx32g -cp "$CP" graft.Bench child \
+      testdata_up/sf10 1 "include:$FAILED7" auto 8 none /tmp/rotfix_${R}.json \
+      2>&1 | grep -E "\[graft\]|\[bench\]|Error|Exception" | tail -10
+  fi
+  if [ ! -f /tmp/rotslow_${R}.json ]; then
+    stage "rotation medians: the two >=5s first-touch rows (iters=3)"
+    SPARK_GRAFT_CPUS=32 java $ADDOPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -Xmx32g -cp "$CP" graft.Bench child \
+      testdata_up/sf10 3 "include:rel_local_supplier_volume,rel_join_fact" auto 8 none /tmp/rotslow_${R}.json \
+      2>&1 | grep -E "\[graft\]|\[bench\]|Error|Exception" | tail -10
+  fi
+  if [ -f /tmp/rotfix_${R}.json ] && [ -f /tmp/rotslow_${R}.json ]; then
+    stage "merge rotation adjudication into BENCH_UP2_ROTATION.json"
+    python3 - "$ROUND" <<'EOF'
+import json, sys
+rnd = sys.argv[1]
+rec = json.load(open("BENCH_UP2_ROTATION.json"))
+fix = json.load(open(f"/tmp/rotfix_r{rnd}.json"))
+slow = json.load(open(f"/tmp/rotslow_r{rnd}.json"))
+iters = dict(rec.get("iters", {"default": 1}))
+for src, it in ((fix, 1), (slow, 3)):
+    for q, t in src["queries"].items():
+        rec["queries"][q] = t
+        if it != 1:
+            iters[q] = it
+    for q, n in src.get("rows", {}).items():
+        rec["rows"][q] = n
+    for q, d in src.get("errors_detail", {}).items():
+        rec.setdefault("errors_detail", {})[q] = d
+rec["errors"] = sorted(q for q, t in rec["queries"].items() if t < 0)
+for q in list(rec.get("errors_detail", {})):
+    if rec["queries"].get(q, -1) >= 0:
+        del rec["errors_detail"][q]
+rec["iters"] = iters
+rec["_meta"]["round19"] = (
+    "the 7 rows that errored in the r18 one-shot (an 8g child running "
+    "18 queries + 20 builders; every row after sim_ann_recall in sorted "
+    "execution order died, the signature of mid-pass memory exhaustion, "
+    "not 7 independent bugs) were re-run in a 32g child with the new "
+    "errors_detail field: see errors/errors_detail for anything still "
+    "red. rel_local_supplier_volume and rel_join_fact (the two >=5s "
+    "first-touch successes) re-ran at iters=3 - their times are now "
+    "medians (see the iters map). All other rows keep their r18 "
+    "first-touch timings (iters=1).")
+json.dump(rec, open("BENCH_UP2_ROTATION.json", "w"), indent=1, sort_keys=True)
+nerr = len(rec["errors"])
+print(f"merged: {len(rec['queries'])} queries, {nerr} still red: {rec['errors']}")
+EOF
+    touch /tmp/rotfix_${R}.merged
+  fi
+fi
+
+# 8. sim_pairs_lsh 100x oracle coverage (round-18 verdict #6): the
+#    registered 100 TB semantic-near-dup path had neither a 100x
+#    correctness row (excluded_oracle_cost in the up2 budget) nor a
+#    100x timing. Its 10x oracle measured 2.65s; one-piece at 100x is
+#    projected well within a fresh-process DuckDB at a 64GB cap.
+#    Merged into CORRECTNESS_UP2.json by the caller (see round notes).
+if has pairslsh && [ ! -f /tmp/rec_${R}_pairslsh.json ]; then
+  stage "sim_pairs_lsh 100x dump + oracle"
+  rm -rf /tmp/verify_${R}_pairslsh
+  sbt -batch "runMain graft.Verify testdata_up/sf10 /tmp/verify_${R}_pairslsh only:sim_pairs_lsh conf:spark.graft.sim.ncells=auto" | grep -E "\[verify\]|\[graft\]" | tail -3
+  python3 tools/check_oracle_chunked.py /tmp/verify_${R}_pairslsh testdata_up/sf10 /tmp/rec_${R}_pairslsh.json 1 64GB 100GB | tail -3
+fi
+
+# 9. store-served auto dispatcher at 100x, DIRECTLY gated (round-18
+#    ADVICE medium, closed end-to-end): VerifyStream now pins the
+#    STORE resolution (trained K=633 -> hier) into ProbeKey before the
+#    oracle strings generate, so the dispatcher row verifies through
+#    the same hash gate as the explicit arms instead of being skipped
+#    out-of-band. Runs as width-5 source-bucket chunks over the r18
+#    drained 100x root (nBatches=0 reuse, Doctor-gated) - the same
+#    chunking that verified the kmeans/hier arms.
+if has storeauto100; then
+  for b in 0 5 10 15; do
+    if [ -f /tmp/rec_${R}_storeauto100_b$b.json ] && \
+       python3 -c "import json,sys; r=json.load(open('/tmp/rec_${R}_storeauto100_b$b.json')); rows=[v for k,v in r.items() if k!='_meta' and isinstance(v,dict)]; sys.exit(0 if rows and all(v.get('hash_match') for v in rows) else 1)"; then
+      continue
+    fi
+    stage "storeauto100 chunk $b:5"
+    if [ ! -f /tmp/vs${R}auto_b$b/oracle_sql.json ]; then
+      rm -rf /tmp/vs${R}auto_b$b
+      sbt -batch "runMain graft.VerifyStream testdata_up/sf10 /tmp/stream_root_r18up2 /tmp/vs${R}auto_b$b 0 conf:spark.graft.sim.ncells=auto,spark.graft.sim.knnbucket=$b:5 only:sim_knn_ann_auto" \
+        | grep -E "\[verify|\[doctor\].*checks|\[graft\]|error" || exit 1
+    fi
+    python3 tools/check_oracle_chunked.py /tmp/vs${R}auto_b$b testdata_up/sf10 /tmp/rec_${R}_storeauto100_b$b.json 1 85GB 100GB | tail -3
+  done
+fi
+
 # 6. warm 100x K-sweep at the deployment K and the rung above, reps=2
 #    (round-17 verdict #6: the 1.03x store-parity call was one warm shot)
 if has ksweep; then
