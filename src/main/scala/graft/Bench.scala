@@ -25,7 +25,8 @@ object Bench {
       errors: Seq[String], rows: Map[String, Long],
       resolvedNCells: String, resolvedProbe: String = "flat",
       cold: Seq[(String, Double)] = Seq.empty,
-      errorsDetail: Seq[(String, String)] = Seq.empty) {
+      errorsDetail: Seq[(String, String)] = Seq.empty,
+      resolvedSignRows: String = SimilarityQueries.SignRows.toString) {
     def timesMap: Map[String, Double] =
       queries.toMap ++ builds.map { case (n, t) => s"build:$n" -> t }
   }
@@ -102,8 +103,10 @@ object Bench {
       .getOrElse(SimilarityQueries.NCells.toString)
     val pRes = spark.conf.getOption(SimilarityQueries.ProbeKey)
       .getOrElse(SimilarityQueries.DefaultProbeMode)
+    val srRes = spark.conf.getOption(SimilarityQueries.SignRowsKey)
+      .getOrElse(SimilarityQueries.SignRows.toString)
     PassResult(builds, queries, errors.toSeq, rows.toMap, kRes, pRes,
-      errorsDetail = errorsDetail.toSeq)
+      errorsDetail = errorsDetail.toSeq, resolvedSignRows = srRes)
   }
 
   /** Entries excluded from the upward pass — ONLY the exact-O(n²)
@@ -337,8 +340,14 @@ object Bench {
     // the corpus also derives the probe mode from the measured
     // crossover (round-16 verdict #3), and the pass record publishes
     // both resolutions (resolved_ncells / resolved_probe)
-    if (ncells == SimilarityQueries.AutoNCells)
+    if (ncells == SimilarityQueries.AutoNCells) {
       spark.conf.set(SimilarityQueries.ProbeKey, SimilarityQueries.AutoProbe)
+      // the auto contract covers the sign-band GEOMETRY too (round 19):
+      // a pass asked to derive K from the corpus also derives the
+      // rows-per-band — the fixed 8x8 shape saturates at 100x (measured:
+      // ~6e8 candidates spilled the disk to death)
+      spark.conf.set(SimilarityQueries.SignRowsKey, SimilarityQueries.AutoSignRows)
+    }
     try {
       // pin both auto resolutions EXPLICITLY before anything runs: the
       // dispatcher row pins lazily, but a pass whose include list
@@ -346,19 +355,22 @@ object Bench {
       // raw string "auto" as its resolved_probe
       SimilarityQueries.pinAutoNCells(spark, dir)
       SimilarityQueries.pinProbeMode(spark, dir)
+      SimilarityQueries.pinSignRows(spark, dir)
       warmup(spark, dir, qf)
       val res = runPass(spark, dir, iters, bf, qf)
       res.copy(cold = coldProfile(spark, dir, coldNames))
     } finally {
       if (ncells != "default") spark.conf.unset(SimilarityQueries.NCellsKey)
       if (tb != "default") spark.conf.unset(SimilarityQueries.TrainBucketsKey)
-      if (ncells == SimilarityQueries.AutoNCells)
+      if (ncells == SimilarityQueries.AutoNCells) {
         spark.conf.unset(SimilarityQueries.ProbeKey)
+        spark.conf.unset(SimilarityQueries.SignRowsKey)
+      }
     }
   }
 
   private[graft] def passJson(r: PassResult): String =
-    s"""{"resolved_ncells":"${r.resolvedNCells}","resolved_probe":"${r.resolvedProbe}","errors":${jarr(r.errors)},""" +
+    s"""{"resolved_ncells":"${r.resolvedNCells}","resolved_probe":"${r.resolvedProbe}","resolved_signrows":"${r.resolvedSignRows}","errors":${jarr(r.errors)},""" +
       s""""errors_detail":${jmapStr(r.errorsDetail)},""" +
       s""""n_builds":${r.builds.size},"n_queries":${r.queries.size},""" +
       s""""n_rows":${r.rows.size},"n_cold":${r.cold.size},""" +
@@ -374,7 +386,9 @@ object Bench {
       sectionStr(js, "resolved_ncells").getOrElse("?"),
       sectionStr(js, "resolved_probe").getOrElse("?"),
       section(js, "cold").toSeq.sortBy(_._1),
-      errorsDetail = sectionStrMap(js, "errors_detail").toSeq.sortBy(_._1))
+      errorsDetail = sectionStrMap(js, "errors_detail").toSeq.sortBy(_._1),
+      resolvedSignRows = sectionStr(js, "resolved_signrows")
+        .getOrElse(SimilarityQueries.SignRows.toString))
     // loud-drop contract (round-15 advice): the child writes its own
     // section sizes; a name the EntryRe character class cannot carry
     // (or a malformed value) must fail the parse, not silently vanish
@@ -603,7 +617,7 @@ object Bench {
       val excl = UpExcluded.toSeq.sortBy(_._1)
         .map { case (n, why) => s"$n ($why)" }.mkString("; ")
       s""","scale_dir_up":"$upDir","sim_ncells_up":"$upNCells",""" +
-        s""""sim_ncells_up_resolved":"${r.resolvedNCells}","sim_probe_up_resolved":"${r.resolvedProbe}","sim_trainbuckets_up":"$upTb",""" +
+        s""""sim_ncells_up_resolved":"${r.resolvedNCells}","sim_probe_up_resolved":"${r.resolvedProbe}","sim_signrows_up_resolved":"${r.resolvedSignRows}","sim_trainbuckets_up":"$upTb",""" +
         s""""scale_queries_up":${jmap(r.queries)},""" +
         s""""scale_ratio_up":${jmap(ratiosAgainst(r.timesMap, mains))},""" +
         s""""scale_errors_up":${jarr(r.errors)},"scale_errors_detail_up":${jmapStr(r.errorsDetail)},""" +
@@ -697,7 +711,7 @@ object Bench {
           s"lives in the chunk-oracle records): ${included.size} of " +
           s"${candidates.size} queries + all non-kernel builders"
         s""","scale_dir_up2":"$up2Dir","sim_ncells_up2":"$up2NCells",""" +
-          s""""sim_ncells_up2_resolved":"${r2.resolvedNCells}","sim_probe_up2_resolved":"${r2.resolvedProbe}","sim_trainbuckets_up2":"$up2Tb",""" +
+          s""""sim_ncells_up2_resolved":"${r2.resolvedNCells}","sim_probe_up2_resolved":"${r2.resolvedProbe}","sim_signrows_up2_resolved":"${r2.resolvedSignRows}","sim_trainbuckets_up2":"$up2Tb",""" +
           s""""scale_queries_up2":${jmap(m2.toSeq.sortBy(_._1))},""" +
           s""""scale_ratio_up2":${jmap(ratiosAgainst(m2, upMap))},""" +
           s""""scale_per_decade_up2":${jmap(ratiosGeo)},""" +

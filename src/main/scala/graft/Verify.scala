@@ -86,6 +86,7 @@ object Verify {
     // the resolved values
     operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
     operators.SimilarityQueries.pinProbeMode(spark, sfDir)
+    operators.SimilarityQueries.pinSignRows(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -127,6 +127,7 @@ object VerifyStream {
     // (Verify discipline)
     operators.SimilarityQueries.pinAutoNCells(spark, sfDir)
     operators.SimilarityQueries.pinProbeMode(spark, sfDir)
+    operators.SimilarityQueries.pinSignRows(spark, sfDir)
     try {
       val code =
         if (nBatches == 0) Doctor.run(spark, Seq(root))

@@ -203,15 +203,76 @@ object SimilarityQueries {
   val SignBands = 8
   val SignRows = 8
 
+  // ---- Sign-band GEOMETRY knob (round 19) ----
+  // The fixed 8×8 split of the 64 sign bits SATURATES: a band key has
+  // only 2^rows values, so once n ≫ 2^rows every bucket holds ~n/2^rows
+  // vectors and the candidate join is n²/2^rows — quadratic with a
+  // constant, not linear. Measured, not argued: at the 100× corpus
+  // (n=200k, 781 vectors/bucket) the default geometry generates ~6×10⁸
+  // scored candidates whose vector join spilled the machine's disk to
+  // death (BENCH_UP2_ROTATION r19 errors_detail: SPILL_OUT_OF_MEMORY /
+  // no space left on device). The remedy is the ncells=auto discipline
+  // applied to the band shape: rows-per-band scales with the corpus so
+  // expected bucket occupancy stays ≤ [[SignTargetOccupancy]], bands =
+  // 64/rows. Wider keys trade OR-chances (fewer bands → lower recall,
+  // already partial by contract) for per-bucket candidate volume — the
+  // standard LSH r×b tuning, here pinned to the measured failure mode.
+  // The compiled default stays 8 (bit-identical gates at every existing
+  // scale); `auto` resolves {8,16,32} from the corpus count and PINS
+  // like ncells=auto, and the DuckDB oracle regenerates the same
+  // resolved geometry, so a knobbed run verifies through the same gate.
+  val SignRowsKey = "spark.graft.sim.signrows"
+  val AutoSignRows = "auto"
+  val SignBits = 64
+  val SignTargetOccupancy = 64L
+
+  /** Smallest rows-per-band in {8,16,32} with n/2^rows ≤ target — ONE
+    * definition of rows(n), shared by the pin and any offline check. */
+  def signRowsFor(n: Long): Int =
+    Seq(8, 16, 32).find(r => n <= (SignTargetOccupancy << r)).getOrElse(32)
+
+  def signRowsOf(s: SparkSession): Int = {
+    val v = s.conf.getOption(SignRowsKey).getOrElse(SignRows.toString)
+    require(v != AutoSignRows,
+      s"$SignRowsKey=$AutoSignRows is unresolved — the geometry needs the " +
+        "corpus row count: Verify/VerifyStream/Bench pin it on first " +
+        "corpus touch (pinSignRows)")
+    val r = v.toInt
+    require(SignBits % r == 0 && r >= 8,
+      s"$SignRowsKey must divide $SignBits and be ≥ 8, got $r")
+    r
+  }
+
+  /** Resolve [[AutoSignRows]] against `dir`'s corpus and PIN the result
+    * — the [[pinAutoNCells]] discipline verbatim. No-op unless live
+    * value is `auto`. */
+  def pinSignRows(s: SparkSession, dir: String): Unit =
+    if (s.conf.getOption(SignRowsKey).contains(AutoSignRows)) {
+      val n = Tables.embeddings(s, dir).count()
+      val r = signRowsFor(n)
+      println(s"[graft] $SignRowsKey=$AutoSignRows resolved to $r " +
+        s"(occupancy n/2^rows ≤ $SignTargetOccupancy, n=$n) from $dir")
+      s.conf.set(SignRowsKey, r.toString)
+    }
+
+  private def activeSignRows: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(signRowsOf).getOrElse(SignRows)
+
   /** (vec_id→doc_id, band, key) rows — named like the dedup band store so
     * [[DedupQueries.bandPairsCapped]] applies verbatim. CacheLife-shared:
-    * the pairs query and any recall audit replay it.
+    * the pairs query and any recall audit replay it. The cache key
+    * carries the resolved geometry, so a mid-session knob change misses
+    * the cache instead of silently serving the old band shape.
     */
-  private def signBands(s: SparkSession, dir: String): DataFrame =
-    graft.CacheLife.cached(s, s"sim.sign-bands:$dir")(
+  private def signBands(s: SparkSession, dir: String): DataFrame = {
+    val rows = signRowsOf(s)
+    val bands = SignBits / rows
+    graft.CacheLife.cached(s, s"sim.sign-bands:$dir:r$rows")(
       Tables.spread(s, embs(s, dir)).select(col("vec_id").as("doc_id"),
-        posexplode(array((0 until SignBands).map(m =>
-          V.signBucketAt(col("v"), m * SignRows, SignRows)): _*)).as(Seq("band", "key"))))
+        posexplode(array((0 until bands).map(m =>
+          V.signBucketAt(col("v"), m * rows, rows)): _*)).as(Seq("band", "key"))))
+  }
 
   /** Banded-LSH candidate pairs with their EXACT cosine — the scored
     * candidate set both lossy pair consumers cut from: [[pairsLsh]]
@@ -2618,13 +2679,18 @@ object SimilarityQueries {
     * — the CTE prefix (ending in `sc(vec_a, vec_b, cos)`) both lossy
     * pair oracles build on, the SQL twin of [[lshScoredPairs]].
     */
-  private lazy val oLshScored: String = {
-    val keysArr = (0 until SignBands)
-      .map(m => VO.signBucketAt("v", m * SignRows, SignRows))
+  private def oLshScored: String = {
+    // the live resolved geometry, not the compiled constant: a knobbed
+    // (or auto-pinned) session must generate the SAME band shape the
+    // Spark side computed, or the gate compares two different operators
+    val rows = activeSignRows
+    val bands = SignBits / rows
+    val keysArr = (0 until bands)
+      .map(m => VO.signBucketAt("v", m * rows, rows))
       .mkString("[", ", ", "]")
     s"""WITH e AS ($oE),
        |bands AS (SELECT vec_id, v, u.band AS band, ($keysArr)[u.band] AS key
-       |          FROM e, unnest(range(1, ${SignBands + 1})) AS u(band)),
+       |          FROM e, unnest(range(1, ${bands + 1})) AS u(band)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b
        |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
@@ -2632,7 +2698,7 @@ object SimilarityQueries {
        |       FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id)""".stripMargin.replace("\n", " ")
   }
 
-  private lazy val oPairsLsh: String =
+  private def oPairsLsh: String =
     s"$oLshScored SELECT vec_a, vec_b, cos FROM sc WHERE cos >= $PairThreshold"
 
   /** The symmetrize + per-src rank tail shared by the exact and

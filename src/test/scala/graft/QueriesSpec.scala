@@ -680,6 +680,35 @@ class QueriesSpec extends SparkSpec {
     CacheLife.release(spark)
   }
 
+  test("sign-band geometry: auto thresholds, wider-rows monotonicity, knobbed subset") {
+    // rows(n) resolution boundaries: occupancy n/2^rows ≤ 64
+    assert(SimilarityQueries.signRowsFor(64L << 8) === 8)
+    assert(SimilarityQueries.signRowsFor((64L << 8) + 1) === 16)
+    assert(SimilarityQueries.signRowsFor(64L << 16) === 16)
+    assert(SimilarityQueries.signRowsFor((64L << 16) + 1) === 32)
+    // auto pins the resolved int at this corpus size (n=500 → 8)
+    spark.conf.set(SimilarityQueries.SignRowsKey, SimilarityQueries.AutoSignRows)
+    SimilarityQueries.pinSignRows(spark, Sf)
+    assert(spark.conf.get(SimilarityQueries.SignRowsKey) === "8")
+    spark.conf.unset(SimilarityQueries.SignRowsKey)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = SimilarityQueries.pairsThreshold(spark, Sf).collect().map(key).toSet
+    val lsh8 = SimilarityQueries.pairsLsh(spark, Sf).collect().map(key).toSet
+    spark.conf.set(SimilarityQueries.SignRowsKey, "16")
+    try {
+      val lsh16 = SimilarityQueries.pairsLsh(spark, Sf).collect().map(key).toSet
+      // a 16-row band match means BOTH its 8-row halves match, so wider
+      // rows can only LOSE candidates — never invent one: lsh16 ⊆ lsh8
+      // ⊆ exact, with identical exact-cosine scores throughout
+      assert(lsh16.subsetOf(lsh8), s"16-row-only pairs: ${lsh16 -- lsh8}")
+      assert(lsh8.subsetOf(exact))
+    } finally {
+      spark.conf.unset(SimilarityQueries.SignRowsKey)
+      CacheLife.release(spark)
+    }
+  }
+
   test("pair recall consistent with the two pair sets") {
     val nExact = SimilarityQueries.pairsThreshold(spark, Sf).count()
     val nLsh = SimilarityQueries.pairsLsh(spark, Sf).count()

@@ -295,6 +295,66 @@ EOF
   fi
 fi
 
+# 7c. sim_pairs_lsh 100x timing under the AUTO band geometry (round
+#     19): the rotfix re-run adjudicated the row's failure as the fixed
+#     8x8 sign-band shape saturating at n=200k (~6e8 candidates, disk
+#     death — errors_detail in the record); the geometry is now a knob
+#     whose auto form the execPass couples to ncells=auto (rows=16 at
+#     this n). One child run of the single row, merged over the red row
+#     with the geometry note. Requires target classes AFTER the knob
+#     landed (sbt compile current).
+if has rotlsh && [ ! -f /tmp/rotlsh_${R}.merged ]; then
+  CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+  ADDOPENS=$(grep -o 'java.base/[a-z.]*' build.sbt | sed 's/^/--add-opens /;s/$/=ALL-UNNAMED/' | tr '\n' ' ')
+  if [ ! -f /tmp/rotlsh_${R}.json ]; then
+    stage "rotation: sim_pairs_lsh under signrows=auto (100x)"
+    SPARK_GRAFT_CPUS=32 java $ADDOPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -Xmx32g -cp "$CP" graft.Bench child \
+      testdata_up/sf10 1 "include:sim_pairs_lsh" auto 8 none /tmp/rotlsh_${R}.json \
+      2>&1 | grep -E "\[graft\]|\[bench\]|Error|Exception" | tail -10
+  fi
+  if [ -f /tmp/rotlsh_${R}.json ]; then
+    stage "merge sim_pairs_lsh geometry adjudication"
+    python3 - "$ROUND" <<'EOF'
+import json, sys
+rnd = sys.argv[1]
+rec = json.load(open("BENCH_UP2_ROTATION.json"))
+lsh = json.load(open(f"/tmp/rotlsh_r{rnd}.json"))
+t = lsh["queries"].get("sim_pairs_lsh", -1.0)
+if t > 0:
+    rec["queries"]["sim_pairs_lsh"] = t
+    rec["rows"]["sim_pairs_lsh"] = lsh["rows"]["sim_pairs_lsh"]
+    rec.get("errors_detail", {}).pop("sim_pairs_lsh", None)
+    rec["errors"] = sorted(q for q, v in rec["queries"].items() if v < 0)
+    rec.setdefault("resolved_signrows", {})["sim_pairs_lsh"] = \
+        lsh.get("resolved_signrows", "?")
+    rec["_meta"]["round19_lsh"] = (
+        "sim_pairs_lsh's r19 32g re-run still died: errors_detail "
+        "recorded SPILL_OUT_OF_MEMORY / no space left on device - the "
+        "fixed 8x8 sign-band geometry saturates at n=200k (781 "
+        "vectors/bucket -> ~6e8 scored candidates whose vector join "
+        "spills ~350 GB). Adjudication: a real defect in the fixed "
+        "geometry, fixed by the spark.graft.sim.signrows knob whose "
+        "auto form scales rows-per-band with the corpus (occupancy "
+        "n/2^rows <= 64; QueriesSpec pins auto thresholds + the "
+        "wider-rows-only-lose-candidates monotonicity law). This row's "
+        "timing runs the auto contract (ncells=auto couples "
+        "signrows=auto -> rows=16, bands=4 at 100x), the same contract "
+        "the bench up-decades run; the default 8x8 form at 100x is "
+        "refused by measurement, not by a guard - resolved_signrows "
+        "in this record names the geometry that ran.")
+    print(f"sim_pairs_lsh: {t:.2f}s green under signrows="
+          f"{lsh.get('resolved_signrows')}")
+else:
+    print("sim_pairs_lsh STILL red:", lsh.get("errors_detail"))
+    sys.exit(1)
+json.dump(rec, open("BENCH_UP2_ROTATION.json", "w"), indent=1, sort_keys=True)
+EOF
+    touch /tmp/rotlsh_${R}.merged
+  fi
+fi
+
 # 8. sim_pairs_lsh 100x oracle coverage (round-18 verdict #6): the
 #    registered 100 TB semantic-near-dup path had neither a 100x
 #    correctness row (excluded_oracle_cost in the up2 budget) nor a
@@ -304,7 +364,7 @@ fi
 if has pairslsh && [ ! -f /tmp/rec_${R}_pairslsh.json ]; then
   stage "sim_pairs_lsh 100x dump + oracle"
   rm -rf /tmp/verify_${R}_pairslsh
-  sbt -batch "runMain graft.Verify testdata_up/sf10 /tmp/verify_${R}_pairslsh only:sim_pairs_lsh conf:spark.graft.sim.ncells=auto" | grep -E "\[verify\]|\[graft\]" | tail -3
+  sbt -batch "runMain graft.Verify testdata_up/sf10 /tmp/verify_${R}_pairslsh only:sim_pairs_lsh conf:spark.graft.sim.ncells=auto,spark.graft.sim.signrows=auto" | grep -E "\[verify\]|\[graft\]" | tail -3
   python3 tools/check_oracle_chunked.py /tmp/verify_${R}_pairslsh testdata_up/sf10 /tmp/rec_${R}_pairslsh.json 1 64GB 100GB | tail -3
 fi
 
