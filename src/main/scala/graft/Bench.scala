@@ -31,6 +31,28 @@ object Bench {
       queries.toMap ++ builds.map { case (n, t) => s"build:$n" -> t }
   }
 
+  /** Compressed failure text for the errors_detail record field: head
+    * of the exception's toString PLUS, when it is long, a window at
+    * the LAST embedded error-class name — Spark wraps a remote task
+    * failure's root cause mid-message (`SparkException: Job aborted …
+    * most recent failure: … SparkOutOfMemoryError … No space left on
+    * device … <stacktrace>`), so a plain head-truncation cuts exactly
+    * before the part that adjudicates (the r19 rotation re-run's
+    * 200-char brief ended at "… executor driver): org" and the disk
+    * root cause had to be recovered from the raw log). Sanitized to
+    * the flat-JSON character set the dumb section parser assumes.
+    */
+  private[graft] def errorBrief(e: Throwable): String = {
+    val full = e.toString
+    val classRe = """[A-Za-z0-9_.$]+(?:Error|Exception)[:\s]""".r
+    val brief = classRe.findAllMatchIn(full).toSeq.lastOption match {
+      case Some(m) if m.start > 160 =>
+        full.take(160) + " ... " + full.substring(m.start).take(160)
+      case _ => full.take(320)
+    }
+    brief.map(c => if (c < ' ' || "\"\\{}[]".contains(c)) ' ' else c)
+  }
+
   /** One benchmark surface at one scale dir: per-iteration the shared
     * index builds run as their OWN timed lines (cold caches), then the
     * queries run warm; medians across iterations. Failures are NOT
@@ -58,9 +80,7 @@ object Bench {
     val errorsDetail = scala.collection.mutable.LinkedHashMap[String, String]()
     def noteError(name: String, e: Throwable): Unit = {
       errors += name
-      if (!errorsDetail.contains(name))
-        errorsDetail(name) = e.toString.take(200)
-          .map(c => if (c < ' ' || "\"\\{}[]".contains(c)) ' ' else c)
+      if (!errorsDetail.contains(name)) errorsDetail(name) = errorBrief(e)
     }
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val samples: Seq[(Map[String, Double], Map[String, Double])] =

@@ -69,6 +69,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePassJson(Bench.passJson(clean)).errorsDetail.isEmpty)
   }
 
+  test("errorBrief keeps the LAST embedded error class, not just the head") {
+    // the r19 rotation adjudication: Spark wraps the root cause
+    // mid-message, so a plain head-truncation ends right before the
+    // part that matters
+    val wrapped = new RuntimeException(
+      "Job aborted due to stage failure: Task 16 in stage 773.0 failed " +
+        "1 times, most recent failure: Lost task 16.0 in stage 773.0 " +
+        "(TID 5740) (localhost executor driver): " +
+        "org.apache.spark.memory.SparkOutOfMemoryError: SPILL_OUT_OF_MEMORY " +
+        "Error while calling spill() : No space left on device SQLSTATE: 82003")
+    val brief = Bench.errorBrief(wrapped)
+    assert(brief.contains("SparkOutOfMemoryError"))
+    assert(brief.contains("No space left on device"))
+    assert(brief.length <= 330)
+    // short exceptions pass through whole (sanitized)
+    assert(Bench.errorBrief(new IllegalStateException("tiny {\"x\"}")) ===
+      "java.lang.IllegalStateException: tiny   x  ")
+  }
+
   test("every VerifyStream store-backed query has a registered oracle under the same name") {
     // the stream-path gate dumps under REGISTERED names and reuses the
     // registered oracle subset — a rename on either side would silently
