@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Per-query profiling harness for the optimization rounds:
+  * `runMain graft.ProfileQuery <dir> <name,name,...> [iters]`
+  *
+  * For each named registered query, runs the shared index builders the
+  * bench charges to `build:` lines first (so the query is timed WARM,
+  * the state the bench medians correspond to), then times `iters`
+  * executions of `df.count()` and prints per-iteration wall seconds
+  * plus a per-stage breakdown (stage name → executor-run time) from a
+  * SparkListener — the local-mode stand-in for the Spark UI stage page
+  * (guide §1.1/§7.1; the UI is disabled in this sandbox).
+  *
+  * Measurement-only tooling: no cache of query OUTPUTS is introduced —
+  * it drives exactly the registered query functions.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).getOrElse("sim_knn_ann").split(',').toSeq
+    val iters = args.lift(2).map(_.toInt).getOrElse(3)
+    val s = Sessions.local()
+
+    // mirror Bench.runPass: builders first, cold, so queries run warm
+    val builders = operators.DedupQueries.indexBuilders(s, dir) ++
+      operators.SubstrDedup.indexBuilders(s, dir) ++
+      operators.SimilarityQueries.indexBuilders(s, dir) ++
+      operators.TextQueries.indexBuilders(s, dir)
+    CacheLife.release(s)
+    builders.foreach { case (n, b) =>
+      val t0 = System.nanoTime()
+      b()
+      println(f"[profile] build:$n%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+
+    @volatile var stages = List.empty[(String, Long, Long, Long)]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val run = si.taskMetrics.executorRunTime
+        val cpu = si.taskMetrics.executorCpuTime / 1000000L
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        stages = (s"${si.stageId}:${si.name.takeWhile(_ != '(').trim}",
+          wall, run, cpu) :: stages
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[profile] UNKNOWN query: $name")
+        case Some(fn) =>
+          // one untimed warm run (JIT/codegen), like the bench warmup
+          fn(s, dir).count()
+          (1 to iters).foreach { i =>
+            stages = Nil
+            s.sparkContext.setJobDescription(s"$name#$i")
+            val t0 = System.nanoTime()
+            val rows = fn(s, dir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"[profile] $name%-28s iter$i $dt%8.3f s  rows=$rows")
+            if (i == iters) {
+              println("[profile]   stageId:name  wall_ms  run_ms  cpu_ms")
+              stages.reverse.foreach { case (n, w, r, c) =>
+                println(f"[profile]   $n%-44s $w%7d $r%7d $c%7d")
+              }
+            }
+          }
+      }
+    }
+    CacheLife.release(s)
+    s.stop()
+  }
+}
