@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CellTopK, CharShingles, CosineSim, HierAssign, MinHashSig, WordShingles}
+import graft.functions.expressions.{AdcLut, CellTopK, CharShingles, CosineSim, HierAssign, MinHashSig, PqArgmin, WordShingles}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so they are callable from both
@@ -75,6 +75,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hier_assign(v array<numeric>, sup_cents array<array<double>> lit, " +
             "sup_cids array<bigint> lit, mem_cents array<array<array<double>>> lit, " +
             "mem_cids array<array<bigint>> lit)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
+      (children: Seq[Expression]) => children match {
+        // (subvector array<bigint>, literal array<array<bigint>>
+        // centroids, literal array<bigint> cids) — codebook literals
+        // unpacked once at plan build (the CellTopK rule)
+        case Seq(sq, cents: Literal, cids: Literal) =>
+          PqArgmin(sq, CellTopK.literalCids(cids), PqArgmin.literalCentsL(cents))
+        case _ => throw new IllegalArgumentException(
+          "graft_pq_argmin(sq array<bigint>, cents array<array<bigint>> lit, " +
+            "cids array<bigint> lit)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc_lut"),
+      new ExpressionInfo(classOf[AdcLut].getName, "graft_adc_lut"),
+      (children: Seq[Expression]) => children match {
+        // (vector array<bigint>, flat codebook array<array<bigint>>
+        // lit — m-major M×K slots, empty = the never-read 0 slot,
+        // subDim int lit)
+        case Seq(v, cents: Literal, Literal(subDim: Int, _)) =>
+          AdcLut(v, PqArgmin.literalCentsL(cents), subDim)
+        case _ => throw new IllegalArgumentException(
+          "graft_adc_lut(v array<bigint>, flat_cents array<array<bigint>> lit, " +
+            "sub_dim int lit)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

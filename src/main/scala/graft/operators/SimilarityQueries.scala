@@ -386,6 +386,68 @@ object SimilarityQueries {
   // source's list can hold fewer than k rows or rank a farther
   // candidate — [[knnAnnRecall]] is the shipped eval, the
   // sim_pairs_lsh/sim_pairs_recall discipline.
+  /** The shuffled candidate cell equi-join shared by every corpus-wide
+    * kNN variant — `corpus ⋈ probes ON cell = qcell`, both sides
+    * corpus-sized, broadcast structurally refused (the
+    * broadcastQueries=false rationale).
+    *
+    * Parallelism fix (round 19, guide §2.5 "synthetic partitioning keys
+    * with too few distinct values" + §1.1 measured): the join key has
+    * only K distinct values, and the join EXPLODES — a few hundred KB
+    * of shuffle input generate ~n·nprobe·(n/K) candidate rows out — so
+    * at test scale (K=8 < cores) the post-shuffle stage holds ≤K
+    * populated partitions which AQE's byte-based coalescing then folds
+    * into ONE; the whole candidate scan + scoring ran single-task
+    * (profiled: 1.77 s of sim_knn_ann's 2.2 s at sf0.1). When K < the
+    * configured shuffle width, salt the key: the corpus side gets a
+    * deterministic per-row salt, the probe side replicates each probe
+    * row to every salt, and both sides are EXPLICITLY repartitioned by
+    * (cell, salt) — REPARTITION_BY_NUM shuffles, which AQE must not
+    * re-coalesce. Each candidate pair still meets exactly once (a
+    * corpus row has one salt; its probe row is present at that salt),
+    * so the result set is unchanged — only the partitioning is.
+    *
+    * Scale-adaptive BY CONSTRUCTION: salts = ceil(P/K) resolves to 1
+    * wherever the deployment contract has already scaled K past the
+    * shuffle width (K=auto → 200 at 10×, 633 at 100× vs P=32), and the
+    * S=1 arm is the r18 plan verbatim — merge-hinted ENSURE_REQUIREMENTS
+    * shuffle join with AQE skew-splitting intact. The salt only exists
+    * where K is smaller than the machine.
+    */
+  private def cellCandidateJoin(s: SparkSession, corpus: DataFrame,
+                                probes: DataFrame,
+                                corpusWideQueries: Boolean = true): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions",
+      s.sparkContext.defaultParallelism.toString).toInt
+    val salts =
+      if (corpusWideQueries) math.max(1, math.ceil(p.toDouble / nCellsOf(s)).toInt)
+      // sampled/bucketed query sides (the *_sample rows, the probe
+      // tradeoff): the candidate explosion is 1/KnnSampleBuckets of the
+      // corpus-wide row's, and the salt's extra exchanges cost more
+      // than the residual serial stage they would split (measured —
+      // the A/B read 1.2–1.45× on exactly these rows)
+      else 1
+    if (salts == 1)
+      corpus.join(probes.hint("merge"), col("cell") === col("qcell"))
+    else {
+      val c = corpus
+        .withColumn("__csalt", pmod(xxhash64(col("vec_id")), lit(salts.toLong)))
+        .repartition(p, col("cell"), col("__csalt"))
+      val q = probes
+        .withColumn("__qsalt",
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+        .repartition(p, col("qcell"), col("__qsalt"))
+      // shuffled HASH join in the salted arm (guide §3.1): the probe
+      // side per partition is small (n·nprobe·S/P rows), the code/raw
+      // side streams against its hash table without SMJ's per-match
+      // buffered-row copies — and this arm only exists at K < P, so
+      // the build side is bounded by construction
+      c.join(q.hint("shuffle_hash"),
+          col("cell") === col("qcell") && col("__csalt") === col("__qsalt"))
+        .drop("__csalt", "__qsalt")
+    }
+  }
+
   def knnAnn(s: SparkSession, dir: String): DataFrame =
     cachedKnn(s, dir, "ivf")(probeQuerySet(s, dir,
       embs(s, dir).select(col("vec_id").as("qid"), col("v").as("qv")),
@@ -503,7 +565,7 @@ object SimilarityQueries {
         .filter(graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
           KnnSampleBuckets) === knnSampleBucketOf(s))
         .select(col("vec_id").as("qid"), col("v").as("qv")),
-      k = KnnK, broadcastQueries = false)
+      k = KnnK, broadcastQueries = false, sampledQueries = true)
       .select(col("qid").as("src"), col("vec_id").as("dst"), col("cos"), col("rn"))
 
   // ---- Probe-width recall curve (round 14) ----
@@ -534,7 +596,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     def row(name: String, np: Int): DataFrame =
       probeQuerySet(s, dir, sampledQ, k = KnnK,
-        broadcastQueries = false, nprobe = np)
+        broadcastQueries = false, nprobe = np, sampledQueries = true)
         .select(col("qid").as("src"), col("vec_id").as("dst"))
         .join(exact, Seq("src", "dst"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -592,10 +654,15 @@ object SimilarityQueries {
   private def knnPqOver(s: SparkSession, dir: String,
                         srcFilter: DataFrame => DataFrame,
                         pqk: Int = PqK,
-                        shortlist: Int = PqShortlist): DataFrame = {
+                        shortlist: Int = PqShortlist,
+                        sampledQueries: Boolean = false): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     val idx = pqCodes(s, dir, pqk)
-    val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    // spread the (single-split) query side before the per-row probe
+    // ranking / ADC LUT expressions — they are model-sized per row but
+    // corpus-many, and one parquet file is one task (Tables.spread)
+    val srcs = Tables.spread(s, srcFilter(q))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     // per-row probe ranking + per-SOURCE ADC LUT ([[adcLut]]): both are
     // model-sized expressions evaluated in place on the source rows —
     // no corpus × K window shuffle (quadratic once K ∝ corpus), and the
@@ -609,14 +676,40 @@ object SimilarityQueries {
     // hint) — at test scale the cached code table's exact stats would
     // elect it as a broadcast build side, the exact plan that melts at
     // 100 TB (the broadcastQueries=false argument of probeQuerySet)
-    val shortlisted = idx
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    val shortlisted = cellCandidateJoin(s, idx, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= shortlist)
-      .select(col("qid"), col("vec_id"))
-    rerankShortlist(s, dir, shortlisted)
+    rerankShortlist(s, dir, shortlisted.select(col("qid"), col("vec_id")))
+  }
+
+  /** The flat-codebook shortlist WITH its ADC rank kept — the prefix
+    * the tradeoff eval shares between its `base` and `shortlist2x`
+    * variants: the ranked top-`shortlist` under (adist ASC, vec_id ASC)
+    * is a total order, so the depth-d shortlist is exactly the
+    * `srn <= d` prefix of the deeper one. One candidate scan + window
+    * instead of two ([[knnAnnPqTradeoff]] was the bench's most
+    * expensive line — three full PQ-kNN passes by construction; this
+    * drops it to two).
+    */
+  private def pqShortlistRanked(s: SparkSession, dir: String,
+                                pqk: Int, shortlist: Int): DataFrame = {
+    val (q, cents) = trainedModel(s, dir)
+    val idx = pqCodes(s, dir, pqk)
+    val srcs = Tables.spread(s, q)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val probes = srcs.select(col("qid"),
+      adcLut(s, dir, col("qqv"), pqk).as("lut"),
+      explode(trainedTop(cents, col("qqv"), nProbeOf(s))).as("qcell"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    cellCandidateJoin(s, idx, probes)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"), col("srn"))
   }
 
   /** Exact-cosine rerank of a (qid, vec_id) shortlist to per-source
@@ -656,11 +749,16 @@ object SimilarityQueries {
   private def knnPqResOver(s: SparkSession, dir: String,
                            srcFilter: DataFrame => DataFrame,
                            pqk: Int = PqK,
-                           shortlist: Int = PqShortlist): DataFrame = {
+                           shortlist: Int = PqShortlist,
+                           sampledQueries: Boolean = false): DataFrame = {
     val (q, cents) = trainedModel(s, dir)
     val model = pqResModel(s, dir, pqk)
     val idx = pqResCodes(s, dir, pqk)
-    val srcs = srcFilter(q).select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    // spread the (single-split) query side before the per-row probe
+    // ranking / ADC LUT expressions — they are model-sized per row but
+    // corpus-many, and one parquet file is one task (Tables.spread)
+    val srcs = Tables.spread(s, srcFilter(q))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val probes = srcs
       .select(col("qid"), col("qqv"),
         explode(trainedTop(cents, col("qqv"), nProbeOf(s))).as("qcell"))
@@ -673,8 +771,7 @@ object SimilarityQueries {
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // merge-hinted shuffle join on the cell key — the knnPqOver
     // rationale verbatim (the probe side is corpus-sized)
-    val shortlisted = idx
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    val shortlisted = cellCandidateJoin(s, idx, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
       .withColumn("srn", row_number().over(ws))
@@ -720,18 +817,19 @@ object SimilarityQueries {
     cachedKnn(s, dir, "kmeans")(knnAnnKmeansPlan(s, dir))
 
   private def knnAnnKmeansPlan(s: SparkSession, dir: String): DataFrame = {
+    val sampledQueries = knnBucketOf(s).isDefined
     val (q, cents) = trainedModel(s, dir)
     // per-row probe ranking — see [[knnPqOver]]'s rationale; the query
     // side honors the knnbucket verification-chunking knob (off by
     // default), candidates stay corpus-wide
-    val probes = knnBucketFilter(s)(q).select(col("vec_id").as("qid"),
-      explode(trainedTop(cents, col("qv"), nProbeOf(s))).as("qcell"))
+    val probes = Tables.spread(s, knnBucketFilter(s)(q))
+      .select(col("vec_id").as("qid"),
+        explode(trainedTop(cents, col("qv"), nProbeOf(s))).as("qcell"))
     val raw = embs(s, dir).select(col("vec_id"), col("v"))
     val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    assigned
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    cellCandidateJoin(s, assigned, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .join(raw.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .select(col("qid").as("src"), col("vec_id").as("dst"),
@@ -743,7 +841,7 @@ object SimilarityQueries {
   def knnAnnPqSample(s: SparkSession, dir: String): DataFrame =
     knnPqOver(s, dir, q => q.filter(
       graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
-        KnnSampleBuckets) === 0))
+        KnnSampleBuckets) === 0), sampledQueries = true)
 
   // ---- Hierarchical (2-level) coarse probe: the documented next rung ----
   // The flat probe ranks ALL K centroids per row. [[topCellsNative]]
@@ -828,7 +926,8 @@ object SimilarityQueries {
     * shared verbatim.
     */
   def knnAnnHier(s: SparkSession, dir: String): DataFrame =
-    cachedKnn(s, dir, "hier")(knnHierOver(s, dir, knnBucketFilter(s)))
+    cachedKnn(s, dir, "hier")(knnHierOver(s, dir, knnBucketFilter(s),
+      sampledQueries = knnBucketOf(s).isDefined))
 
   /** The hierarchical kNN over an optionally-restricted query side
     * (candidates always corpus-wide) — the [[knnPqOver]] shape, so the
@@ -836,13 +935,15 @@ object SimilarityQueries {
     * independence, the knnAnnSample argument verbatim).
     */
   private def knnHierOver(s: SparkSession, dir: String,
-                          srcFilter: DataFrame => DataFrame): DataFrame = {
+                          srcFilter: DataFrame => DataFrame,
+                          sampledQueries: Boolean = false): DataFrame = {
     import s.implicits._
     val (q, cents) = trainedModel(s, dir)
     val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
     val np = nProbeOf(s)
-    val qsup = srcFilter(q).select(col("vec_id").as("qid"), col("qv"),
-      explode(trainedTop(sup, col("qv"), np)).as("scell"))
+    val qsup = Tables.spread(s, srcFilter(q))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(trainedTop(sup, col("qv"), np)).as("scell"))
     val memberDf = cents.map { case (cid, v) =>
       (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
     val wp = org.apache.spark.sql.expressions.Window
@@ -858,8 +959,7 @@ object SimilarityQueries {
     val assigned = kmeansCells(s, dir).join(raw, Seq("vec_id"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    assigned
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    cellCandidateJoin(s, assigned, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .join(raw.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .select(col("qid").as("src"), col("vec_id").as("dst"),
@@ -878,7 +978,7 @@ object SimilarityQueries {
   def knnAnnHierSample(s: SparkSession, dir: String): DataFrame =
     knnHierOver(s, dir, q => q.filter(
       graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
-        KnnSampleBuckets) === 0))
+        KnnSampleBuckets) === 0), sampledQueries = true)
 
   /** Edge recall of the two-level probe against the exact kernel — the
     * [[knnAnnRecall]] discipline, so the flat ([[knnAnnKmeans]]-path)
@@ -913,35 +1013,40 @@ object SimilarityQueries {
   private def knnHierPqOver(s: SparkSession, dir: String,
                             srcFilter: DataFrame => DataFrame,
                             pqk: Int = PqK,
-                            shortlist: Int = PqShortlist): DataFrame = {
+                            shortlist: Int = PqShortlist,
+                            sampledQueries: Boolean = false): DataFrame = {
     import s.implicits._
     val (q, cents) = trainedModel(s, dir)
     val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
     val np = nProbeOf(s)
     val idx = pqCodes(s, dir, pqk)
-    val qsup = srcFilter(q).select(col("vec_id").as("qid"), col("qv"),
-      explode(trainedTop(sup, col("qv"), np)).as("scell"))
+    val qsup = Tables.spread(s, srcFilter(q))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(trainedTop(sup, col("qv"), np)).as("scell"))
     val memberDf = cents.map { case (cid, v) =>
       (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
     // member ranking keeps qv through the window so the ADC LUT (a
     // model-sized expression) evaluates on the np surviving probe rows
-    // — never on the corpus-sized candidate scan below
-    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(call_function("graft_cosine",
-          col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= np)
+    // — never on the corpus-sized candidate scan below. Spread between
+    // the window and the LUT projection: the qid window's tiny shuffle
+    // coalesces to ~1 post-AQE partition, which would run the M×K-fold
+    // LUT evaluation single-task (round-19 profile)
+    val probes = Tables.spread(s, qsup.join(broadcast(memberDf), Seq("scell"))
+        .select(col("qid"), col("qv"), col("cid"),
+          round(call_function("graft_cosine",
+            col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= np)
+        .select(col("qid"), col("qv"), col("cid").as("qcell")))
       .select(col("qid"), adcLut(s, dir, col("qv"), pqk).as("lut"),
-        col("cid").as("qcell"))
+        col("qcell"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // merge-hinted shuffle join on the cell key — the knnPqOver
     // rationale verbatim (the probe side is corpus-sized)
-    val shortlisted = idx
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    val shortlisted = cellCandidateJoin(s, idx, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
       .withColumn("srn", row_number().over(ws))
@@ -961,7 +1066,7 @@ object SimilarityQueries {
   def knnAnnHierPqSample(s: SparkSession, dir: String): DataFrame =
     knnHierPqOver(s, dir, q => q.filter(
       graft.functions.Buckets.mdBucket(col("vec_id").cast("string"),
-        KnnSampleBuckets) === knnSampleBucketOf(s)))
+        KnnSampleBuckets) === knnSampleBucketOf(s)), sampledQueries = true)
 
   /** Edge recall of the composed hier+PQ stack against the exact
     * kernel — beside [[knnAnnHierRecall]] (hier rung alone) and
@@ -997,26 +1102,31 @@ object SimilarityQueries {
   private def knnHierPqResOver(s: SparkSession, dir: String,
                                srcFilter: DataFrame => DataFrame,
                                pqk: Int = PqK,
-                               shortlist: Int = PqShortlist): DataFrame = {
+                               shortlist: Int = PqShortlist,
+                               sampledQueries: Boolean = false): DataFrame = {
     import s.implicits._
     val (q, cents) = trainedModel(s, dir)
     val (sup, members) = trainSuper(cents, hierK2(nCellsOf(s)))
     val np = nProbeOf(s)
     val model = pqResModel(s, dir, pqk)
     val idx = pqResCodes(s, dir, pqk)
-    val qsup = srcFilter(q).select(col("vec_id").as("qid"), col("qv"),
-      explode(trainedTop(sup, col("qv"), np)).as("scell"))
+    val qsup = Tables.spread(s, srcFilter(q))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(trainedTop(sup, col("qv"), np)).as("scell"))
     val memberDf = cents.map { case (cid, v) =>
       (members(cid), cid, v.toSeq.map(_.toDouble)) }.toDF("scell", "cid", "cv")
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
-    val probes = qsup.join(broadcast(memberDf), Seq("scell"))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(call_function("graft_cosine",
-          col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= np)
-      .select(col("qid"), col("qv").as("qqv"), col("cid").as("qcell"))
+    // spread between the window and the residual-LUT projection — the
+    // knnHierPqOver rationale (the qid window's tiny shuffle coalesces
+    // to ~1 post-AQE partition and would serialize the LUT evaluation)
+    val probes = Tables.spread(s, qsup.join(broadcast(memberDf), Seq("scell"))
+        .select(col("qid"), col("qv"), col("cid"),
+          round(call_function("graft_cosine",
+            col("qv").cast("array<double>"), col("cv")), 6).as("ccos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= np)
+        .select(col("qid"), col("qv").as("qqv"), col("cid").as("qcell")))
       .join(broadcast(centDf(s, cents).withColumnRenamed("cell", "qcell")),
         Seq("qcell"))
       .select(col("qid"), col("qcell"),
@@ -1026,8 +1136,7 @@ object SimilarityQueries {
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     // merge-hinted shuffle join on the cell key — the knnPqOver
     // rationale verbatim (the probe side is corpus-sized)
-    val shortlisted = idx
-      .join(probes.hint("merge"), col("cell") === col("qcell"))
+    val shortlisted = cellCandidateJoin(s, idx, probes, !sampledQueries)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adcFromLut(col("lut"), pqk).as("adist"))
       .withColumn("srn", row_number().over(ws))
@@ -1100,9 +1209,17 @@ object SimilarityQueries {
         .crossJoin(nExact)
         .select(lit(name).as("variant"), col("hits"), col("n_exact"),
           round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
-    row("base", knnPqOver(s, dir, identity))
+    // base and shortlist2x share ONE candidate scan + shortlist window
+    // ([[pqShortlistRanked]]): the base variant is the srn ≤ PqShortlist
+    // prefix of the 2× shortlist — identical rows to an independent
+    // depth-PqShortlist pass, proven by the window's total order.
+    // Checkpointed eagerly: two rerank branches would otherwise
+    // re-execute the shared scan (the `exact` idiom above).
+    val ranked = pqShortlistRanked(s, dir, PqK, PqShortlist2x).localCheckpoint()
+    row("base", rerankShortlist(s, dir,
+        ranked.filter(col("srn") <= PqShortlist).select("qid", "vec_id")))
       .unionAll(row("shortlist2x",
-        knnPqOver(s, dir, identity, shortlist = PqShortlist2x)))
+        rerankShortlist(s, dir, ranked.select("qid", "vec_id"))))
       .unionAll(row("codebook2x", knnPqOver(s, dir, identity, pqk = PqK2x)))
   }
 
@@ -1722,7 +1839,8 @@ object SimilarityQueries {
   private[graft] def probeQuerySet(s: SparkSession, dir: String,
                                    qvs: DataFrame, k: Int = RecallK,
                                    broadcastQueries: Boolean = true,
-                                   nprobe: Int = -1): DataFrame = {
+                                   nprobe: Int = -1,
+                                   sampledQueries: Boolean = false): DataFrame = {
     // per-row probe ranking ([[seedTop]]): each query
     // row scores the K literal centroids and keeps its nprobe best in
     // place — the old corpus × K crossJoin + window materialized n·K
@@ -1731,18 +1849,24 @@ object SimilarityQueries {
     // ≤ 0 resolves the session knob; the probe-tradeoff eval pins
     // explicit widths.
     val np = if (nprobe > 0) nprobe else nProbeOf(s)
-    val qcells = qvs.select(col("qid"), col("qv"),
+    // corpus-sized query sets (the kNN join) spread before the per-row
+    // probe ranking — a parquet-backed set is one input split, so the
+    // O(K)-per-row ranking otherwise runs single-task (the broadcast
+    // arm's sets are model-sized; no shuffle added there)
+    val qspread = if (broadcastQueries) qvs else Tables.spread(s, qvs)
+    val qcells = qspread.select(col("qid"), col("qv"),
       explode(seedTop(s, dir, col("qv"), np)).as("qcell"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-    cells(s, dir)
-      // the non-broadcast arm PINS the shuffle join (merge hint): with
-      // the per-row probe the query side is a plain projection whose
-      // test-scale stats would elect it as a broadcast build side — a
-      // corpus-sized broadcast, the exact plan that melts at 100 TB
-      // (knnPqOver's argument; PlanQualitySpec asserts the shape)
-      .join(if (broadcastQueries) broadcast(qcells) else qcells.hint("merge"),
-        col("cell") === col("qcell"))
+    // the non-broadcast arm PINS the shuffle join (merge hint inside
+    // cellCandidateJoin): with the per-row probe the query side is a
+    // plain projection whose test-scale stats would elect it as a
+    // broadcast build side — a corpus-sized broadcast, the exact plan
+    // that melts at 100 TB (knnPqOver's argument; PlanQualitySpec
+    // asserts the shape)
+    (if (broadcastQueries)
+       cells(s, dir).join(broadcast(qcells), col("cell") === col("qcell"))
+     else cellCandidateJoin(s, cells(s, dir), qcells, !sampledQueries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
@@ -2042,49 +2166,84 @@ object SimilarityQueries {
 
   /** Exact integer L2² between a subvector column and another array
     * column (or literal) — zip, square differences, sum; stays LongType
-    * end to end.
+    * end to end. No longer on any hot path (the native
+    * `graft_pq_argmin` / `graft_adc_lut` loops replaced the
+    * per-row evaluations, round 19); kept `private[graft]` as the
+    * declarative reference spelling PqArgminSpec/AdcLutSpec pin
+    * bit-equality against.
     */
-  private def l2q(sq: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+  private[graft] def l2q(sq: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
     aggregate(zip_with(sq, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
 
-  /** Argmin over a subspace codebook: all K distances in one struct
-    * array, array_min's lexicographic order gives smallest distance
-    * then smallest code id — each distance evaluated once per row.
+  /** Argmin over a subspace codebook — the native
+    * `graft_pq_argmin` loop ([[graft.functions.expressions.PqArgmin]]):
+    * exact integer L2² per centroid, smallest distance then smallest
+    * code id, bit-identical to the declarative
+    * `array_min(array(struct(l2q, cid)…)).cid` spelling it replaced
+    * (PqArgminSpec pins it). Round 19, guide §1.2 step 2: the
+    * declarative form's `zip_with`/`aggregate` folds evaluate
+    * INTERPRETED, and this argmin runs n·M·K times per model
+    * build/encode — it was the profiled wall of `build:sim.pq_codes`
+    * and the batched trainer jobs.
     */
   private def pqAssignExpr(sq: org.apache.spark.sql.Column,
-                           cents: Seq[(Long, Array[Long])]) = {
-    val scored = array(cents.map { case (cid, c) =>
-      struct(l2q(sq, typedLit(c.toSeq)).as("d"), lit(cid).as("cid"))
-    }: _*)
-    array_min(scored).getField("cid")
-  }
+                           cents: Seq[(Long, Array[Long])]) =
+    call_function("graft_pq_argmin", sq,
+      typedLit(cents.map(_._2.toSeq)), typedLit(cents.map(_._1)))
 
   private def subSlice(qv: org.apache.spark.sql.Column, m: Int) =
     slice(qv, m * PqSubDim + 1, PqSubDim)
 
-  /** One subspace's Lloyd loop over (vec_id, sq) — the collects fetch
-    * the K×SubDim-long codebook, never the corpus. `tb` bounds the
-    * iteration scans to the [[trainSubset]] ([[TrainBucketsKey]]). */
-  private def trainPqSub(sub: DataFrame, pqk: Int,
-                         tb: Int = 1): Seq[(Long, Array[Long])] = {
-    val subT = trainSubset(sub, pqk, tb)
-    var cents: Seq[(Long, Array[Long])] = sub
+  /** ALL M subspaces' Lloyd loops over a (vec_id, <vecCol>) frame in
+    * ONE pass per iteration — the per-subspace loops are independent,
+    * so batching them changes nothing about any codebook (same seeds:
+    * driver-side slices of the same rows; same per-(sub, code, dim)
+    * integer sums; same floor update), it only collapses 3·M driver
+    * round-trip jobs into 3: one seed collect + [[PqIters]] iteration
+    * jobs (round 19 — the M=4 × {flat, residual, 2× codebook} trainer
+    * family was paying ~36 small jobs per bench iteration). `tb`
+    * bounds the iteration scans to the [[trainSubset]]
+    * ([[TrainBucketsKey]]); the collects fetch M×K×SubDim-long
+    * codebooks, never the corpus.
+    */
+  private def trainPqAll(src: DataFrame, vecCol: String, pqk: Int,
+                         tb: Int = 1): Seq[Seq[(Long, Array[Long])]] = {
+    // spread the iteration scans: the source rides a one-split cached
+    // frame and the per-row argmin folds are interpreted HOFs — the
+    // narrow-row repartition is microseconds, the serialized fold loop
+    // was the build's wall (per-(m, code, dim) integer sums are
+    // order-free, so partitioning cannot change the model)
+    val srcT = Tables.spread(src.sparkSession, trainSubset(src, pqk, tb))
+    val seedRows = src
       .filter(col("vec_id") >= 1 && col("vec_id") <= pqk)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+      .select(col("vec_id"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    var cents: Seq[Seq[(Long, Array[Long])]] =
+      (0 until PqM).map(m => seedRows.map { case (id, v) =>
+        (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) }.toSeq)
     for (_ <- 1 to PqIters) {
-      val assigned = subT.select(pqAssignExpr(col("sq"), cents).as("code"), col("sq"))
+      // one job: per row, M (code, subvector) pairs via posexplode —
+      // the per-subspace argmin expressions are unchanged
+      val assigned = srcT.select(posexplode(array((0 until PqM).map { m =>
+        struct(pqAssignExpr(subSlice(col(vecCol), m), cents(m)).as("code"),
+          subSlice(col(vecCol), m).as("sq"))
+      }: _*)).as(Seq("m", "e")))
       val sums = assigned
-        .select(col("code"), posexplode(col("sq")).as(Seq("dim", "x")))
-        .groupBy("code", "dim")
+        .select(col("m"), col("e.code").as("code"),
+          posexplode(col("e.sq")).as(Seq("dim", "x")))
+        .groupBy("m", "code", "dim")
         .agg(sum("x").as("sx"), count("*").as("n"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      cents = sums.groupBy(_._1).map { case (cid, rows) =>
-        val arr = new Array[Long](PqSubDim)
-        rows.foreach { case (_, dim, sx, n) =>
-          arr(dim) = math.floor(sx.toDouble / n).toLong
-        }
-        (cid, arr)
-      }.toSeq.sortBy(_._1)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      cents = (0 until PqM).map { m =>
+        sums.filter(_._1 == m).groupBy(_._2).map { case (cid, rows) =>
+          val arr = new Array[Long](PqSubDim)
+          rows.foreach { case (_, _, dim, sx, n) =>
+            arr(dim) = math.floor(sx.toDouble / n).toLong
+          }
+          (cid, arr)
+        }.toSeq.sortBy(_._1)
+      }
     }
     cents
   }
@@ -2101,9 +2260,7 @@ object SimilarityQueries {
     // (recall-lever variants must never reuse the default model)
     graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](s,
       s"sim.pq-model:$dir:pk$pqk${tbTag(s)}")(
-      (0 until PqM).map(m =>
-        trainPqSub(q.select(col("vec_id"), subSlice(col("qv"), m).as("sq")), pqk,
-          trainBucketsOf(s))).toSeq) {
+      trainPqAll(q, "qv", pqk, trainBucketsOf(s))) {
       (ss, model) =>
         import ss.implicits._
         model.zipWithIndex.flatMap { case (cb, m) =>
@@ -2128,7 +2285,10 @@ object SimilarityQueries {
     val (q, cents) = trainedModel(s, dir)
     val model = pqModel(s, dir, pqk)
     graft.CacheLife.cached(s, s"sim.pq-codes:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
-      q.select(col("vec_id") +: assignExprOf(s, cents).as("cell") +:
+      // spread before the M interpreted per-subspace argmins (the
+      // trainPqAll rationale): the cached quantized corpus is one
+      // input split, and this projection was the build's serial wall
+      Tables.spread(s, q).select(col("vec_id") +: assignExprOf(s, cents).as("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("qv"), m), model(m)).as(s"c$m")): _*))
   }
@@ -2191,15 +2351,24 @@ object SimilarityQueries {
     */
   private def adcLut(s: SparkSession, dir: String,
                      qqv: org.apache.spark.sql.Column,
-                     pqk: Int = PqK): org.apache.spark.sql.Column = {
-    val model = pqModel(s, dir, pqk)
-    array((0 until PqM).flatMap { m =>
+                     pqk: Int = PqK): org.apache.spark.sql.Column =
+    adcLutNative(qqv, pqModel(s, dir, pqk), pqk)
+
+  /** The shared native-LUT construction: flatten the model m-major into
+    * M×K slots (empty = the never-read 0 slot of an emptied cluster)
+    * and hand the whole table to ONE codegen'd loop
+    * ([[graft.functions.expressions.AdcLut]]) — the declarative
+    * `array(l2q…)` spelling evaluated M·K interpreted folds per probe
+    * row (round 19; bit-parity pinned by AdcLutSpec).
+    */
+  private def adcLutNative(v: org.apache.spark.sql.Column,
+                           model: Seq[Seq[(Long, Array[Long])]],
+                           pqk: Int): org.apache.spark.sql.Column = {
+    val flat: Seq[Seq[Long]] = (0 until PqM).flatMap { m =>
       val byCid = model(m).toMap
-      (1 to pqk).map(cid => byCid.get(cid.toLong) match {
-        case Some(c) => l2q(subSlice(qqv, m), typedLit(c.toSeq))
-        case None    => lit(0L)
-      })
-    }: _*)
+      (1 to pqk).map(cid => byCid.get(cid.toLong).fold(Seq.empty[Long])(_.toSeq))
+    }
+    call_function("graft_adc_lut", v, typedLit(flat), lit(PqSubDim))
   }
 
   /** ADC distance of a codes row against a carried [[adcLut]] column:
@@ -2249,7 +2418,7 @@ object SimilarityQueries {
           zip_with(col("qv"), col("ccv"), (x, c) => x - c).as("rv")))
   }
 
-  /** The M residual sub-codebooks — [[trainPqSub]] verbatim over the
+  /** The M residual sub-codebooks — [[trainPqAll]] verbatim over the
     * residual subvectors (seeds are vec_ids 1..K's residuals, 2 Lloyd
     * iterations). Memoized and store-codec'd like [[pqModel]]; the key
     * embeds BOTH trained models' knobs (coarse K and codebook size)
@@ -2260,9 +2429,7 @@ object SimilarityQueries {
     val r = residuals(s, dir)
     graft.CacheLife.memoModel[Seq[Seq[(Long, Array[Long])]]](
       s, s"sim.pq-res-model:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
-      (0 until PqM).map(m =>
-        trainPqSub(r.select(col("vec_id"), subSlice(col("rv"), m).as("sq")), pqk,
-          trainBucketsOf(s))).toSeq) {
+      trainPqAll(r, "rv", pqk, trainBucketsOf(s))) {
       (ss, model) =>
         import ss.implicits._
         model.zipWithIndex.flatMap { case (cb, m) =>
@@ -2284,7 +2451,8 @@ object SimilarityQueries {
                          pqk: Int = PqK): DataFrame = {
     val model = pqResModel(s, dir, pqk)
     graft.CacheLife.cached(s, s"sim.pq-res-codes:$dir:k${nCellsOf(s)}${tbTag(s)}${haTag(s)}:pk$pqk")(
-      residuals(s, dir).select(col("vec_id") +: col("cell") +:
+      // spread before the M interpreted argmins — the pqCodes rationale
+      Tables.spread(s, residuals(s, dir)).select(col("vec_id") +: col("cell") +:
         (0 until PqM).map(m =>
           pqAssignExpr(subSlice(col("rv"), m), model(m)).as(s"c$m")): _*))
   }
@@ -2298,13 +2466,7 @@ object SimilarityQueries {
   private def adcResLut(rqv: org.apache.spark.sql.Column,
                         model: Seq[Seq[(Long, Array[Long])]],
                         pqk: Int): org.apache.spark.sql.Column =
-    array((0 until PqM).flatMap { m =>
-      val byCid = model(m).toMap
-      (1 to pqk).map(cid => byCid.get(cid.toLong) match {
-        case Some(c) => l2q(subSlice(rqv, m), typedLit(c.toSeq))
-        case None    => lit(0L)
-      })
-    }: _*)
+    adcLutNative(rqv, model, pqk)
 
   /** ADC top-10: the query's [[adcLut]] table (computed once on the
     * 1-row query side) against each corpus vector's codes — M array
@@ -2910,7 +3072,7 @@ object SimilarityQueries {
        |JOIN (SELECT vec_id FROM ($oTopk) ORDER BY cos DESC, vec_id LIMIT $RecallK) b
        |USING (vec_id)""".stripMargin.replace("\n", " ")
 
-  /** PQ oracle: per-subspace Lloyd CTE chains mirroring [[trainPqSub]]
+  /** PQ oracle: per-subspace Lloyd CTE chains mirroring [[trainPqAll]]
     * (integer L2² assignment, floor-average update, 2 iterations), a
     * final per-subspace assignment, then the codes table — shared by
     * the histogram and ADC oracles so both read the exact model the

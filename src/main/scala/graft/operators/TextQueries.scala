@@ -85,6 +85,8 @@ object TextQueries {
     "text.tf" -> (() => { tfStore(s, dir).count(); () }),
     "text.funnel_flags" -> (() => { funnelFlags(s, dir).count(); () }),
     "text.dsir_feats" -> (() => { dsirFeats(s, dir).count(); () }),
+    "text.dsir_weights" -> (() => { dsirWeights(s, dir).count(); () }),
+    "text.curriculum" -> (() => { curriculum(s, dir).count(); () }),
   )
 
   // ---- Corpus token frequency: explode → agg → top-k ----
@@ -204,9 +206,17 @@ object TextQueries {
     */
   val MaxQualityDomain: Long = 1000001L
 
+  /** CacheLife-memoized (round 19): three registered queries compose
+    * the phase table (curriculum itself, text_export_manifest,
+    * text_dsir_manifest) and each used to re-run the quality pass +
+    * histogram walk — the same repeated-verdict cost the survivor and
+    * vocab stores already eliminate. Corpus-sized but narrow (doc_id,
+    * quality, phase), the exact shape of the memoized cluster labels.
+    */
   def curriculum(s: SparkSession, dir: String): DataFrame =
-    curriculumOver(quality(s, dir).select(col("doc_id"), col("quality")),
-      MaxQualityDomain)
+    graft.CacheLife.cached(s, s"text.curriculum:$dir")(
+      curriculumOver(quality(s, dir).select(col("doc_id"), col("quality")),
+        MaxQualityDomain))
 
   private[graft] def curriculumOver(q: DataFrame, maxDomain: Long): DataFrame = {
     val hist = q.groupBy("quality").agg(count(lit(1)).as("n"))
@@ -709,7 +719,17 @@ object TextQueries {
           graft.functions.Buckets.mdBucket(col("gram"), DsirB).as("b")))
   }
 
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  /** CacheLife-memoized (round 19): the per-doc weight table feeds
+    * three registered queries (weights, select, manifest) and each
+    * used to re-run the histogram + llr join + per-doc sum over the
+    * corpus feature stream. The cache key carries the resolved target
+    * (the dsirFeats discipline — a mid-session knob change must miss).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s,
+      s"text.dsir-weights:$dir:${dsirTarget(s)}")(dsirWeightsPlan(s, dir))
+
+  private def dsirWeightsPlan(s: SparkSession, dir: String): DataFrame = {
     val feats = dsirFeats(s, dir)
     val hist = feats.groupBy("b").agg(
       count(lit(1)).as("c_r"),
