@@ -55,7 +55,10 @@ class CurationStoreSpec extends SparkSpec {
 
     val s1 = spark.newSession()
     val built = StoreBuild.buildAll(s1, Sf, root)
-    assert(built.size === 26, s"expected 26 builders, got: ${built.map(_._1)}")
+    // 28 = 26 pre-r19 stores + the two r19 memoized curation verdicts
+    // (text.dsir_weights, text.curriculum) — intended layouts under the
+    // root like every other CacheLife store
+    assert(built.size === 28, s"expected 28 builders, got: ${built.map(_._1)}")
     // every store is a _SUCCESS-gated parquet layout under the root; the
     // incremental stores (dedup.layout, text.layout) are ROOTS OF
     // layouts — each of their sub-stores carries its own _SUCCESS
