@@ -52,22 +52,22 @@ object SimilarityQueries {
 
   // ---- Exact brute-force cosine top-k ----
   def topkCosine(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir)
+    cachedProbe(s, dir, "topk")(embs(s, dir)
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"), round(cosExpr, 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(TopK)
+      .limit(TopK))
 
   // ---- ANN: search only the query's sign-LSH bucket ----
   def annLsh(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir)
+    cachedProbe(s, dir, "lsh")(embs(s, dir)
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .filter(V.signBucket(col("v"), BucketBits) === V.signBucket(col("qv"), BucketBits))
       .select(col("vec_id"), round(cosExpr, 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(TopK)
+      .limit(TopK))
 
   // ---- Multi-probe ANN: also scan all hamming-1 neighbor buckets ----
   // The standard recall lever for sign-LSH: a vector whose borderline
@@ -79,13 +79,13 @@ object SimilarityQueries {
     val b = V.signBucket(col("v"), BucketBits)
     val qb = V.signBucket(col("qv"), BucketBits)
     val probes = (b === qb) +: (0 until BucketBits).map(d => b === qb.bitwiseXOR(1L << d))
-    embs(s, dir)
+    cachedProbe(s, dir, "lshmp")(embs(s, dir)
       .filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .filter(probes.reduce(_ || _))
       .select(col("vec_id"), round(cosExpr, 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(TopK)
+      .limit(TopK))
   }
 
   // ---- Embedding near-dup pairs above a cosine threshold ----
@@ -276,20 +276,33 @@ object SimilarityQueries {
 
   /** Banded-LSH candidate pairs with their EXACT cosine — the scored
     * candidate set both lossy pair consumers cut from: [[pairsLsh]]
-    * thresholds it, [[knnAnn]] ranks it per source. One definition, so
-    * the candidate generation (skew-capped band join) and the verify
-    * scoring cannot drift between the two.
+    * thresholds it, [[pairsRecall]] counts the same threshold cut. One
+    * definition, so the candidate generation (skew-capped band join)
+    * and the verify scoring cannot drift between the two.
+    *
+    * CacheLife-memoized (round 20, guide §1.2 "don't compute things
+    * twice"): the band self-join + two embedding joins + cosine pass is
+    * the whole cost of BOTH registered consumers, and each used to
+    * re-run it from the band store (profiled: ~1.2 s apiece at sf0.1 —
+    * 2.4 s/pass for one scoring pass worth of work). The scored set is
+    * candidate-sized (band-capped, never all-pairs), exactly the shape
+    * a real pipeline materializes after candidate generation — the
+    * [[DedupQueries]] cand-pairs discipline. The key carries the
+    * resolved band geometry like the sign-band store it derives from,
+    * so a mid-session signrows change misses instead of serving the old
+    * shape's scores.
     */
-  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
-    val cand = DedupQueries.bandPairsCapped(signBands(s, dir), DedupQueries.MaxBucket)
-      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    val e = embs(s, dir)
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
-  }
+  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheLife.cached(s, s"sim.lsh-scored:$dir:r${signRowsOf(s)}") {
+      val cand = DedupQueries.bandPairsCapped(signBands(s, dir), DedupQueries.MaxBucket)
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      val e = embs(s, dir)
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(call_function("graft_cosine", col("va"), col("vb")), 6).as("cos"))
+    }
 
   def pairsLsh(s: SparkSession, dir: String): DataFrame =
     lshScoredPairs(s, dir).filter(col("cos") >= PairThreshold)
@@ -684,14 +697,12 @@ object SimilarityQueries {
     rerankShortlist(s, dir, shortlisted.select(col("qid"), col("vec_id")))
   }
 
-  /** The flat-codebook shortlist WITH its ADC rank kept — the prefix
-    * the tradeoff eval shares between its `base` and `shortlist2x`
-    * variants: the ranked top-`shortlist` under (adist ASC, vec_id ASC)
-    * is a total order, so the depth-d shortlist is exactly the
-    * `srn <= d` prefix of the deeper one. One candidate scan + window
-    * instead of two ([[knnAnnPqTradeoff]] was the bench's most
-    * expensive line — three full PQ-kNN passes by construction; this
-    * drops it to two).
+  /** The flat-codebook shortlist WITH its ADC rank kept — the
+    * tradeoff eval's `shortlist2x` scan: the ranked top-`shortlist`
+    * under (adist ASC, vec_id ASC) is a total order, so the depth-d
+    * shortlist is exactly the `srn <= d` prefix of a deeper one —
+    * which is why the tradeoff's `base` variant needs no scan at all
+    * (it rides the [[knnAnnPq]] output memo; round 20).
     */
   private def pqShortlistRanked(s: SparkSession, dir: String,
                                 pqk: Int, shortlist: Int): DataFrame = {
@@ -1200,7 +1211,11 @@ object SimilarityQueries {
   val PqK2x = 16
 
   def knnAnnPqTradeoff(s: SparkSession, dir: String): DataFrame = {
-    val exact = knnJoin(s, dir).select("src", "dst").localCheckpoint()
+    // knnJoin is CacheLife-persisted (build:sim.knn_exact), so the four
+    // consumers below share its materialization without an eager
+    // localCheckpoint copy (round-19 advice: the eager checkpoint made
+    // plan-only consumers execute the query)
+    val exact = knnJoin(s, dir).select("src", "dst")
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(name: String, df: DataFrame): DataFrame =
       df.select("src", "dst")
@@ -1209,17 +1224,18 @@ object SimilarityQueries {
         .crossJoin(nExact)
         .select(lit(name).as("variant"), col("hits"), col("n_exact"),
           round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
-    // base and shortlist2x share ONE candidate scan + shortlist window
-    // ([[pqShortlistRanked]]): the base variant is the srn ≤ PqShortlist
-    // prefix of the 2× shortlist — identical rows to an independent
-    // depth-PqShortlist pass, proven by the window's total order.
-    // Checkpointed eagerly: two rerank branches would otherwise
-    // re-execute the shared scan (the `exact` idiom above).
-    val ranked = pqShortlistRanked(s, dir, PqK, PqShortlist2x).localCheckpoint()
-    row("base", rerankShortlist(s, dir,
-        ranked.filter(col("srn") <= PqShortlist).select("qid", "vec_id")))
-      .unionAll(row("shortlist2x",
-        rerankShortlist(s, dir, ranked.select("qid", "vec_id"))))
+    // the base variant IS [[knnAnnPq]] (the srn ≤ PqShortlist prefix of
+    // any deeper shortlist is identical to an independent
+    // depth-PqShortlist pass — the window's total order; QueriesSpec
+    // pins base == the standalone recall row), so it rides the
+    // round-17 kNN output memo the standalone row already built instead
+    // of paying a second candidate scan + rerank (round 20, guide §1.2).
+    // shortlist2x keeps its own depth-2× scan, codebook2x its own
+    // retrained model — those ARE the levers the eval measures.
+    row("base", knnAnnPq(s, dir))
+      .unionAll(row("shortlist2x", rerankShortlist(s, dir,
+        pqShortlistRanked(s, dir, PqK, PqShortlist2x)
+          .select("qid", "vec_id"))))
       .unionAll(row("codebook2x", knnPqOver(s, dir, identity, pqk = PqK2x)))
   }
 
@@ -1448,6 +1464,25 @@ object SimilarityQueries {
     * key the engine uses, rather than re-deriving it. */
   def knnOutKeyFor(s: SparkSession, dir: String, variant: String): String =
     knnOutKey(s, dir, variant)
+
+  /** Session memo for a SINGLE-QUERY ANN probe's output — the
+    * [[cachedKnn]] (round-17) discipline extended to the 10–20-row
+    * probe results (round 20, guide §1.2): `sim_ann_recall` re-ran all
+    * eight variant probes moments after their registered rows did, and
+    * the filtered recall rows re-ran their probes the same way —
+    * ~2.5 s/pass of pure re-derivation at sf0.1. The key embeds every
+    * knob that can change a probe's result (resolved K, probe width,
+    * trainer sampling, assignment mode — the [[knnOutKey]] list; a
+    * variant that ignores one of them is harmlessly over-keyed), and
+    * [[graft.CacheLife.cachedSession]] keeps the memo session-only so a
+    * drop re-EXECUTES the probe instead of reading a store (the kNN-out
+    * rationale verbatim).
+    */
+  private def cachedProbe(s: SparkSession, dir: String, variant: String)(
+      build: => DataFrame): DataFrame =
+    graft.CacheLife.cachedSession(s,
+      s"sim.ann-out:$variant:$dir:k${nCellsOf(s, dir)}:np${nProbeOf(s)}" +
+        s"${tbTag(s)}${haTag(s)}")(build)
 
   /** Assignment mode — the OTHER n·K term. [[TrainBucketsKey]] bounds
     * the Lloyd iterations; the one n·K scan left is the final
@@ -1733,7 +1768,7 @@ object SimilarityQueries {
   def ivfCells(s: SparkSession, dir: String): DataFrame =
     cells(s, dir).groupBy("cell").agg(count("*").as("n_vecs"))
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame = cachedProbe(s, dir, "ivf") {
     val c = cells(s, dir)
     val qcell = c.filter(col("vec_id") === QueryVecId)
       .select(col("cell").as("qcell"), col("v").as("qv"))
@@ -1776,14 +1811,14 @@ object SimilarityQueries {
         col("v").as("qv"))
 
   def annFiltered(s: SparkSession, dir: String): DataFrame =
-    cells(s, dir)
+    cachedProbe(s, dir, "filtered")(cells(s, dir)
       .join(embs(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
       .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
       .join(broadcast(probeCells(s, dir, NProbeFiltered)), col("cell") === col("qcell"))
       .select(col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(10))
 
   // ---- IVF multi-probe: scan the nprobe nearest cells, not just one ----
   // The IVF recall lever (mirrors annLshMultiProbe for sign-LSH): a
@@ -1799,12 +1834,12 @@ object SimilarityQueries {
   val NProbeIvf = 3
 
   def annIvfMultiProbe(s: SparkSession, dir: String): DataFrame =
-    cells(s, dir).filter(col("vec_id") =!= QueryVecId)
+    cachedProbe(s, dir, "ivfmp")(cells(s, dir).filter(col("vec_id") =!= QueryVecId)
       .join(broadcast(probeCells(s, dir, nProbeOf(s))), col("cell") === col("qcell"))
       .select(col("vec_id"),
         round(call_function("graft_cosine", col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(10))
 
   // ---- Batched ANN: a query SET probing the IVF index ----
   // The realistic retrieval shape (batch inference, embedding-dedup
@@ -2110,7 +2145,7 @@ object SimilarityQueries {
   // At 100 TB the assignment is a write-time partitioning, so the probe
   // is partition pruning — identical mechanics to annIvf, but with
   // learned (data-adaptive) cells instead of seed vectors.
-  def annKmeans(s: SparkSession, dir: String): DataFrame = {
+  def annKmeans(s: SparkSession, dir: String): DataFrame = cachedProbe(s, dir, "kmeans") {
     // ride the CacheLife-materialized assignment (round-15, judge item
     // #1): the inline `assignExprOf` projection this used to carry
     // re-paid the n·K argmax scan on every run — the suite's worst
@@ -2473,7 +2508,7 @@ object SimilarityQueries {
     * lookups per row, planned as a codes-table scan × 1-row broadcast
     * with TakeOrderedAndProject on top. No shuffle touches the corpus.
     */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String): DataFrame = cachedProbe(s, dir, "pq") {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
     val qq = q.filter(col("vec_id") === QueryVecId)
       .select(adcLut(s, dir, col("qv")).as("lut"))
@@ -2497,7 +2532,7 @@ object SimilarityQueries {
   // two trained models' interaction, and the oracle proves THIS form
   // bit-for-bit; the plan shape (prune, then compressed scan) is
   // identical.
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = cachedProbe(s, dir, "ivfpq") {
     val q = graft.CacheLife.cached(s, s"sim.kmeans-quantized:$dir")(quantized(s, dir))
     val idx = pqCodes(s, dir)
     val qq = q.filter(col("vec_id") === QueryVecId)
@@ -2561,7 +2596,7 @@ object SimilarityQueries {
   }
 
   def annIvfPqMultiProbe(s: SparkSession, dir: String): DataFrame =
-    ivfPqProbeRerank(s, dir, nProbeOf(s), identity)
+    cachedProbe(s, dir, "ivfpqmp")(ivfPqProbeRerank(s, dir, nProbeOf(s), identity))
 
   // ---- Filtered IVF-PQ: the production shape when the corpus is
   // PQ-compressed (round-12 verdict stretch #7) ----
@@ -2578,9 +2613,9 @@ object SimilarityQueries {
   // the same documented selectivity adjustment as the uncompressed
   // filtered probe.
   def annFilteredPq(s: SparkSession, dir: String): DataFrame =
-    ivfPqProbeRerank(s, dir, NProbeFiltered,
+    cachedProbe(s, dir, "filteredpq")(ivfPqProbeRerank(s, dir, NProbeFiltered,
       idx => idx.join(embs(s, dir).select(col("vec_id"), col("label")),
-        Seq("vec_id")).filter(col("label") === FilterLabel))
+        Seq("vec_id")).filter(col("label") === FilterLabel)))
 
   // ---- Semantic dedup: embedding-space dedup INSIDE trained cells ----
   // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
@@ -2696,6 +2731,10 @@ object SimilarityQueries {
     // the eval); up-excluded with the kernel it rides
     "sim.knn_exact" -> (() => { knnJoin(s, dir).count(); () }),
     "sim.sign_bands" -> (() => { signBands(s, dir).count(); () }),
+    // the scored LSH candidate set (round 20): both pair consumers read
+    // it, so the scoring pass is charged here once instead of re-run by
+    // each query
+    "sim.lsh_scored" -> (() => { lshScoredPairs(s, dir).count(); () }),
     "sim.pq_codes" -> (() => { pqCodes(s, dir).count(); () }),
   )
 
@@ -2712,11 +2751,10 @@ object SimilarityQueries {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     def top10(df: DataFrame): DataFrame =
       df.orderBy(col("cos").desc, col("vec_id").asc).limit(RecallK).select("vec_id")
-    // eager localCheckpoint: the exact baseline is 10 rows but its
-    // subplan is a full corpus scan — without it each of the five
-    // semi-joins re-executes that scan (same CacheManager-aliasing
-    // idiom as the clusters loop)
-    val brute = top10(topkCosine(s, dir)).localCheckpoint()
+    // the exact baseline rides the memoized (persisted) sim_topk_cosine
+    // output — the semi-joins re-cut 20 persisted rows, so the old
+    // eager localCheckpoint copy is redundant (round 20)
+    val brute = top10(topkCosine(s, dir))
     def row(name: String, df: DataFrame): DataFrame =
       top10(df).join(brute, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -2745,16 +2783,16 @@ object SimilarityQueries {
   /** Exact FILTERED ground truth: brute-force top-k among FilterLabel
     * vectors — shared by both filtered recall rows (the predicate
     * changes the ground truth, so neither measures against the global
-    * baseline). Eagerly checkpointed: 10 rows over a corpus-scan
-    * subplan, re-read per semi-join.
+    * baseline). Probe-memoized: 10 rows over a corpus-scan subplan,
+    * built once per session and re-read by both recall rows.
     */
   private def filteredBruteTop(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir)
+    cachedProbe(s, dir, "filteredbrute")(embs(s, dir)
       .filter(col("label") === FilterLabel && col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"), round(cosExpr, 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(RecallK).select("vec_id").localCheckpoint()
+      .limit(RecallK).select("vec_id"))
 
   private def filteredRecallRow(name: String, df: DataFrame,
                                 bruteF: DataFrame): DataFrame =

@@ -55,10 +55,13 @@ class CurationStoreSpec extends SparkSpec {
 
     val s1 = spark.newSession()
     val built = StoreBuild.buildAll(s1, Sf, root)
-    // 28 = 26 pre-r19 stores + the two r19 memoized curation verdicts
-    // (text.dsir_weights, text.curriculum) — intended layouts under the
-    // root like every other CacheLife store
-    assert(built.size === 28, s"expected 28 builders, got: ${built.map(_._1)}")
+    // 30 = 26 pre-r19 stores + the two r19 memoized curation verdicts
+    // (text.dsir_weights, text.curriculum) + the two r20 named stores
+    // (sim.lsh_scored scored candidates, text.docs_tok tokenized
+    // corpus) — intended layouts under the root like every other
+    // CacheLife store. (dedup.jaccard-pairs is memoized but not a
+    // named builder: its first consumer is its own registered query.)
+    assert(built.size === 30, s"expected 30 builders, got: ${built.map(_._1)}")
     // every store is a _SUCCESS-gated parquet layout under the root; the
     // incremental stores (dedup.layout, text.layout) are ROOTS OF
     // layouts — each of their sub-stores carries its own _SUCCESS
